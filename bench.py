@@ -1,0 +1,75 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Results are materialized with a noop-format write (forces full execution
+of every operator incl. windows/joins; nothing ships to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shuttlestandalonedbcreator_spark.queries import CATALOG  # noqa: E402
+from shuttlestandalonedbcreator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "status_summary",
+    "pricing_summary",
+    "join_agg_revenue",
+    "orders_by_month",
+    "broadcast_lookup",
+    "dedup_last_wins",
+    "window_running_sum",
+    "sessionization",
+    "asof_join",
+    "hierarchy_closure",
+    "exact_dedup",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash",
+    "embedding_topk",
+    "text_token_stats",
+    "text_quality",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM warmup on a trivial plan so query 1 doesn't pay session startup
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = CATALOG[name]
+        t0 = time.perf_counter()
+        qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

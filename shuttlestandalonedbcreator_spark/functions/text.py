@@ -1,0 +1,99 @@
+"""Text-analysis column builders (training-data pipeline surface).
+
+Extension operators (no reference counterpart — BASELINE.json north star):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+All pure JVM column expressions — scale-free per-row maps, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately deterministic + dependency-free (a real deployment would
+# plug fasttext/cld3 in via mapInPandas — see streaming/multimodal.py for
+# the UDF plumbing pattern).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "de", "es"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4"),
+}
+
+
+def word_tokens(col: Column) -> Column:
+    """Whitespace/punctuation tokenization, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(word_tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: word tokens + one extra per 4 chars of
+    long words (a cheap deterministic stand-in for BPE tokenizers)."""
+    toks = word_tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.lit(1) + F.floor(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = word_tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^\.,;:!\?'\"]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable mean word length. Deterministic, per-row, shuffle-free."""
+    n_tok = token_count(col)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(
+            word_tokens(col), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    len_component = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    wl_component = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round((len_component + wl_component + punct_component) / F.lit(3.0), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-lexicon language guess: language with the most marker hits;
+    'und' (undetermined) when nothing matches."""
+    toks = word_tokens(col)
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(lang)
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    pairs = F.array(
+        *[
+            F.struct(s.cast("long").alias("hits"), F.lit(lang).alias("lang"))
+            for lang, s in zip(LANG_MARKERS, scores)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized token stream — stable
+    under whitespace/case/punctuation-spacing changes (the rolling-hash
+    fingerprint class of the north star, realized portably)."""
+    return F.md5(F.array_join(word_tokens(col), " "))

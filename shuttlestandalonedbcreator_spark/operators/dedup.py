@@ -1,0 +1,276 @@
+"""Deduplication operators.
+
+Reference parity:
+- ``last_write_wins`` ≅ `INSERT OR REPLACE` on UNIQUE(file_name,
+  target_file_id) — re-import keeps the LATEST row per key
+  (SQLiteDirectImporter.java:306, 713; operator A1).
+
+Scale extensions (training-data pipeline surface, BASELINE.json north star):
+- ``exact_dedup``        — content-hash dedup (hash-groupBy, one shuffle).
+- ``ngram_jaccard_pairs``— n-gram-set Jaccard near-dup pairs via an
+  inverted-index join (explode→join on shingle→agree-count), never a
+  cross join.
+- ``minhash_lsh_pairs``  — MinHash signatures + LSH banding; candidate
+  pairs only from shared buckets. The scale path for 100 TB: cost is
+  O(docs × shingles) + a join keyed on (band, bucket-hash).
+- ``simhash``            — 64-bit SimHash fingerprints per doc;
+  near-dup = small Hamming distance, candidates from band equality.
+
+All operators use deterministic, portable hashes built from md5 (same
+result in any engine / any run), not JVM-specific hash functions, so
+results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# portable deterministic hashing
+# ---------------------------------------------------------------------------
+
+def md5_long(col: Column, seed: int = 0) -> Column:
+    """First 15 hex digits of md5(seed||value) as a non-negative long.
+
+    15 hex digits = 60 bits < 2^63, so the conv() result is an exact
+    non-negative long. Portable: identical in DuckDB via
+    ``CAST(('0x' || substr(md5(...),1,15)) AS BIGINT)``-equivalent hacks.
+    """
+    payload = F.concat(F.lit(f"{seed}|"), col.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# A1: keyed last-write-wins upsert
+# ---------------------------------------------------------------------------
+
+def last_write_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep, per key tuple, the row with the greatest ``order_col``
+    (ties broken arbitrarily-but-deterministically by all columns via the
+    window's implicit ordering on order_col only — callers pass a unique
+    sequence like an ingest counter, matching the reference's arrival
+    order).
+
+    One shuffle on the key columns; at scale this is the idiomatic
+    replacement for SQLite's `INSERT OR REPLACE` and is equivalent to a
+    Delta `MERGE WHEN MATCHED UPDATE`.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact content dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate removal by content hash: keeps the smallest id per
+    distinct content. Single hash-aggregate shuffle keyed on a 128-bit
+    digest (collision-safe at 100 TB scales); the winner row is recovered
+    by a self-semi-join on (hash, id) — still one shuffle stage thanks to
+    AQE reuse, and never a driver collect."""
+    hashed = df.withColumn("_h", F.md5(F.col(content_col).cast("string")))
+    winners = hashed.groupBy("_h").agg(F.min(F.col(id_col)).alias(id_col))
+    return (
+        hashed.join(winners, ["_h", id_col], "left_semi")
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted index join)
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens (non-empty)."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-grams (joined with single spaces) of a text column.
+
+    Built entirely from higher-order functions (JVM-side): for n==1 this is
+    the distinct token set; for n>1, transform over a sequence of start
+    offsets, slicing the token array.
+    """
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    counts = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard explicitly
+    grams = F.when(counts >= 1, F.transform(
+        F.sequence(F.lit(1), counts),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All unordered doc pairs with n-gram-set Jaccard >= threshold.
+
+    Plan shape (scale-safe): explode distinct shingles → self-join on the
+    shingle (inverted index: only docs sharing at least one shingle ever
+    meet) → count shared shingles per pair → Jaccard = inter/(|A|+|B|-inter).
+    The shuffle keys are shingle strings; a hot shingle (stop-phrase) is the
+    skew risk — AQE skew-join splits it. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
+    sizes = shingled.select("_id", F.size("_grams").alias("_sz"))
+    inv = shingled.select("_id", F.explode("_grams").alias("_g"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
+    """Per doc: array of ``num_hashes`` minhash values over word n-grams.
+
+    One explode + one groupBy(doc) with ``min`` aggregates — two narrow
+    stages; the per-seed hash is computed inline on the exploded shingles
+    (JVM md5), so memory per row is O(num_hashes)."""
+    inv = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    aggs = [F.min(md5_long(F.col("_g"), seed)).alias(f"_mh{seed}") for seed in range(num_hashes)]
+    sig = inv.groupBy("_id").agg(*aggs)
+    return sig.select(
+        "_id", F.array(*[F.col(f"_mh{s}") for s in range(num_hashes)]).alias("_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified by estimated
+    Jaccard (fraction of agreeing minhashes) >= threshold.
+
+    Scale path: docs never meet unless a whole band of minhashes collides,
+    so the join is keyed on (band_index, band_hash) — output-bounded, no
+    quadratic blowup. rows=(id_a, id_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes).cache()
+
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("_sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("_id", "_sig", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_siga"),
+            F.col("b._sig").alias("_sigb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree.cast("double") / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over its distinct token set.
+
+    Pure column expressions: per token a portable 60-bit hash; per bit
+    position, +1/-1 votes summed across tokens; sign → bit. Computed via
+    explode + groupBy(doc) with ``bits`` conditional sums (map-side
+    partial agg keeps the shuffle tiny)."""
+    inv = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t")
+    ).withColumn("_h", md5_long(F.col("_t")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(min(bits, 60))
+    ]
+    agg = inv.groupBy("_id").agg(*votes)
+    fingerprint = None
+    for i in range(min(bits, 60)):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select(F.col("_id").alias(id_col), fingerprint.alias("simhash"))
+
+
+def hamming64(x: Column, y: Column) -> Column:
+    """Hamming distance between two long fingerprints (bit_count of xor)."""
+    return F.bit_count(x.bitwiseXOR(y))

@@ -1,0 +1,112 @@
+"""Recursive hierarchy walk (transitive closure) — operator J2.
+
+Reference: the `hierarchy_children` recursive CTE
+(SQLiteDirectImporter.java:902-912, SCHEMA.sql:71-81):
+    roots: parent_id IS NULL            → depth 0, path = name
+    step : child.parent_id = tree.id    → depth+1, path || ' > ' || name
+    ORDER BY path
+
+Spark restatement: an iterative frontier join-union loop to fixpoint —
+the same evaluation strategy a recursive CTE engine uses internally.
+Each level is an equi join of the (usually shrinking) frontier against the
+child edge set; when the frontier is small it broadcasts automatically.
+`localCheckpoint` per level truncates lineage so 100-level trees don't
+build 100-deep query plans (SURVEY.md §4's one real gap).
+
+Scale: the accumulated result is a union of per-level DataFrames; total
+work is O(edges × depth-of-tree) worst case but each iteration shuffles
+only the frontier, and AQE right-sizes each join. A max_depth guard stops
+cycles (the reference relies on SQLite's implicit recursion limit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hierarchy_closure(
+    nodes: DataFrame,
+    id_col: str,
+    parent_col: str,
+    name_col: str,
+    max_depth: int = 64,
+    separator: str = " > ",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Walk the adjacency-list tree; returns nodes + (depth, path).
+
+    Roots are rows with NULL parent (orphans — parents missing from the
+    node set — never join and are silently dropped below the roots they
+    lack, matching recursive-CTE semantics; reference orphans become roots
+    only because their parent_id is NULL, :906).
+    """
+    base = nodes.select(
+        F.col(id_col).alias("_nid"),
+        F.col(parent_col).alias("_pid"),
+        F.col(name_col).alias("_name"),
+    )
+
+    frontier = base.filter(F.col("_pid").isNull()).select(
+        "_nid",
+        "_pid",
+        "_name",
+        F.lit(0).alias("depth"),
+        F.col("_name").alias("path"),
+    )
+    children = base  # immutable edge set, re-joined each level
+
+    result = frontier
+    for _ in range(max_depth):
+        step = (
+            children.alias("c")
+            .join(frontier.alias("f"), F.col("c._pid") == F.col("f._nid"))
+            .select(
+                F.col("c._nid").alias("_nid"),
+                F.col("c._pid").alias("_pid"),
+                F.col("c._name").alias("_name"),
+                (F.col("f.depth") + 1).alias("depth"),
+                F.concat(F.col("f.path"), F.lit(separator), F.col("c._name")).alias("path"),
+            )
+        )
+        if checkpoint:
+            step = step.localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        result = result.unionByName(step)
+        frontier = step
+
+    return result.select(
+        F.col("_nid").alias(id_col),
+        F.col("_pid").alias(parent_col),
+        F.col("_name").alias(name_col),
+        "depth",
+        "path",
+    ).orderBy("path")
+
+
+def hierarchy_closure_sql(
+    spark,
+    nodes: DataFrame,
+    id_col: str,
+    parent_col: str,
+    name_col: str,
+    separator: str = " > ",
+) -> DataFrame:
+    """Spark 4 `WITH RECURSIVE` variant — same result as the loop, letting
+    Catalyst drive the iteration (UnionLoop physical plan)."""
+    nodes.createOrReplaceTempView("_hier_nodes")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE tree AS (
+            SELECT {id_col}, {parent_col}, {name_col},
+                   0 AS depth, CAST({name_col} AS STRING) AS path
+            FROM _hier_nodes WHERE {parent_col} IS NULL
+            UNION ALL
+            SELECT c.{id_col}, c.{parent_col}, c.{name_col},
+                   t.depth + 1, CONCAT(t.path, '{separator}', c.{name_col})
+            FROM _hier_nodes c JOIN tree t ON c.{parent_col} = t.{id_col}
+        )
+        SELECT * FROM tree ORDER BY path
+        """
+    )

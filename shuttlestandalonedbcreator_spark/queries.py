@@ -1,0 +1,846 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 (plus the
+scale extensions) as a named query over the driver's synthetic tables,
+paired with a DuckDB oracle SQL string.
+
+Contract (repo __spark_entry__.py): each builder takes (spark, sf_dir) and
+returns a DataFrame whose column NAMES AND TYPES match the oracle's output
+exactly (the driver hashes values after sorting columns by name).
+
+Determinism rules used throughout so Spark and DuckDB agree bit-for-bit:
+- integer results: counts/ids stay int64 (DuckDB SUM(int)→HUGEINT is cast
+  back to BIGINT in the oracle).
+- money/value aggregations: cast to DECIMAL first (exact, order-free sums)
+  and cast the final result back to an explicit DECIMAL/DOUBLE type.
+- per-row double math: identical expression trees on both sides (IEEE ops
+  are order-stable per row), rounded with `round(x, 6)` when the value is
+  the output.
+- hashes: md5-based (portable across engines), never JVM/xxhash built-ins.
+- ties: every rank/top-k orders by an explicit unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.functions.dates import excel_serial_to_timestamp
+from shuttlestandalonedbcreator_spark.functions.paths import (
+    job_name_from_filename,
+    parent_folder,
+    path_level,
+)
+from shuttlestandalonedbcreator_spark.functions import text as T
+from shuttlestandalonedbcreator_spark.operators import dedup as D
+from shuttlestandalonedbcreator_spark.operators import joins as J
+from shuttlestandalonedbcreator_spark.operators import similarity as V
+from shuttlestandalonedbcreator_spark.operators.hierarchy import hierarchy_closure
+from shuttlestandalonedbcreator_spark.operators.summary import (
+    files_filter,
+    folders_filter,
+    grouped_count,
+    status_summary,
+    top_k,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+
+
+# ---------------------------------------------------------------------------
+# Reference surface — SURVEY.md §2 (operators cited per query)
+# ---------------------------------------------------------------------------
+
+def q_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+P7+O1 (status_summary view, SQLiteDirectImporter.java:877-885):
+    conditional aggregation over a coalesced group key, ordered desc."""
+    orders = _t(spark, sf_dir, "orders")
+    return status_summary(
+        orders,
+        "o_orderpriority",
+        file_predicate=F.col("o_totalprice") > 100000,
+        folder_predicate=(F.col("o_totalprice") <= 100000) | F.col("o_totalprice").isNull(),
+    )
+
+
+SQL_STATUS_SUMMARY = """
+SELECT COALESCE(o_orderpriority, 'Unknown') AS status_name,
+       COUNT(*) AS record_count,
+       COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS file_count,
+       COUNT(CASE WHEN o_totalprice <= 100000 OR o_totalprice IS NULL THEN 1 END) AS folder_count
+FROM orders GROUP BY 1
+"""
+
+
+def q_files_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (files_view :869-870): predicate filter, pushed to the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    return files_filter(orders, "o_totalprice").select("o_orderkey", "o_custkey", "o_totalprice").filter(
+        F.col("o_totalprice") > 150000
+    )
+
+
+SQL_FILES_FILTER = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+"""
+
+
+def q_folders_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (folders_view :873-874): zero-or-null predicate split."""
+    li = _t(spark, sf_dir, "lineitem")
+    return folders_filter(li.filter(F.col("l_quantity") <= 5), "l_discount").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+SQL_FOLDERS_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity <= 5 AND (l_discount = 0 OR l_discount IS NULL)
+"""
+
+
+def q_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (`GROUP BY job_name` counts, README.md:76)."""
+    return grouped_count(_t(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+SQL_GROUPED_COUNT = """
+SELECT o_orderstatus, COUNT(*) AS record_count FROM orders GROUP BY 1
+"""
+
+
+def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (`SELECT COUNT(*)` :1034)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+SQL_GLOBAL_COUNT = "SELECT COUNT(*) AS row_count FROM lineitem"
+
+
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (`SELECT DISTINCT COALESCE(...)` :888) — drives dynamic views."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.coalesce(F.col("o_orderpriority"), F.lit("Unknown")).alias("status_name"))
+        .distinct()
+    )
+
+
+SQL_DISTINCT_VALUES = """
+SELECT DISTINCT COALESCE(o_orderpriority, 'Unknown') AS status_name FROM orders
+"""
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 top-k (:1052-1057): TakeOrderedAndProject, no global sort."""
+    return top_k(_t(spark, sf_dir, "part"), "p_brand", k=5)
+
+
+SQL_TOP_K = """
+SELECT p_brand, record_count FROM (
+  SELECT p_brand, COUNT(*) AS record_count FROM part GROUP BY 1
+) ORDER BY record_count DESC, p_brand ASC LIMIT 5
+"""
+
+
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (parent-id hash join :797-860): broadcast left-equi join with
+    duplicate-key collapse on the build side."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return J.broadcast_lookup(
+        customer.select("c_custkey", "c_name", "c_nationkey"),
+        nation,
+        fact_key="c_nationkey",
+        dim_key="n_nationkey",
+        payload={"n_name": "nation_name"},
+    ).select("c_custkey", "c_name", "nation_name")
+
+
+SQL_BROADCAST_LOOKUP = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (INSERT OR REPLACE upsert :306,:713): latest row per key."""
+    ev = _t(spark, sf_dir, "events")
+    return D.last_write_wins(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        keys=["user_id", "event_type"],
+        order_col="event_id",
+    )
+
+
+SQL_DEDUP_LAST_WINS = """
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (recursive CTE hierarchy :902-912) over a 3-level synthetic tree
+    region→nation→customer, walked by the iterative join-union loop."""
+    region = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.col("r_name").alias("name"),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("node_id"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent_id"),
+        F.col("n_name").alias("name"),
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("parent_id"),
+        F.col("c_name").alias("name"),
+    )
+    nodes = region.unionByName(nation).unionByName(customer)
+    return hierarchy_closure(nodes, "node_id", "parent_id", "name")
+
+
+SQL_HIERARCHY_CLOSURE = """
+WITH RECURSIVE nodes AS (
+  SELECT concat('R', r_regionkey) AS node_id, CAST(NULL AS VARCHAR) AS parent_id, r_name AS name FROM region
+  UNION ALL
+  SELECT concat('N', n_nationkey), concat('R', n_regionkey), n_name FROM nation
+  UNION ALL
+  SELECT concat('C', c_custkey), concat('N', c_nationkey), c_name FROM customer
+), tree AS (
+  SELECT node_id, parent_id, name, 0 AS depth, CAST(name AS VARCHAR) AS path
+  FROM nodes WHERE parent_id IS NULL
+  UNION ALL
+  SELECT c.node_id, c.parent_id, c.name, t.depth + 1, concat(t.path, ' > ', c.name)
+  FROM nodes c JOIN tree t ON c.parent_id = t.node_id
+)
+SELECT node_id, parent_id, name, depth, path FROM tree
+"""
+
+
+def q_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3 (calculateLevel/getParentFolder/extractJobName
+    :935-982) over synthesized paths on the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")))
+        .otherwise(
+            F.concat(
+                F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"),
+                F.lit("/doc_"), F.col("doc_id"), F.lit(".txt"),
+            )
+        )
+    )
+    d = docs.withColumn("path", path)
+    return d.select(
+        "doc_id",
+        "path",
+        path_level(F.col("path")).alias("level"),
+        parent_folder(F.col("path")).alias("parent_folder"),
+        job_name_from_filename(F.concat(F.col("source"), F.lit(".xlsx"))).alias("job_name"),
+    )
+
+
+SQL_PATH_FUNCTIONS = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN ''
+              WHEN doc_id % 7 = 0 THEN concat('doc_', doc_id, '.txt')
+              ELSE concat('/', source, '/', lang, '/doc_', doc_id, '.txt') END AS path
+  FROM documents
+), lv AS (
+  SELECT doc_id, source, path,
+         CASE WHEN path IS NULL OR trim(path) = '' THEN 0
+              ELSE len(string_split(regexp_replace(path, '^/', ''), '/')) END AS level,
+         regexp_extract(path, '[^/]*$') AS tail
+  FROM d
+)
+SELECT doc_id, path, CAST(level AS INTEGER) AS level,
+       CASE WHEN level <= 1 THEN NULL
+            WHEN length(path) - length(tail) - 1 <= 0 THEN NULL
+            ELSE substr(path, 1, length(path) - length(tail) - 1) END AS parent_folder,
+       CASE WHEN trim(regexp_replace(concat(source, '.xlsx'), '\\.(xlsx|xls)$', '')) = '' THEN 'Unknown'
+            ELSE trim(regexp_replace(concat(source, '.xlsx'), '\\.(xlsx|xls)$', '')) END AS job_name
+FROM lv
+"""
+
+
+def q_excel_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (convertExcelDateToSQLite :984-1006): POI 1900-system serial →
+    timestamp, NULL on zero/junk."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", excel_serial_to_timestamp(F.col("value")).alias("excel_ts")
+    )
+
+
+SQL_EXCEL_SERIAL = """
+SELECT event_id,
+       CASE WHEN value IS NULL OR value = 0 THEN NULL
+            ELSE TIMESTAMP '1899-12-30' + to_seconds(CAST(round(value * 86400) AS BIGINT)) END AS excel_ts
+FROM events
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: INTERSECT + EXCEPT over distinct key sets."""
+    ev = _t(spark, sf_dir, "events")
+    big_buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 190))
+        .select("user_id").distinct()
+    )
+    big_clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 190))
+        .select("user_id").distinct()
+    )
+    big_error = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 198))
+        .select("user_id").distinct()
+    )
+    return big_buyers.intersect(big_clickers).subtract(big_error)
+
+
+SQL_SET_OPS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 190
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 190
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 198
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window / analytic surface (§2.5 — absent in reference, provided here)
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: customers by acctbal within nation."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("rank_in_nation")
+    ).filter(F.col("rank_in_nation") <= 10)
+
+
+SQL_WINDOW_RANK = """
+SELECT c_custkey, c_nationkey, c_acctbal, CAST(rank_in_nation AS INTEGER) AS rank_in_nation FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+  FROM customer
+) WHERE rank_in_nation <= 10
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running total (exact decimal accumulation
+    cast to double at the end for cross-engine determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window (batch shape of the streaming agg): hourly
+    event counts + exact value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap > 30 min) per user: lag → cumulative session id
+    → per-session aggregates. Batch shape of the stateful streaming op."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    new_session = F.when(lag_us.isNull() | ((us - lag_us) > 1800 * 1_000_000), 1).otherwise(0)
+    sid = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ).cast("long")
+    return (
+        ev.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 extension: as-of (backward) join — for each purchase, the user's
+    latest click at-or-before it."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("value").alias("click_value"), "event_id")
+    )
+    # collapse same-(user, ts) clicks deterministically (greatest event_id)
+    wc = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        clicks.withColumn("_rn", F.row_number().over(wc)).filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "click_value")
+    )
+    return J.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", payload=["click_value"]
+    ).select("event_id", "user_id", "ts", "value", "click_value")
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, click_value FROM (
+    SELECT user_id, ts, value AS click_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries (bench headline shapes)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide conditional aggregation with exact decimal sums
+    (order-independent) — the scan+agg throughput benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3/Q5 shape: 3-way join + aggregation. customer is broadcast;
+    orders⋈lineitem shuffles on the join key once."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_AGG_REVENUE = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension rollup with a pushed-down range predicate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT date_trunc('month', o_orderdate) AS order_month, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on documents (hash-groupBy; md5 128-bit key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs.select("doc_id", "text"), "text", "doc_id").select("doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.8 (inverted-index join,
+    never quadratic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.8
+"""
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidate pairs with estimated
+    Jaccard >= 0.5 — the sub-quadratic scale path for near-dup."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5)
+
+
+SQL_MINHASH_LSH = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), mh AS (
+  SELECT doc_id, seed,
+         MIN(CAST(('0x' || substr(md5(concat(seed, '|', tok)), 1, 15)) AS BIGINT)) AS v
+  FROM e CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+  GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(v ORDER BY seed) AS s FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, 33), i -> sa.s[i] = sb.s[i])) / 32.0, 6) AS est_jaccard
+FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+WHERE len(list_filter(range(1, 33), i -> sa.s[i] = sb.s[i])) / 32.0 >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 60-bit fingerprints per document (portable md5 token hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(concat('0|', tok)), 1, 15)) AS BIGINT) AS hv FROM toks
+), votes AS (
+  SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return V.brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=10
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid AS query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(v.e, q.qe) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+  FROM v CROSS JOIN q
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate per-vector top-5 — the scale path
+    (join keyed on bucket signature; no quadratic pass). Rows-only check:
+    the bucketing is reproducible but heavy to restate in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return V.lsh_topk(emb, "vec_id", "embedding", k=5, planes=8, dim=64).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + BPE-ish subword estimate + content fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        T.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(w, t -> 1 + CAST(floor(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(w, ' ')) AS fingerprint
+FROM toks
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language-ID heuristic + punctuation ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, text, w,
+         len(w) AS n_tok,
+         CASE WHEN len(w) > 0
+              THEN CAST(COALESCE(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))), 0) AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr
+  FROM toks
+), langs AS (
+  SELECT doc_id,
+         [struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS BIGINT), lang := 'en'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['der','die','und','nicht','ist'], t))) AS BIGINT), lang := 'de'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['le','la','et','les','est'], t))) AS BIGINT), lang := 'fr'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['el','la','que','de','es'], t))) AS BIGINT), lang := 'es'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['de5','shi4','bu4','le5','zai4'], t))) AS BIGINT), lang := 'zh')] AS pairs
+  FROM toks
+), best AS (
+  SELECT doc_id, list_aggregate(pairs, 'max') AS b FROM langs
+)
+SELECT m.doc_id,
+       round((least(m.n_tok / 50.0, 1.0)
+              + CASE WHEN m.mean_wl >= 3.0 AND m.mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END
+              + (1.0 - least(m.pr * 5.0, 1.0))) / 3.0, 6) AS quality,
+       CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_guess,
+       round(m.pr, 6) AS punct_ratio
+FROM m JOIN best ON m.doc_id = best.doc_id
+"""
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing shape: opaque content treated as bytes with
+    typed metadata (byte length, content hash, modality tag). The decode /
+    feature-extract stage lives in streaming/multimodal.py (mapInPandas,
+    stubbed decoders — image/audio libs absent by design)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+        F.lit("text").alias("modality"),
+    )
+
+
+SQL_MULTIMODAL_METADATA = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash, 'text' AS modality
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CATALOG: dict[str, QueryDef] = {
+    # reference surface (SURVEY.md §2)
+    "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
+    "files_filter": QueryDef(q_files_filter, SQL_FILES_FILTER),
+    "folders_filter": QueryDef(q_folders_filter, SQL_FOLDERS_FILTER),
+    "grouped_count": QueryDef(q_grouped_count, SQL_GROUPED_COUNT),
+    "global_count": QueryDef(q_global_count, SQL_GLOBAL_COUNT),
+    "distinct_values": QueryDef(q_distinct_values, SQL_DISTINCT_VALUES),
+    "top_k": QueryDef(q_top_k, SQL_TOP_K),
+    "broadcast_lookup": QueryDef(q_broadcast_lookup, SQL_BROADCAST_LOOKUP),
+    "dedup_last_wins": QueryDef(q_dedup_last_wins, SQL_DEDUP_LAST_WINS),
+    "hierarchy_closure": QueryDef(q_hierarchy_closure, SQL_HIERARCHY_CLOSURE),
+    "path_functions": QueryDef(q_path_functions, SQL_PATH_FUNCTIONS),
+    "excel_serial": QueryDef(q_excel_serial, SQL_EXCEL_SERIAL),
+    "set_ops": QueryDef(q_set_ops, SQL_SET_OPS),
+    # window/analytic surface
+    "window_rank": QueryDef(q_window_rank, SQL_WINDOW_RANK),
+    "window_running_sum": QueryDef(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "tumbling_window": QueryDef(q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "sessionization": QueryDef(q_sessionization, SQL_SESSIONIZATION),
+    "asof_join": QueryDef(q_asof_join, SQL_ASOF_JOIN),
+    # TPC-H-style analytics
+    "pricing_summary": QueryDef(q_pricing_summary, SQL_PRICING_SUMMARY),
+    "join_agg_revenue": QueryDef(q_join_agg_revenue, SQL_JOIN_AGG_REVENUE),
+    "orders_by_month": QueryDef(q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    # training-data pipeline extensions
+    "exact_dedup": QueryDef(q_exact_dedup, SQL_EXACT_DEDUP),
+    "ngram_jaccard_dedup": QueryDef(q_ngram_jaccard_dedup, SQL_NGRAM_JACCARD),
+    "minhash_lsh_dedup": QueryDef(q_minhash_lsh_dedup, SQL_MINHASH_LSH),
+    "simhash": QueryDef(q_simhash, SQL_SIMHASH),
+    "embedding_topk": QueryDef(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, None),
+    "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
+    "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+}

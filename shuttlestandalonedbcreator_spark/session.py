@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference tunes SQLite for bulk load (WAL, 2 GB page cache, 1000-row
+batches — ``SQLiteDirectImporter.java:265-271``). The Spark-native analogue
+is AQE + sized shuffle partitions + Arrow, set once here so every entry
+point (tests, bench, driver) gets the same profile.
+
+Scale notes (100 TB target):
+- ``spark.sql.adaptive.enabled``: runtime coalescing/skew-join — the knob
+  that replaces hand-tuned partition counts when data volume varies 1000×.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster this should be ~2-3× total executor cores (or left to
+  AQE's coalescing with a high initial value).
+- session timezone pinned to UTC so timestamp semantics are deterministic
+  across driver/oracle/cluster (the reference renders dates in the system
+  default zone — ``SQLiteDirectImporter.java:1000`` — which we deliberately
+  normalize to UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "shuttlestandalonedbcreator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard profile."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # driver testdata stores some timestamps as parquet TIMESTAMP(NANOS),
+        # which Spark's reader rejects natively; read as long and convert
+        # (sources.registry normalizes back to TimestampType)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

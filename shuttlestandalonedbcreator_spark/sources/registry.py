@@ -1,0 +1,69 @@
+"""Parquet table registry over a scale-factor directory.
+
+The driver materializes TPC-H-ish tables (TESTDATA.md) as one parquet file
+per table. Scans stay declarative (`spark.read.parquet`) so Catalyst keeps
+predicate pushdown / column pruning / partition pruning; at 100 TB the same
+call reads a partitioned directory tree and prunes on partition columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table, normalizing parquet TIMESTAMP(NANOS) columns (which
+    Spark reads as long under `nanosAsLong`) back to TimestampType via
+    exact integer division — semantics identical to DuckDB's truncation."""
+    import pyarrow as pa
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        ns_cols = [
+            field.name
+            for field in pq.read_schema(path)
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+        ]
+    except Exception:
+        ns_cols = []
+    if ns_cols:
+        # runtime-set so it works on ANY caller-provided session (the
+        # driver builds its own); conf only affects nanos columns
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col_name in ns_cols:
+        # integer div keeps full precision (ns values overflow double)
+        df = df.withColumn(col_name, F.expr(f"timestamp_micros({col_name} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (the engine's SQL surface —
+    reference exposes its data the same way, as SQLite views)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

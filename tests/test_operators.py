@@ -1,0 +1,99 @@
+"""Unit tests for the operator library (dedup / joins / similarity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.operators import dedup as D
+from shuttlestandalonedbcreator_spark.operators import joins as J
+from shuttlestandalonedbcreator_spark.operators import similarity as V
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("one two three four",)], "t string")
+    got = df.select(D.word_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert got[0]["g"] == []  # shorter than n → empty, not [1,0] descending
+    assert got[1]["g"] == []
+    assert got[2]["g"] == ["one two three", "two three four"]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "id long, t string"
+    )
+    got = sorted(r["id"] for r in D.exact_dedup(df, "t", "id").collect())
+    assert got == [1, 3]
+
+
+def test_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "k", "old"), (2, "k", "new"), (3, "j", "only")], "seq long, k string, v string"
+    )
+    got = {r["k"]: r["v"] for r in D.last_write_wins(df, ["k"], "seq").collect()}
+    assert got == {"k": "new", "j": "only"}
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"), (3, "zz yy xx ww vv")],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"], pairs[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon"), (3, "zz yy xx ww vv")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            (3, "completely different words about spark clusters and parquet files everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()}
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert d12 < d13  # near-dup pair closer in Hamming space
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 30.0)], "k long, t long, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 150, 2.0), (1, 200, 3.0), (3, 10, 9.0)], "k long, t long, p double"
+    )
+    got = {
+        (r["k"], r["t"]): r["p"]
+        for r in J.asof_join(left, right, "k", "t", "t", ["p"]).collect()
+    }
+    assert got[(1, 100)] == 1.0  # latest at-or-before 100 is t=90
+    assert got[(1, 200)] == 3.0  # equal timestamp included
+    assert got[(2, 150)] is None  # no right rows for key → NULL
+
+
+def test_brute_force_topk_self_is_nearest(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = V.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", "embedding", k=3).collect()
+    assert got[0]["neighbor_id"] == 0 and abs(got[0]["score"] - 1.0) < 1e-6
+
+
+def test_broadcast_lookup_dup_key_collapse(spark):
+    fact = spark.createDataFrame([(1, "p")], "id long, key string")
+    dim = spark.createDataFrame(
+        [("p", "old", 1), ("p", "new", 2)], "key string, val string, seq long"
+    )
+    got = J.broadcast_lookup(fact, dim, "key", "key", {"val": "out"}, dedup_order="seq").collect()
+    assert got[0]["out"] == "new"
