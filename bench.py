@@ -47,8 +47,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM warmup on a trivial plan so query 1 doesn't pay session startup
+    # JVM warmup + warm page cache / parquet footers so per-query timings
+    # measure the operators, not first-touch I/O
     spark.range(1000).count()
+    from shuttlestandalonedbcreator_spark.sources.registry import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -57,14 +57,19 @@ def punct_ratio(col: Column) -> Column:
     return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation +
-    reasonable mean word length. Deterministic, per-row, shuffle-free."""
-    n_tok = token_count(col)
+    reasonable mean word length. Deterministic, per-row, shuffle-free.
+
+    Pass a pre-materialized token-array column as ``toks`` to share one
+    tokenization across several metrics (regex splits are not codegen'd,
+    so common-subexpression reuse must be explicit)."""
+    toks = word_tokens(col) if toks is None else toks
+    n_tok = F.size(toks).cast("long")
     mean_wl = F.when(
         n_tok > 0,
         F.aggregate(
-            word_tokens(col), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
         ).cast("double")
         / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
@@ -74,10 +79,10 @@ def quality_score(col: Column) -> Column:
     return F.round((len_component + wl_component + punct_component) / F.lit(3.0), 6)
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Marker-lexicon language guess: language with the most marker hits;
     'und' (undetermined) when nothing matches."""
-    toks = word_tokens(col)
+    toks = word_tokens(col) if toks is None else toks
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(lang)
         for lang, markers in LANG_MARKERS.items()

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
 
 # ---------------------------------------------------------------------------
 # portable deterministic hashing
@@ -120,31 +122,54 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All unordered doc pairs with n-gram-set Jaccard >= threshold.
 
-    Plan shape (scale-safe): explode distinct shingles → self-join on the
-    shingle (inverted index: only docs sharing at least one shingle ever
-    meet) → count shared shingles per pair → Jaccard = inter/(|A|+|B|-inter).
-    The shuffle keys are shingle strings; a hot shingle (stop-phrase) is the
-    skew risk — AQE skew-join splits it. Returns (id_a, id_b, jaccard)
-    with id_a < id_b.
+    Plan shape (scale-safe, exact): build an inverted index keyed on a
+    64-bit shingle hash (8-byte shuffle keys, not 30-byte strings), group
+    into posting lists, and expand pairs WITHIN each posting list — one
+    shuffle of the index instead of a two-sided self-join, and shingles
+    unique to one doc (the vast majority in real corpora) produce no pairs
+    at all. Intersection = pair count across shingles; Jaccard =
+    inter/(|A|+|B|-inter). A hot shingle (stop-phrase) still expands
+    quadratically — that is inherent to exact Jaccard; use minhash_lsh for
+    the sub-quadratic approximate path. Returns (id_a, id_b, jaccard),
+    id_a < id_b.
     """
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_grams")
     )
-    sizes = shingled.select("_id", F.size("_grams").alias("_sz"))
-    inv = shingled.select("_id", F.explode("_grams").alias("_g"))
-
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    # 8-byte join keys (hash each shingle string once at explode time);
+    # the doc's shingle-set size rides along so the final Jaccard needs NO
+    # join back — the whole operator is one linear pipeline, shingling runs
+    # exactly once
+    inv = shingled.select(
+        F.col("_id"),
+        F.size("_grams").alias("_sz"),
+        F.explode(F.transform("_grams", lambda g: F.xxhash64(g))).alias("_g"),
     )
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    # posting list per shingle; singleton lists contribute nothing
+    postings = (
+        inv.groupBy("_g")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_sz"))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (x, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), "
+                "y -> struct(x._id AS a, x._sz AS sza, y._id AS b, y._sz AS szb))))"
+            )
+        ).alias("_p")
+    )
+    inter = (
+        pairs.groupBy(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("_p.sza").alias("_sza"),
+            F.first("_p.szb").alias("_szb"),
+        )
+    )
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("_inter").cast("double")
             / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
@@ -158,16 +183,31 @@ def ngram_jaccard_pairs(
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# Modulus for the derived-hash family: (h1 + seed*h2) mod MINHASH_PRIME.
+# Chosen so seed*h2 stays far below 2^63 (no overflow in any engine).
+MINHASH_PRIME = 1_000_000_007
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int) -> DataFrame:
     """Per doc: array of ``num_hashes`` minhash values over word n-grams.
 
-    One explode + one groupBy(doc) with ``min`` aggregates — two narrow
-    stages; the per-seed hash is computed inline on the exploded shingles
-    (JVM md5), so memory per row is O(num_hashes)."""
-    inv = df.select(
+    Hash family: ONE portable md5 per shingle yields two 60-bit values
+    (hex digits 1-15 and 16-30); permutation i is (h1 + i*h2) mod p — the
+    standard 2-universal derived family, so the expensive digest runs once
+    per shingle, not ``num_hashes`` times. One explode + one groupBy(doc)
+    with ``min`` aggregates; map-side partial aggregation keeps the
+    shuffle at O(docs × num_hashes)."""
+    p = F.lit(MINHASH_PRIME)
+    digest = F.md5(F.col("_g"))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % p
+    h2 = F.conv(F.substring(digest, 16, 15), 16, 10).cast("long") % p
+    inv = fan_out(df).select(
         F.col(id_col).alias("_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-    )
-    aggs = [F.min(md5_long(F.col("_g"), seed)).alias(f"_mh{seed}") for seed in range(num_hashes)]
+    ).select("_id", h1.alias("_h1"), h2.alias("_h2"))
+    aggs = [
+        F.min((F.col("_h1") + F.lit(seed) * F.col("_h2")) % p).alias(f"_mh{seed}")
+        for seed in range(num_hashes)
+    ]
     sig = inv.groupBy("_id").agg(*aggs)
     return sig.select(
         "_id", F.array(*[F.col(f"_mh{s}") for s in range(num_hashes)]).alias("_sig")
@@ -254,7 +294,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     position, +1/-1 votes summed across tokens; sign → bit. Computed via
     explode + groupBy(doc) with ``bits`` conditional sums (map-side
     partial agg keeps the shuffle tiny)."""
-    inv = df.select(
+    inv = fan_out(df).select(
         F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t")
     ).withColumn("_h", md5_long(F.col("_t")))
     votes = [

@@ -631,10 +631,14 @@ WITH toks AS (
   FROM toks
 ), e AS (
   SELECT doc_id, unnest(g) AS tok FROM grams
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+         CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 1000000007 AS h2
+  FROM e
 ), mh AS (
-  SELECT doc_id, seed,
-         MIN(CAST(('0x' || substr(md5(concat(seed, '|', tok)), 1, 15)) AS BIGINT)) AS v
-  FROM e CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % 1000000007) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
   GROUP BY doc_id, seed
 ), sig AS (
   SELECT doc_id, list(v ORDER BY seed) AS s FROM mh GROUP BY doc_id
@@ -739,10 +743,12 @@ FROM toks
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language-ID heuristic + punctuation ratio."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # materialize tokens once; downstream metrics are cheap array ops
+    with_toks = docs.select("doc_id", "text", T.word_tokens(F.col("text")).alias("_toks"))
+    return with_toks.select(
         "doc_id",
-        T.quality_score(F.col("text")).alias("quality"),
-        T.lang_id(F.col("text")).alias("lang_guess"),
+        T.quality_score(F.col("text"), F.col("_toks")).alias("quality"),
+        T.lang_id(F.col("text"), F.col("_toks")).alias("lang_guess"),
         F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
     )
 
