@@ -102,12 +102,22 @@ def with_derived_columns(df: DataFrame, source_file: str | None = None) -> DataF
     return out
 
 
-def dedup_last_wins(df: DataFrame, seq_col: str = "_ingest_seq") -> DataFrame:
+def dedup_last_wins(df: DataFrame, seq_cols: list[str] | None = None) -> DataFrame:
     """A1: keep the latest row per (file_name, target_file_id) — the
-    `INSERT OR REPLACE` upsert (:306, :713). ``seq_col`` is the arrival
-    order; if absent every row is already unique-keyed."""
-    order = F.col(seq_col) if seq_col in df.columns else F.monotonically_increasing_id()
-    w = Window.partitionBy("file_name", "target_file_id").orderBy(F.desc(order))
+    `INSERT OR REPLACE` upsert (:306, :713).
+
+    Arrival order: explicit ``seq_cols``, else whichever of
+    (_batch_id, _ingest_seq) exist — _ingest_seq alone restarts per
+    micro-batch, so the batch id must be the major key for cross-run
+    upserts; falls back to a synthetic id for already-unique inputs."""
+    if seq_cols is None:
+        seq_cols = [c for c in ("_batch_id", "_ingest_seq") if c in df.columns]
+    orders = (
+        [F.desc(c) for c in seq_cols]
+        if seq_cols
+        else [F.desc(F.monotonically_increasing_id())]
+    )
+    w = Window.partitionBy("file_name", "target_file_id").orderBy(*orders)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

@@ -1,0 +1,145 @@
+"""Structured Streaming tests: folder protocol end-to-end (discover →
+ingest → archive → idempotent re-import) and windowed/stateful operators
+(streaming results must equal the batch computation)."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import RAW_COLUMNS
+from shuttlestandalonedbcreator_spark.sources.registry import load_table
+from shuttlestandalonedbcreator_spark.streaming import windows as W
+from shuttlestandalonedbcreator_spark.streaming.file_protocol import (
+    read_deduplicated,
+    watch_folder,
+)
+
+
+def _write_report_csv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(RAW_COLUMNS)
+        for r in rows:
+            w.writerow(r)
+
+
+def _row(file_name, size, tgt_id, status):
+    base = {c: "" for c in RAW_COLUMNS}
+    base.update(
+        file_name=file_name, source_file_size=size, target_file_id=tgt_id, file_status=status
+    )
+    return [base[c] for c in RAW_COLUMNS]
+
+
+def test_folder_protocol_end_to_end(spark, tmp_path):
+    source = tmp_path / "source"
+    processed = tmp_path / "processed"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    source.mkdir()
+
+    _write_report_csv(
+        source / "JobA.csv",
+        [_row("/A", "", "10", "success"), _row("/A/f1.pdf", "100", "11", "success")],
+    )
+    _write_report_csv(source / "JobB.csv", [_row("/B/f2.pdf", "200", "20", "failed")])
+
+    q = watch_folder(
+        spark, str(source), sink, ckpt, archive_dir=str(processed), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    out = read_deduplicated(spark, sink)
+    rows = {r["file_name"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows["/A/f1.pdf"]["parent_id"] == "10"  # J1 ran inside the stream
+    assert rows["/A/f1.pdf"]["job_name"] == "JobA"
+    assert rows["/B/f2.pdf"]["job_name"] == "JobB"
+
+    # S8: consumed files are archived out of source/. Spark archives
+    # lazily (files of batch N move during batch N+1), so after this
+    # 2-batch run at least the first file must be gone; the tail file
+    # moves on the NEXT poll cycle — asserted after the re-run below.
+    assert "JobA.csv" not in os.listdir(source)
+
+    # idempotent re-import: drop an updated JobA, re-run, upsert wins
+    _write_report_csv(
+        source / "JobA2.csv", [_row("/A/f1.pdf", "150", "11", "match-exists")]
+    )
+    q2 = watch_folder(
+        spark, str(source), sink, ckpt, archive_dir=str(processed), max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    out2 = read_deduplicated(spark, sink)
+    assert out2.count() == 3  # still 3 keys
+    updated = out2.filter(F.col("file_name") == "/A/f1.pdf").collect()[0]
+    assert updated["file_status"] == "match-exists"  # last write won
+    # the lazily-deferred first-run tail file has now been archived
+    assert "JobB.csv" not in os.listdir(source)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_small, tmp_path_factory):
+    """events table re-materialized as a 3-file streaming source."""
+    src = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_small, "events")
+    ev.withColumn("_bucket", F.col("event_id") % 3).repartition(3, "_bucket").drop(
+        "_bucket"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    return ev, stream
+
+
+def _run_stream(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return name
+
+
+def _canon(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, event_stream):
+    ev, stream = event_stream
+    name = _run_stream(W.tumbling_counts(stream), "tumbling_mem")
+    got = spark.table(name)
+    want = W.tumbling_counts(ev)
+    cols = ["window_start", "n_events", "total_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_session_stream_matches_batch(spark, event_stream):
+    ev, stream = event_stream
+    name = _run_stream(W.session_aggregates(stream), "session_mem")
+    got = spark.table(name)
+    want = W.session_aggregates(ev)
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    assert _canon(got, cols) == _canon(want, cols)
+
+
+def test_streaming_dedup(spark, event_stream):
+    ev, stream = event_stream
+    dup_stream = W.streaming_dedup(stream, keys=["user_id", "event_type"], watermark="365 days")
+    q = (
+        dup_stream.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("dedup_mem")
+    # one row per (user_id, event_type) pair present in the data
+    want = ev.select("user_id", "event_type").distinct().count()
+    assert got.count() == want
