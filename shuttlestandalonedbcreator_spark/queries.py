@@ -565,6 +565,122 @@ FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
 """
 
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: ROLLUP grouping sets (subtotals + grand total) —
+    Catalyst expands to a single Expand+HashAggregate, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list → conditional-aggregation columns)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in PIVOT_STATUSES],
+        )
+    )
+
+
+SQL_PIVOT_COUNTS = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase partial dedup in Catalyst)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user inter-event gap and value delta."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    prev_val = F.lag(F.col("value")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((F.unix_micros(F.col("ts")) - prev_ts) / F.lit(1000000.0)).alias("gap_seconds"),
+        F.round(F.col("value") - prev_val, 6).alias("value_delta"),
+    )
+
+
+SQL_WINDOW_LAG_DELTA = """
+SELECT event_id, user_id,
+       (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS gap_seconds,
+       round(value - lag(value) OVER w, 6) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 extension: theta/range join — events classified into value bands
+    via a broadcast nested-loop join against a tiny band dimension."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+SQL_RANGE_JOIN_BUCKETS = """
+WITH bands AS (
+  SELECT 'low' AS band, 0.0 AS lo, 50.0 AS hi
+  UNION ALL SELECT 'mid', 50.0, 150.0
+  UNION ALL SELECT 'high', 150.0, 1e9
+)
+SELECT band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions (BASELINE.json north star)
 # ---------------------------------------------------------------------------
@@ -835,6 +951,11 @@ CATALOG: dict[str, QueryDef] = {
     "tumbling_window": QueryDef(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "sessionization": QueryDef(q_sessionization, SQL_SESSIONIZATION),
     "asof_join": QueryDef(q_asof_join, SQL_ASOF_JOIN),
+    "rollup_counts": QueryDef(q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "pivot_counts": QueryDef(q_pivot_counts, SQL_PIVOT_COUNTS),
+    "count_distinct": QueryDef(q_count_distinct, SQL_COUNT_DISTINCT),
+    "window_lag_delta": QueryDef(q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
+    "range_join_buckets": QueryDef(q_range_join_buckets, SQL_RANGE_JOIN_BUCKETS),
     # TPC-H-style analytics
     "pricing_summary": QueryDef(q_pricing_summary, SQL_PRICING_SUMMARY),
     "join_agg_revenue": QueryDef(q_join_agg_revenue, SQL_JOIN_AGG_REVENUE),
