@@ -37,7 +37,10 @@ from shuttlestandalonedbcreator_spark.functions import text as T
 from shuttlestandalonedbcreator_spark.operators import dedup as D
 from shuttlestandalonedbcreator_spark.operators import joins as J
 from shuttlestandalonedbcreator_spark.operators import similarity as V
-from shuttlestandalonedbcreator_spark.operators.hierarchy import hierarchy_closure
+from shuttlestandalonedbcreator_spark.operators.hierarchy import (
+    hierarchy_closure,
+    hierarchy_closure_sql,
+)
 from shuttlestandalonedbcreator_spark.operators.summary import (
     files_filter,
     folders_filter,
@@ -213,7 +216,12 @@ def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
     )
     nodes = region.unionByName(nation).unionByName(customer)
-    return hierarchy_closure(nodes, "node_id", "parent_id", "name")
+    try:
+        # Spark 4 native WITH RECURSIVE (UnionLoop) — no per-level Python
+        # round-trips; fall back to the iterative loop pre-4.0
+        return hierarchy_closure_sql(spark, nodes, "node_id", "parent_id", "name")
+    except Exception:
+        return hierarchy_closure(nodes, "node_id", "parent_id", "name")
 
 
 SQL_HIERARCHY_CLOSURE = """

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the reference-semantics scalar
+functions and operator invariants — SURVEY.md §5's strengthening of the
+reference's nonexistent test suite."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.functions.paths import sanitize_view_name
+from shuttlestandalonedbcreator_spark.operators.hierarchy import (
+    hierarchy_closure,
+    hierarchy_closure_sql,
+)
+
+# path-ish strings: slashes, empty segments, unicode, spaces
+path_chars = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=30,
+)
+
+
+@st.composite
+def paths(draw):
+    segs = draw(st.lists(st.text(alphabet="abXY 7.", min_size=0, max_size=5), max_size=5))
+    lead = draw(st.booleans())
+    return ("/" if lead else "") + "/".join(segs)
+
+
+@pytest.fixture(scope="module")
+def path_eval(spark):
+    from shuttlestandalonedbcreator_spark.functions.paths import parent_folder, path_level
+
+    def run(values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        return df.select(
+            path_level(F.col("v")).alias("level"),
+            parent_folder(F.col("v")).alias("parent"),
+        ).collect()
+
+    return run
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(paths(), min_size=1, max_size=20))
+def test_path_invariants(path_eval, values):
+    """Reference invariants (SQLiteDirectImporter.java:954-982):
+    - level 0 iff blank; level >= 1 otherwise
+    - parent is NULL iff level <= 1 or last '/' at position 0
+    - when parent is set, it is a strict prefix of the path up to a '/'
+    """
+    rows = path_eval(values)
+    for v, row in zip(values, rows):
+        stripped_blank = v is None or v.strip() == ""
+        if stripped_blank:
+            assert row["level"] == 0 and row["parent"] is None
+            continue
+        assert row["level"] >= 1
+        if row["level"] <= 1 or v.rfind("/") <= 0:
+            assert row["parent"] is None
+        else:
+            assert row["parent"] == v[: v.rfind("/")]
+            assert v.startswith(row["parent"] + "/")
+
+
+_JAVA_PIPELINE = re.compile(r"[^a-z0-9_]")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_sanitize_matches_java_semantics(s):
+    """Pure-Python check against an independent restatement of the Java
+    pipeline (:921-930): lowercase → replace → collapse → strip ONE edge
+    underscore each side; blank input short-circuits to 'unknown'."""
+    got = sanitize_view_name(s)
+    if s.strip() == "":
+        assert got == "unknown"
+        return
+    expect = _JAVA_PIPELINE.sub("_", s.lower())
+    expect = re.sub(r"_+", "_", expect)
+    expect = re.sub(r"^_|_$", "", expect)
+    assert got == expect
+    assert got == "" or re.fullmatch(r"[a-z0-9_]+", got)
+
+
+def test_hierarchy_loop_equals_native_cte(spark):
+    """The iterative fallback and Spark 4's WITH RECURSIVE must agree on a
+    ragged multi-root forest with an orphan subtree."""
+    nodes = spark.createDataFrame(
+        [
+            ("r1", None, "R1"),
+            ("r2", None, "R2"),
+            ("a", "r1", "A"),
+            ("b", "a", "B"),
+            ("c", "b", "C"),
+            ("d", "r2", "D"),
+            ("orphan", "missing", "O"),  # parent absent: unreachable
+        ],
+        "node_id string, parent_id string, name string",
+    )
+    loop = hierarchy_closure(nodes, "node_id", "parent_id", "name", checkpoint=False)
+    cte = hierarchy_closure_sql(spark, nodes, "node_id", "parent_id", "name")
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(loop) == canon(cte)
+    assert ("orphan", "missing", "O", 0, "O") not in canon(cte)
