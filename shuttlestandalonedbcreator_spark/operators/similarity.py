@@ -80,6 +80,77 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the base
+    vectors into `n_centroids` cells; each query scores only the
+    `n_probe` nearest cells.
+
+    The 100 TB shape: training samples a fraction of the data (KMeans on a
+    capped sample), assignment is a narrow map (broadcast centroids), and
+    the search join is keyed on cell id — each query touches
+    n_probe/n_centroids of the data instead of all of it. Deterministic
+    via fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(base.select("_feat"))
+    assigned = model.transform(base).select("_id", "_v", "_cell")
+
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    )
+    # rank cells per query by centroid distance; keep n_probe
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "_qv",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("_qv"), F.col("centroid"), lambda x, c: (x.cast("double") - c) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    probes = qc.withColumn("_pr", F.row_number().over(wq)).filter(F.col("_pr") <= n_probe)
+
+    cand = probes.join(assigned, probes["cell"] == assigned["_cell"]).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("_rk").cast("int").alias("rank"))
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     id_col: str,

@@ -1,0 +1,62 @@
+"""Bucketed-table physical design — the Spark analogue of the reference's
+secondary indexes (S7: 9 indexes dropped/recreated around bulk load,
+SQLiteDirectImporter.java:774-792).
+
+Spark has no secondary indexes; the equivalents are:
+- partition columns for low-cardinality filter keys (sinks.py), and
+- BUCKETING for high-cardinality JOIN keys: both sides pre-hashed into
+  the same bucket layout join WITHOUT a shuffle — at 100 TB this turns
+  the recurring orders⋈lineitem shuffle (the dominant network cost) into
+  a local zip of co-located buckets.
+
+Bucketed tables require the session catalog (saveAsTable); `explain` on
+the joined result shows no Exchange on the bucketed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def cobucket_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket keys — planned as a
+    shuffle-free sort-merge join when bucket layouts match."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key], how)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of SHUFFLE Exchange operators in the executed plan (0 on a
+    co-bucketed join) — BroadcastExchange is deliberately not counted; it
+    ships a dimension, not the fact table."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        plan.count(marker)
+        for marker in (
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+            "Exchange SinglePartition",
+        )
+    )

@@ -840,6 +840,18 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (k-means cells, n_probe nearest
+    probed) — the inverted-file scale path for ANN. Rows-only: the
+    clustering step is iterative and not SQL-expressible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return V.ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, n_centroids=16, n_probe=4,
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + BPE-ish subword estimate + content fingerprint."""
     docs = _t(spark, sf_dir, "documents")
@@ -975,6 +987,7 @@ CATALOG: dict[str, QueryDef] = {
     "simhash": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk": QueryDef(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, None),
+    "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),

@@ -15,7 +15,12 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests")
+    import tempfile
+
+    s = get_spark(
+        app_name="tests",
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

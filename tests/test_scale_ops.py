@@ -1,0 +1,118 @@
+"""Scale-path operators: salted aggregation equivalence, skew-safe top-k,
+bucketed co-located joins (no shuffle), IVF ANN sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.operators import skew
+from shuttlestandalonedbcreator_spark.operators.similarity import brute_force_topk, ivf_topk
+from shuttlestandalonedbcreator_spark.plans import bucketing
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # one hot key with 10k rows, 50 cold keys
+    hot = spark.range(10000).select(
+        F.lit("HOT").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50)).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_aggregate_equals_plain(spark, skewed_df):
+    plain = {
+        (r["k"]): (r["s"], r["n"], r["mx"])
+        for r in skewed_df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"], r["mx"])
+        for r in skew.salted_aggregate(
+            skewed_df, ["k"], {"s": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_aggregate_rejects_non_reaggregable(skewed_df):
+    with pytest.raises(ValueError, match="re-aggregable"):
+        skew.salted_aggregate(skewed_df, ["k"], {"a": ("v", "avg")})
+
+
+def test_top_k_per_key_skew_safe(spark, skewed_df):
+    want = {
+        (r["k"], r["v"])
+        for r in skewed_df.withColumn(
+            "_r", F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("k").orderBy(F.desc("v"), F.asc("v"))
+            )
+        ).filter(F.col("_r") <= 3).select("k", "v").collect()
+    }
+    got = {
+        (r["k"], r["v"])
+        for r in skew.top_k_per_key_skew_safe(
+            skewed_df, "k", F.desc("v"), k=3
+        ).select("k", "v").collect()
+    }
+    # same multiset of (key, value) pairs up to ties on equal v
+    assert {k for k, _ in got} == {k for k, _ in want}
+    for k in {k for k, _ in want}:
+        assert sorted([v for kk, v in got if kk == k], reverse=True) == sorted(
+            [v for kk, v in want if kk == k], reverse=True
+        )
+
+
+def test_bucketed_join_no_shuffle(spark, sf_small):
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    bucketing.write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    bucketing.write_bucketed(lineitem, "lineitem_b", "l_orderkey", 8)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: at scale neither side broadcasts —
+        # bucketing is what removes the shuffle there
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.cobucket_join(
+            spark, "lineitem_b", "orders_b", "l_orderkey", "o_orderkey"
+        )
+        assert bucketing.shuffle_count(joined) == 0  # co-located buckets
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        n = joined.count()
+        plain = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"]).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_ivf_recall_against_exact(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=4,
+    )
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing half the cells must recover a solid share of true neighbors
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+    # the query vector itself lives in the probed home cell → always found
+    for q in approx_sets:
+        assert q in approx_sets[q]
