@@ -27,8 +27,13 @@ HEADLINE = (
     "broadcast_lookup",
     "dedup_last_wins",
     "window_running_sum",
+    "window_lag_delta",
     "sessionization",
     "asof_join",
+    "rollup_counts",
+    "pivot_counts",
+    "count_distinct",
+    "range_join_buckets",
     "hierarchy_closure",
     "exact_dedup",
     "ngram_jaccard_dedup",

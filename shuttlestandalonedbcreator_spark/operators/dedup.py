@@ -288,27 +288,29 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document over its distinct token set.
+    """60-bit SimHash per document over its distinct token set.
 
-    Pure column expressions: per token a portable 60-bit hash; per bit
-    position, +1/-1 votes summed across tokens; sign → bit. Computed via
-    explode + groupBy(doc) with ``bits`` conditional sums (map-side
-    partial agg keeps the shuffle tiny)."""
-    inv = fan_out(df).select(
-        F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t")
-    ).withColumn("_h", md5_long(F.col("_t")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{i}")
-        for i in range(min(bits, 60))
-    ]
-    agg = inv.groupBy("_id").agg(*votes)
+    Entirely a NARROW map — no explode, no shuffle: the distinct-token
+    hash array is materialized once per row, then each bit's vote is
+    ``2*count_set - n_tokens`` (count_set via filter over the array).
+    Sign of the vote sets the bit. At any scale this is scan-parallel
+    with zero network traffic."""
+    nbits = min(bits, 60)
+    hashed = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: md5_long(t)).alias("_hs"),
+    )
+    n_tok = F.size("_hs")
     fingerprint = None
-    for i in range(min(bits, 60)):
-        bit = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(nbits):
+        count_set = F.size(
+            F.filter(F.col("_hs"), lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(
+            (2 * count_set - n_tok) > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return agg.select(F.col("_id").alias(id_col), fingerprint.alias("simhash"))
+    return hashed.select(F.col("_id").alias(id_col), fingerprint.alias("simhash"))
 
 
 def hamming64(x: Column, y: Column) -> Column:
