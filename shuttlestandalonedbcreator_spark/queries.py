@@ -946,6 +946,27 @@ FROM documents
 """
 
 
+SQL_ADHOC = """
+SELECT n_name AS nation,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY n_name
+"""
+
+
+def q_sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's real query path (SURVEY §3.2): ad-hoc SQL text over
+    registered views — the IDENTICAL string runs on Spark and the oracle,
+    demonstrating the engine's SQL surface is dialect-compatible."""
+    from shuttlestandalonedbcreator_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_ADHOC)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -965,6 +986,7 @@ CATALOG: dict[str, QueryDef] = {
     "path_functions": QueryDef(q_path_functions, SQL_PATH_FUNCTIONS),
     "excel_serial": QueryDef(q_excel_serial, SQL_EXCEL_SERIAL),
     "set_ops": QueryDef(q_set_ops, SQL_SET_OPS),
+    "sql_adhoc": QueryDef(q_sql_adhoc, SQL_ADHOC),
     # window/analytic surface
     "window_rank": QueryDef(q_window_rank, SQL_WINDOW_RANK),
     "window_running_sum": QueryDef(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
