@@ -16,6 +16,7 @@ the joined result shows no Exchange on the bucketed keys.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -45,6 +46,44 @@ def cobucket_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key], how)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster on write: repartitionByRange + sortWithinPartitions
+    on the hot predicate columns, so every output file covers a NARROW
+    value range and parquet row-group min/max statistics prune most files
+    at scan time (the poor man's Z-order; for true multi-dimensional
+    clustering interleave key bits into a z-value column and range-cluster
+    on that).
+
+    At 100 TB this is the difference between reading every file for a
+    selective predicate and reading ~1/n_files of them.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Interleave the low ``bits`` bits of 2+ non-negative int columns into
+    one z-value (bit-interleaving via shifts — pure JVM expressions).
+    Range-clustering on the z-value gives multi-dimensional locality."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
 
 
 def shuffle_count(df: DataFrame) -> int:

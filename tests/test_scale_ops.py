@@ -116,3 +116,41 @@ def test_ivf_recall_against_exact(spark, sf_small):
     # the query vector itself lives in the probed home cell → always found
     for q in approx_sets:
         assert q in approx_sets[q]
+
+
+def test_write_clustered_narrow_file_ranges(spark, sf_small, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    out = str(tmp_path / "clustered")
+    bucketing.write_clustered(orders, out, ["o_custkey"], n_files=8)
+    spans = []
+    lo_g, hi_g = None, None
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_custkey")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append(hi - lo)
+        lo_g = lo if lo_g is None else min(lo_g, lo)
+        hi_g = hi if hi_g is None else max(hi_g, hi)
+    # every file covers a narrow slice of the global key range -> min/max
+    # stats prune most files for a selective predicate
+    global_span = hi_g - lo_g
+    assert len(spans) >= 4
+    assert max(spans) < global_span / 2
+    assert sum(spans) < global_span * 1.5  # near-disjoint coverage
+
+
+def test_zorder_value_interleaving(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 3)], "x int, y int")
+    got = [
+        r["z"]
+        for r in df.select(
+            bucketing.zorder_value([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    ]
+    # interleaved bits: z(x,y) = ... y1 x1 y0 x0
+    assert got == [0, 1, 2, 15]
