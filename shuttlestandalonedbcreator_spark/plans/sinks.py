@@ -27,6 +27,47 @@ from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import RAW_COLUMNS
 SQLITE_TABLE = "transfer_data"
 SQLITE_BATCH = 1000  # reference BATCH_SIZE (:61)
 
+# Reference storage classes (SQLiteDirectImporter.java:282-303): BIGINT for
+# the size columns, INTEGER for level, DATETIME (stored as
+# 'yyyy-MM-dd HH:mm:ss' text, :1001) for the date columns, TEXT otherwise.
+# target_file_id is TEXT here (see SURVEY §1.2 — joined as string).
+_SQLITE_BIGINT = {"source_file_size", "target_file_size"}
+_SQLITE_INTEGER = {"level"}
+_SQLITE_DATETIME = {
+    "creation_time",
+    "source_last_modification_time",
+    "target_last_modification_time",
+    "last_access_time",
+    "start_time",
+    "transfer_time",
+    "import_timestamp",
+}
+
+
+def _sqlite_decl(col: str) -> str:
+    if col in _SQLITE_BIGINT:
+        return f"{col} BIGINT"
+    if col in _SQLITE_INTEGER:
+        return f"{col} INTEGER"
+    if col in _SQLITE_DATETIME:
+        return f"{col} DATETIME"
+    return f"{col} TEXT"
+
+
+def _sqlite_value(col: str, v):
+    import datetime
+
+    if v is None:
+        return None
+    if col in _SQLITE_BIGINT or col in _SQLITE_INTEGER:
+        try:
+            return int(str(v).strip())
+        except ValueError:  # reference: junk numerics → NULL (:523-531)
+            return None
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    return str(v)
+
 TRANSFER_COLUMNS = [
     *RAW_COLUMNS,
     "parent_folder",
@@ -68,12 +109,12 @@ def export_sqlite(df: DataFrame, db_path: str, batch_size: int = SQLITE_BATCH) -
         conn.execute(
             f"CREATE TABLE IF NOT EXISTS {SQLITE_TABLE} ("
             "id INTEGER PRIMARY KEY AUTOINCREMENT, "
-            + ", ".join(f"{c} TEXT" for c in cols)
+            + ", ".join(_sqlite_decl(c) for c in cols)
             + ", UNIQUE(file_name, target_file_id))"
         )
         total, batch = 0, []
         for row in df.select(*cols).toLocalIterator():
-            batch.append(tuple(None if v is None else str(v) for v in row))
+            batch.append(tuple(_sqlite_value(c, v) for c, v in zip(cols, row)))
             if len(batch) >= batch_size:
                 conn.executemany(
                     f"INSERT OR REPLACE INTO {SQLITE_TABLE} ({col_sql}) VALUES ({placeholders})",

@@ -946,6 +946,28 @@ FROM documents
 """
 
 
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregation surface — the 100 TB path for distinct
+    counts and quantiles: HLL++ (`approx_count_distinct`), mergeable HLL
+    sketches (`hll_sketch_agg` → estimate; sketches union across
+    partitions/days without rescanning), and `percentile_approx`.
+    Rows-only check: estimates are sketch-implementation-specific, so no
+    cross-engine value oracle; accuracy vs exact values is pinned by
+    tests/test_scale_ops.py::test_approx_aggregates_accuracy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
+            F.percentile_approx(
+                F.col("l_extendedprice").cast("double"), F.lit(0.5), F.lit(1000)
+            ).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1010,6 +1032,7 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_topk": QueryDef(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, None),
     "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
+    "approx_aggregates": QueryDef(q_approx_aggregates, None),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),

@@ -16,9 +16,9 @@ Reference parity (file:line into /root/reference):
 - S10 inspection scan: first N rows / ≤25 columns (InspectColumnsStreaming
   .java:99-168).
 
-The .xls (binary BIFF) path (S3) is NOT implemented — stdlib cannot parse
-BIFF and the container has no xlrd; `read_workbook_rows` raises a clear
-error for .xls inputs (gate, not silent skip).
+- S3 XLS (binary BIFF) scan: `sources/biff.py` — a stdlib CFB+BIFF8
+  parser (SQLiteDirectImporter.java:384-426, 588-662); dispatched here by
+  file extension so .xls and .xlsx flow through one distributed scan.
 
 Writer notes: minimal OOXML with inline strings — round-trips through this
 reader and opens in Excel/LibreOffice; used by tests to generate fixtures
@@ -138,7 +138,7 @@ def read_workbook_rows(
     spark: SparkSession,
     path: str,
     sheet_prefix: str | None = None,
-    glob: str = "*.xlsx",
+    glob: str = "*.xls*",
 ) -> DataFrame:
     """Distributed raw scan: every row of every matching sheet of every
     workbook under ``path`` → (_source_file, _sheet, _row_index,
@@ -152,10 +152,15 @@ def read_workbook_rows(
     # Executors may not have the repo on sys.path (the driver harness can
     # import this module by file path) — serialize this module BY VALUE so
     # the mapInPandas closure carries its own code.
+    import shuttlestandalonedbcreator_spark.sources.biff as _biff_module
     import shuttlestandalonedbcreator_spark.sources.excel as _self_module
     from pyspark.cloudpickle import register_pickle_by_value
 
     register_pickle_by_value(_self_module)
+    register_pickle_by_value(_biff_module)
+    # closure variable (not an executor-side import — the repo package may
+    # not be on executor sys.path; by-value pickling carries the code)
+    parse_xls = _biff_module.parse_xls_rows
 
     binary = (
         spark.read.format("binaryFile")
@@ -171,13 +176,13 @@ def read_workbook_rows(
         for pdf in batches:
             rows = []
             for path_value, content in zip(pdf["path"], pdf["content"]):
-                if str(path_value).lower().endswith(".xls"):
-                    raise NotImplementedError(
-                        "binary .xls (BIFF) parsing needs xlrd/POI — not "
-                        "available in this environment (reference S3 path)"
-                    )
+                parse = (
+                    parse_xls
+                    if str(path_value).lower().endswith(".xls")
+                    else parse_xlsx_rows
+                )
                 fname = str(path_value).rsplit("/", 1)[-1]
-                for sheet, row_idx, cells in parse_xlsx_rows(bytes(content), sheet_prefix):
+                for sheet, row_idx, cells in parse(bytes(content), sheet_prefix):
                     rows.append((fname, sheet, row_idx, cells))
             yield pd.DataFrame(
                 rows, columns=["_source_file", "_sheet", "_row_index", "_cells"]

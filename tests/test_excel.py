@@ -93,11 +93,79 @@ def test_inspect_columns_caps(spark, workbook_dir):
     assert all(len(r["_cells"]) <= 3 for r in rows)
 
 
-def test_xls_binary_gated(spark, tmp_path):
-    # BIFF .xls is explicitly unsupported (stdlib cannot parse it): the
-    # scan must fail loudly, not silently drop data
-    bogus = tmp_path / "old.xls"
-    bogus.write_bytes(b"\xd0\xcf\x11\xe0" + b"\x00" * 64)
-    df = read_workbook_rows(spark, str(tmp_path), glob="*.xls")
-    with pytest.raises(Exception, match="(?i)xls|NotImplemented"):
-        df.collect()
+def test_xls_biff_scan_mixed_with_xlsx(spark, tmp_path):
+    # S3: binary .xls parses through the same distributed scan as .xlsx
+    from shuttlestandalonedbcreator_spark.sources.biff import write_xls
+
+    write_xls(
+        {
+            "Transfer Report 1": [
+                ["header", "h2", "h3"],
+                ["/a/ü.txt", 100, 45123.5],
+                ["/a/v.txt", -7, ""],
+            ],
+            "Overview": [["skip me"]],
+        },
+        str(tmp_path / "legacy.xls"),
+    )
+    write_workbook(
+        {"Transfer Report 2": [["header"], ["/b/x.txt"]]},
+        str(tmp_path / "modern.xlsx"),
+    )
+    df = read_workbook_rows(spark, str(tmp_path), sheet_prefix="Transfer Report")
+    rows = {
+        (r["_source_file"], r["_sheet"], r["_row_index"]): r["_cells"]
+        for r in df.collect()
+    }
+    assert len(rows) == 5  # 3 + 2 data rows; Overview filtered
+    assert rows[("legacy.xls", "Transfer Report 1", 1)] == ["/a/ü.txt", "100", "45123.5"]
+    assert rows[("legacy.xls", "Transfer Report 1", 2)] == ["/a/v.txt", "-7", ""]
+    assert rows[("modern.xlsx", "Transfer Report 2", 1)] == ["/b/x.txt"]
+
+
+def test_biff_sst_continue_spanning():
+    # SST strings split across CONTINUE records, with the compression flag
+    # re-specified per fragment ([MS-XLS] 2.5.293) — both byte widths
+    import struct
+
+    from shuttlestandalonedbcreator_spark.sources import biff
+
+    s1, s2 = "abcdef", "ghíjkl"  # second needs UTF-16 in fragment 2
+    head = struct.pack("<II", 2, 2)
+    # string 1: starts compressed, splits after 3 chars
+    frag1 = head + struct.pack("<HB", len(s1), 0) + b"abc"
+    # continue: rest of string 1 (flags byte 0), then string 2 header +
+    # first 2 chars compressed... string 2 splits mid-string too
+    frag2 = b"\x00def" + struct.pack("<HB", len(s2), 0) + b"gh"
+    # continue: rest of string 2, uncompressed fragment (flag 1)
+    frag3 = b"\x01" + "íjkl".encode("utf-16-le")
+    assert biff._parse_sst([frag1, frag2, frag3]) == [s1, s2]
+
+
+def test_biff_rk_decode():
+    from shuttlestandalonedbcreator_spark.sources.biff import _decode_rk
+
+    # int, int/100, double, double/100 variants
+    assert _decode_rk((100 << 2) | 0x02) == 100
+    assert _decode_rk((12345 << 2) | 0x03) == 123.45
+    import struct
+
+    bits = struct.unpack("<Q", struct.pack("<d", 2.5))[0]
+    assert _decode_rk((bits >> 32) & 0xFFFFFFFC) == 2.5
+    assert _decode_rk(((bits >> 32) & 0xFFFFFFFC) | 0x01) == 0.025
+    assert _decode_rk(((-5 & 0x3FFFFFFF) << 2) | 0x02) == -5
+
+
+def test_xls_end_to_end_pipeline(spark, tmp_path):
+    # .xls rows flow through the same typed ingest as .xlsx (P1 parity)
+    from shuttlestandalonedbcreator_spark.sources.biff import write_xls
+
+    header = [c.replace("_", " ").title() for c in RAW_COLUMNS]
+    row = ["/A/f1.pdf", "100", "90", "11"] + [""] * 11 + ["success", "", "", ""]
+    write_xls({"Transfer Report 1": [header, row]}, str(tmp_path / "JobC.xls"))
+    raw = read_transfer_reports(spark, str(tmp_path))
+    typed = ingest(raw)
+    out = typed.collect()
+    assert len(out) == 1
+    assert out[0]["source_file_size"] == 100
+    assert out[0]["job_name"] == "JobC"

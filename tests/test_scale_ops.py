@@ -154,3 +154,51 @@ def test_zorder_value_interleaving(spark):
     ]
     # interleaved bits: z(x,y) = ... y1 x1 y0 x0
     assert got == [0, 1, 2, 15]
+
+
+def test_approx_aggregates_accuracy(spark, sf_small):
+    from shuttlestandalonedbcreator_spark.queries import q_approx_aggregates
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    approx = {r["l_returnflag"]: r for r in q_approx_aggregates(spark, sf_small).collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.05
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.05
+        assert abs(a["approx_median_price"] - e["median"]) / e["median"] < 0.02
+
+
+def test_lsh_topk_finds_duplicate_clusters(spark):
+    from shuttlestandalonedbcreator_spark.operators.similarity import lsh_topk
+
+    # three exact-duplicate pairs + fillers: identical vectors always share
+    # the signature bucket, so each member must report its twin at rank 1
+    # with cosine 1.0 (deterministic seeded hyperplanes)
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for pair in range(3):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((2 * pair, v))
+        rows.append((2 * pair + 1, v))
+    for i in range(6, 20):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = lsh_topk(df, "vec_id", "embedding", k=3, planes=8, dim=64)
+    best = {r["query_id"]: r for r in top.collect() if r["rank"] == 1}
+    for pair in range(3):
+        a, b = 2 * pair, 2 * pair + 1
+        assert best[a]["neighbor_id"] == b and best[a]["score"] == 1.0
+        assert best[b]["neighbor_id"] == a and best[b]["score"] == 1.0

@@ -56,6 +56,19 @@ def test_sqlite_export_parity(spark, transfer_df, tmp_path):
         ).fetchone()[0]
         == "retried"
     )
+    # typed storage matches the reference schema: BIGINT sizes (junk → NULL)
+    sizes = dict(
+        conn.execute(
+            "SELECT file_name, source_file_size FROM transfer_data"
+        ).fetchall()
+    )
+    assert sizes["/B/f2.pdf"] == 200 and isinstance(sizes["/B/f2.pdf"], int)
+    assert sizes["/B/f3.pdf"] is None
+    decl = {
+        r[1]: r[2]
+        for r in conn.execute("PRAGMA table_info(transfer_data)").fetchall()
+    }
+    assert decl["source_file_size"] == "BIGINT"
     conn.close()
 
 
