@@ -40,8 +40,12 @@ HEADLINE = (
     "minhash_lsh_dedup",
     "simhash",
     "embedding_topk",
+    "embedding_cosine_neardup",
     "text_token_stats",
     "text_quality",
+    "train_val_test_split",
+    "stratified_sample",
+    "sequence_packing",
 )
 
 

@@ -1,0 +1,140 @@
+"""Deterministic sampling / splitting / sequence-packing operators —
+the training-data-pipeline surface (BASELINE.json north star; the
+reference has no sampling ops, SURVEY.md §2.4/§2.10).
+
+Design rules for 100 TB:
+
+- **Hash-based, not random.** Every sample/split decision is a pure
+  function of (key, seed) via the portable md5 bucket — so runs are
+  reproducible across engines and retries, rows never migrate between
+  splits when the data grows, and no `rand()` state needs coordinating
+  across 1000 executors. Assignment is a NARROW map: zero shuffle.
+- **Stratified rates are per-stratum thresholds**, evaluated row-local —
+  still no shuffle; only the (tiny) per-stratum rate map is broadcast in
+  the closure.
+- **Sequence packing is the concat-and-chunk scheme** (the standard
+  LLM-pretraining packing): shard documents by hash, order them
+  deterministically inside each shard, lay them out on a virtual tape and
+  cut fixed token-budget chunks. One shuffle keyed on the shard id;
+  window cumsum within the shard; shards are independent so the layout
+  parallelizes to any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.operators.dedup import md5_long
+
+# Denominator for hash-threshold decisions. Rates are expressed as
+# buckets-in-10000 so thresholds are exact integers (no float drift
+# between engines).
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, seed: int = 0, buckets: int = HASH_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from the portable
+    60-bit md5 hash of the key. DuckDB-portable:
+    ``CAST(('0x' || substr(md5(concat('<seed>|', CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) % buckets``.
+    """
+    return md5_long(col, seed=seed) % F.lit(buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test/...) by hashing a
+    stable key — deterministic, narrow (no shuffle), stable under data
+    growth (a row's split never changes when other rows are added).
+
+    ``splits`` is [(name, fraction), ...]; fractions must sum to <= 1.0
+    (any remainder falls into the LAST split). Fractions are snapped to
+    1/10000ths so the cut points are exact integers.
+    """
+    total = sum(f for _, f in splits)
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    bucket = hash_bucket(F.col(key_col), seed=seed)
+    expr = None
+    upper = 0
+    for name, frac in splits[:-1]:
+        upper += int(round(frac * HASH_BUCKETS))
+        clause = bucket < F.lit(upper)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    last = F.lit(splits[-1][0])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, assigned)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    falls under its stratum's threshold. This is the mixture-weighting
+    primitive of a training-data pipeline (e.g. upweight low-resource
+    languages, downsample boilerplate sources): rates live in a tiny map,
+    the decision is row-local, and the same (key, seed) always survives —
+    so mixtures are reproducible and incremental re-runs are consistent.
+    """
+    bucket = hash_bucket(F.col(key_col), seed=seed)
+    thresh = F.lit(int(round(default_fraction * HASH_BUCKETS)))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(round(frac * HASH_BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    (shard, chunk_id, offset_in_chunk) so that concatenating each shard's
+    documents in order and cutting every ``budget`` tokens yields the
+    training chunks.
+
+    Layout is fully deterministic: shard = hash(id) % shards, order
+    within a shard = (hash(id), id). Exactly one shuffle (keyed on the
+    shard) + one window cumsum per shard; shards are independent, so at
+    100 TB this runs as ``shards`` parallel linear scans — no global
+    ordering bottleneck. A document longer than ``budget`` straddles
+    chunks (standard concat-packing semantics: chunks are cut mid-document
+    and training continues across the boundary); ``chunk_id`` reports the chunk
+    containing the document's FIRST token.
+    """
+    h = md5_long(F.col(id_col), seed=seed)
+    tagged = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("_n_tok"),
+        (h % F.lit(shards)).cast("int").alias("shard"),
+        h.alias("_order"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("_order"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("_n_tok").over(w)
+    start = cum - F.col("_n_tok")
+    return tagged.select(
+        F.col(id_col),
+        "shard",
+        F.col("_n_tok").alias("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("long").alias("chunk_id"),
+        (start % F.lit(budget)).cast("long").alias("offset_in_chunk"),
+    )

@@ -151,6 +151,83 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    exact: bool = True,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all unordered (id_a < id_b)
+    pairs with cosine >= threshold — the vector-space member of the dedup
+    family (exact / minhash / simhash / jaccard / **embedding-cosine**).
+
+    ``exact=True`` (correctness baseline): vectors are L2-normalized ONCE
+    in a narrow map, then the pair pass needs only a dot product — an
+    inherently quadratic candidate set, kept for oracle checking. At 100 TB
+    use ``exact=False``: sign-LSH bucketing (same family as ``lsh_topk``)
+    generates candidates only inside signature buckets, then verifies with
+    the true cosine — output-bounded, join keyed on the bucket.
+    """
+    unit = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_nrm"),
+    ).select(
+        "_id",
+        F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
+    )
+    if exact:
+        # left side fans out so the quadratic pair pass parallelizes even
+        # from a single input split; right side broadcasts when small
+        from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+        a, b = fan_out(unit).alias("a"), unit.alias("b")
+        pairs = a.join(b, F.col("a._id") < F.col("b._id")).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(dot(F.col("a._u"), F.col("b._u")), 6).alias("cosine"),
+        )
+        return pairs.filter(F.col("cosine") >= threshold)
+
+    # scale path: candidates meet only inside an LSH signature bucket
+    from shuttlestandalonedbcreator_spark.operators.dedup import md5_long as _h
+
+    def plane_component(p: int, d: Column) -> Column:
+        return F.when(_h(d.cast("string"), seed=1000 + p) % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+
+    sig_bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("_u"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: plane_component(p, d)),
+                lambda x, hcol: x * hcol,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    tagged = unit.select("_id", "_u", F.concat(*sig_bits).alias("_bucket"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(dot(F.col("a._u"), F.col("b._u")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     id_col: str,

@@ -968,6 +968,133 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4) — the
+    vector-space member of the dedup family. Exact variant (normalize
+    once, dot-product pair pass) as the oracle-checkable baseline; the
+    100 TB path is the same operator with ``exact=False`` (sign-LSH
+    bucketed candidates), recall-tested in tests/test_scale_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return V.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4, exact=True)
+
+
+SQL_EMBEDDING_COSINE_NEARDUP = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue FROM v
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.ue, b.ue), 6) AS cosine
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.4
+"""
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) summarized
+    per split × source. The split is a pure function of (doc_id, seed):
+    narrow map, reproducible across engines/retries, stable as data grows
+    (operators/sampling.py:hash_split)."""
+    from shuttlestandalonedbcreator_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    split = S.hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=7
+    )
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_TRAIN_VAL_TEST_SPLIT = """
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(concat('7|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+), s AS (
+  SELECT source, n_chars,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split, source
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture weighting: hash-threshold sampling at
+    per-stratum rates (downsample dominant en, upsample the rest) —
+    the reproducible mixture primitive (operators/sampling.py:
+    stratified_sample), summarized per language."""
+    from shuttlestandalonedbcreator_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = S.stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        fractions={"en": 0.25, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 1.0},
+        default_fraction=0.5,
+        seed=11,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(concat('11|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+), kept AS (
+  SELECT lang, n_chars FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 7500
+                           WHEN 'fr' THEN 7500 WHEN 'es' THEN 7500
+                           WHEN 'zh' THEN 10000 ELSE 5000 END
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document gets a
+    deterministic (shard, chunk_id, offset_in_chunk) for a 2048-token
+    budget over 4 hash shards (operators/sampling.py:pack_sequences).
+    One shuffle keyed on the shard; shards lay out independently."""
+    from shuttlestandalonedbcreator_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tok"))
+    return S.pack_sequences(with_tokens, "doc_id", "n_tok", budget=2048, shards=4, seed=3)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(concat('3|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), laid AS (
+  SELECT doc_id, n_tokens, CAST(h % 4 AS INTEGER) AS shard,
+         SUM(n_tokens) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(strt // 2048 AS BIGINT) AS chunk_id,
+       CAST(strt % 2048 AS BIGINT) AS offset_in_chunk
+FROM laid
+"""
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1033,6 +1160,12 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, None),
     "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
     "approx_aggregates": QueryDef(q_approx_aggregates, None),
+    "embedding_cosine_neardup": QueryDef(
+        q_embedding_cosine_neardup, SQL_EMBEDDING_COSINE_NEARDUP
+    ),
+    "train_val_test_split": QueryDef(q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
+    "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "sequence_packing": QueryDef(q_sequence_packing, SQL_SEQUENCE_PACKING),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),

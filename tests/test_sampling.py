@@ -1,0 +1,115 @@
+"""Tests for deterministic sampling / splitting / sequence packing
+(operators/sampling.py) and embedding-cosine near-dup (similarity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+from shuttlestandalonedbcreator_spark.operators.similarity import cosine_neardup_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    return load_table(spark, sf_small, "documents")
+
+
+def test_hash_split_partition_properties(spark, docs):
+    split = hash_split(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=7)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    # exhaustive and disjoint: every row gets exactly one split
+    assert sum(counts.values()) == total
+    # fractions roughly honored (hash uniformity at n=500: generous margins)
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.08)
+    assert counts["val"] / total == pytest.approx(0.1, abs=0.06)
+    # deterministic: same seed → identical assignment; new seed → different
+    again = hash_split(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=7)
+    assert split.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+    reseeded = hash_split(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=8)
+    assert split.select("doc_id", "split").exceptAll(reseeded.select("doc_id", "split")).count() > 0
+
+
+def test_hash_split_stable_under_growth(spark):
+    # a row's split never changes when OTHER rows are added
+    base = spark.range(0, 500).withColumnRenamed("id", "k")
+    grown = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s1 = hash_split(base, "k", [("a", 0.5), ("b", 0.5)], seed=1).select("k", "split")
+    s2 = hash_split(grown, "k", [("a", 0.5), ("b", 0.5)], seed=1).select("k", "split")
+    assert s1.join(s2, "k").filter(s1["split"] != s2["split"]).count() == 0
+
+
+def test_hash_split_validates_fractions(spark, docs):
+    with pytest.raises(ValueError, match="fractions"):
+        hash_split(docs, "doc_id", [("a", 0.9), ("b", 0.3)])
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", fractions={"en": 0.2, "zh": 1.0}, default_fraction=0.5, seed=11
+    )
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] == base["zh"]  # rate 1.0 keeps everything
+    assert got["en"] / base["en"] == pytest.approx(0.2, abs=0.12)
+    for lang in ("de", "fr", "es"):
+        assert got[lang] / base[lang] == pytest.approx(0.5, abs=0.2)
+    # sample is a strict, deterministic subset
+    assert sampled.exceptAll(docs).count() == 0
+    again = stratified_sample(
+        docs, "doc_id", "lang", fractions={"en": 0.2, "zh": 1.0}, default_fraction=0.5, seed=11
+    )
+    assert sampled.exceptAll(again).count() == 0
+
+
+def test_pack_sequences_layout_invariants(spark, docs):
+    from shuttlestandalonedbcreator_spark.functions.text import token_count
+
+    budget = 2048
+    with_tokens = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_sequences(with_tokens, "doc_id", "n_tok", budget=budget, shards=4, seed=3)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every document is placed
+    for r in rows:
+        assert 0 <= r["offset_in_chunk"] < budget
+        assert r["chunk_id"] >= 0
+    # per shard: documents tile the tape exactly — sorted by (chunk_id,
+    # offset) the start offsets are the exclusive prefix sums of lengths
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: (r["chunk_id"], r["offset_in_chunk"]))
+        pos = 0
+        for r in shard_rows:
+            assert r["chunk_id"] * budget + r["offset_in_chunk"] == pos
+            pos += r["n_tokens"]
+
+
+def test_cosine_neardup_lsh_recall(spark, sf_small):
+    # the LSH scale path must recover the high-cosine pairs the exact
+    # pass finds (identical vectors always share every bucket)
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").limit(200)
+    # plant 3 exact-duplicate pairs
+    dups = emb.limit(3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    data = emb.unionByName(dups)
+    exact = cosine_neardup_pairs(data, "vec_id", "embedding", threshold=0.999, exact=True)
+    approx = cosine_neardup_pairs(data, "vec_id", "embedding", threshold=0.999, exact=False)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert len(exact_pairs) >= 3
+    # identical vectors share every LSH bucket → all planted pairs found
+    planted = {p for p in exact_pairs if p[1] >= 10_000}
+    assert planted and planted <= approx_pairs
