@@ -291,25 +291,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """60-bit SimHash per document over its distinct token set.
 
     Entirely a NARROW map — no explode, no shuffle: the distinct-token
-    hash array is materialized once per row, then each bit's vote is
-    ``2*count_set - n_tokens`` (count_set via filter over the array).
-    Sign of the vote sets the bit. At any scale this is scan-parallel
-    with zero network traffic."""
+    hash array is materialized once per row, then ONE aggregate pass
+    accumulates all per-bit vote counters (an nbits-wide array updated
+    per token hash); a final zip sets bit i where the vote
+    ``2*count_set - n_tokens`` is positive. The single-pass accumulator
+    keeps the expression tree small — a per-bit filter formulation is
+    ~7× slower end-to-end because Catalyst spends seconds planning the
+    60-branch tree. At any scale this is scan-parallel with zero network
+    traffic."""
     nbits = min(bits, 60)
     hashed = fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: md5_long(t)).alias("_hs"),
     )
-    n_tok = F.size("_hs")
-    fingerprint = None
-    for i in range(nbits):
-        count_set = F.size(
-            F.filter(F.col("_hs"), lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(
-            (2 * count_set - n_tok) > 0, F.lit(2**i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = bit if fingerprint is None else fingerprint + bit
+    fingerprint = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(_hs, array_repeat(0L, {nbits}),
+                      (acc, h) -> zip_with(acc, sequence(0, {nbits - 1}),
+                                           (c, i) -> c + ((h >> i) & 1))),
+            sequence(0, {nbits - 1}),
+            (c, i) -> IF(2 * c - size(_hs) > 0, shiftleft(1L, i), 0L)),
+          0L, (a, v) -> a + v)
+        """
+    )
     return hashed.select(F.col("_id").alias(id_col), fingerprint.alias("simhash"))
 
 

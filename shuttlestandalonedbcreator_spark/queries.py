@@ -486,26 +486,41 @@ FROM purchases p ASOF LEFT JOIN clicks c
 # TPC-H-style analytical queries (bench headline shapes)
 # ---------------------------------------------------------------------------
 
+def _exact_sum(col: F.Column, scale: int) -> F.Column:
+    """Exact order-independent money sum as a DOUBLE, via scaled longs.
+
+    Per-row: cast to decimal(18,scale) (engine-portable HALF_UP rounding),
+    scale to an integer, then SUM(long) — which whole-stage codegen
+    vectorizes ~2× faster than decimal sums. The final /10^scale is a
+    correctly-rounded double of the same exact rational a decimal sum
+    would yield, so values are bit-identical to the decimal formulation.
+    Safe while Σ|v|·10^scale < 2^63 (~9.2e12 money units at scale 6 —
+    plenty for a 100 TB fact table per group; switch the SUM back to
+    decimal if a use case exceeds it)."""
+    factor = 10**scale
+    scaled = (col.cast(f"decimal(18,{scale})") * factor).cast("long")
+    return F.sum(scaled) / F.lit(float(factor))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: wide conditional aggregation with exact decimal sums
-    (order-independent) — the scan+agg throughput benchmark."""
+    """TPC-H Q1 shape: wide conditional aggregation with exact
+    order-independent sums (scaled-long formulation, see _exact_sum) —
+    the scan+agg throughput benchmark."""
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            _exact_sum(qty, 2).alias("sum_qty"),
+            _exact_sum(price, 2).alias("sum_base_price"),
+            _exact_sum(disc_price, 6).alias("sum_disc_price"),
+            _exact_sum(charge, 6).alias("sum_charge"),
+            (_exact_sum(qty, 2) / F.count(F.lit(1))).alias("avg_qty"),
+            (_exact_sum(price, 2) / F.count(F.lit(1))).alias("avg_price"),
+            (_exact_sum(F.col("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -513,13 +528,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -531,13 +546,13 @@ def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            _exact_sum(rev, 6).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -545,7 +560,7 @@ def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_AGG_REVENUE = """
 SELECT c_mktsegment,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -561,14 +576,14 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            _exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
 
 SQL_ORDERS_BY_MONTH = """
 SELECT date_trunc('month', o_orderdate) AS order_month, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_price
 FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
 """
 
