@@ -961,6 +961,54 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each 'video' payload (document bytes as a
+    stand-in) expands to 4 frames inside an Arrow-batched mapInPandas
+    stage (streaming/multimodal.py:sample_frames) — partition-parallel
+    expansion, no explode shuffle. The deterministic fake sampler (equal
+    byte slices) makes the full distributed path oracle-checkable; a real
+    deployment registers ffmpeg with the same signature."""
+    from shuttlestandalonedbcreator_spark.streaming import multimodal as M
+
+    M.register_frame_sampler("video", M.deterministic_fake_frame_sampler())
+    docs = _t(spark, sf_dir, "documents")
+    content = docs.select(
+        F.col("doc_id").alias("content_id"),
+        F.lit("video").alias("modality"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = M.sample_frames(content, n_frames=4)
+    return frames.select(
+        "content_id",
+        "frame_index",
+        "frame_ms",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.md5("frame").alias("frame_hash"),
+    )
+
+
+# DuckDB (this version) cannot slice BLOBs, so the oracle slices the
+# VARCHAR — equivalent because the synthetic documents are pure ASCII
+# (byte offsets == char offsets; asserted over the corpus before use).
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), params AS (
+  SELECT doc_id, text, n, greatest(n // 4, 1) AS step FROM b
+), frames AS (
+  SELECT doc_id, i, i * 1000 AS ms,
+         CASE WHEN i = 3 THEN substring(text, i * step + 1, greatest(n - i * step, 0))
+              ELSE substring(text, i * step + 1, step) END AS frame
+  FROM params CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+)
+SELECT doc_id AS content_id, CAST(i AS INTEGER) AS frame_index,
+       CAST(ms AS INTEGER) AS frame_ms,
+       CAST(octet_length(CAST(frame AS BLOB)) AS BIGINT) AS frame_bytes,
+       md5(frame) AS frame_hash
+FROM frames
+"""
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregation surface — the 100 TB path for distinct
     counts and quantiles: HLL++ (`approx_count_distinct`), mergeable HLL
@@ -1184,4 +1232,7 @@ CATALOG: dict[str, QueryDef] = {
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+    "multimodal_frame_sample": QueryDef(
+        q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE
+    ),
 }

@@ -23,15 +23,72 @@ from shuttlestandalonedbcreator_spark.operators.util import fan_out
 
 # modality -> (bytes -> feature dict with keys of FEATURE_SCHEMA)
 _DECODERS: dict[str, Callable[[bytes], dict]] = {}
+# (bytes, target_w, target_h) -> resized bytes
+_RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+# (bytes, n_frames) -> list of (frame_ms, frame_bytes)
+_FRAME_SAMPLERS: dict[str, Callable[[bytes, int], list[tuple[int, bytes]]]] = {}
 
 FEATURE_SCHEMA = (
     "content_id long, modality string, n_bytes long, sha string, "
     "width int, height int, duration_ms int, feature_ok boolean, feature_err string"
 )
 
+RESIZE_SCHEMA = (
+    "content_id long, modality string, content binary, width int, height int, "
+    "resize_ok boolean, resize_err string"
+)
+
+FRAME_SCHEMA = (
+    "content_id long, frame_index int, frame_ms int, frame binary, "
+    "frame_ok boolean, frame_err string"
+)
+
 
 def register_decoder(modality: str, fn: Callable[[bytes], dict]) -> None:
     _DECODERS[modality] = fn
+
+
+def register_resizer(modality: str, fn: Callable[[bytes, int, int], bytes]) -> None:
+    _RESIZERS[modality] = fn
+
+
+def register_frame_sampler(
+    modality: str, fn: Callable[[bytes, int], list[tuple[int, bytes]]]
+) -> None:
+    _FRAME_SAMPLERS[modality] = fn
+
+
+def deterministic_fake_resizer() -> Callable[[bytes, int, int], bytes]:
+    """Test resizer: tile-or-truncate the payload to exactly w*h bytes —
+    a stand-in with real batch/schema shape (a deployment registers
+    PIL's ``Image.resize`` with the same signature)."""
+
+    def resize(data: bytes, w: int, h: int) -> bytes:
+        target = max(w * h, 1)
+        if not data:
+            return b"\x00" * target
+        reps = target // len(data) + 1
+        return (data * reps)[:target]
+
+    return resize
+
+
+def deterministic_fake_frame_sampler() -> Callable[[bytes, int], list[tuple[int, bytes]]]:
+    """Test sampler: cut the payload into n equal slices, one per
+    'frame', stamped at 1000 ms intervals (ffmpeg keyframe extraction has
+    the same signature in a real deployment)."""
+
+    def sample(data: bytes, n: int) -> list[tuple[int, bytes]]:
+        n = max(n, 1)
+        step = max(len(data) // n, 1)
+        out = []
+        for i in range(n):
+            lo = i * step
+            hi = len(data) if i == n - 1 else (i + 1) * step
+            out.append((i * 1000, data[lo:hi]))
+        return out
+
+    return sample
 
 
 def deterministic_fake_decoder(modality: str) -> Callable[[bytes], dict]:
@@ -123,3 +180,112 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return fan_out(df).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched resize stage: (content_id, modality, content) →
+    resized content + recorded dims. Rows whose modality has no
+    registered resizer (or whose resizer throws) come back with
+    ``resize_ok=False`` + the error — E1 semantics, never a job abort.
+    Narrow map over fan_out partitions: scales linearly with executors."""
+    import shuttlestandalonedbcreator_spark.streaming.multimodal as _self_module
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_self_module)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                modality = row["modality"]
+                resizer = _RESIZERS.get(modality)
+                content, ok, err = None, False, None
+                if resizer is None:
+                    err = f"no resizer registered for modality '{modality}'"
+                else:
+                    try:
+                        content = resizer(bytes(row[content_col]), target_w, target_h)
+                        ok = True
+                    except Exception as e:  # per-row skip (E1)
+                        err = str(e)[:200]
+                out.append(
+                    {
+                        "content_id": row["content_id"],
+                        "modality": modality,
+                        "content": content,
+                        "width": target_w if ok else None,
+                        "height": target_h if ok else None,
+                        "resize_ok": ok,
+                        "resize_err": err,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return fan_out(df).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched frame-sampling stage: each (video) row expands to
+    ``n_frames`` rows (content_id, frame_index, frame_ms, frame).
+    Expansion happens inside mapInPandas — partition-parallel, no
+    explode-shuffle; downstream per-frame stages (decode, embed) chain
+    onto the same partitioning."""
+    import shuttlestandalonedbcreator_spark.streaming.multimodal as _self_module
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_self_module)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                modality = row["modality"]
+                sampler = _FRAME_SAMPLERS.get(modality)
+                if sampler is None:
+                    out.append(
+                        {
+                            "content_id": row["content_id"],
+                            "frame_index": None,
+                            "frame_ms": None,
+                            "frame": None,
+                            "frame_ok": False,
+                            "frame_err": f"no frame sampler for modality '{modality}'",
+                        }
+                    )
+                    continue
+                try:
+                    frames = sampler(bytes(row[content_col]), n_frames)
+                except Exception as e:  # per-row skip (E1)
+                    out.append(
+                        {
+                            "content_id": row["content_id"],
+                            "frame_index": None,
+                            "frame_ms": None,
+                            "frame": None,
+                            "frame_ok": False,
+                            "frame_err": str(e)[:200],
+                        }
+                    )
+                    continue
+                for idx, (ms, data) in enumerate(frames):
+                    out.append(
+                        {
+                            "content_id": row["content_id"],
+                            "frame_index": idx,
+                            "frame_ms": ms,
+                            "frame": data,
+                            "frame_ok": True,
+                            "frame_err": None,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return fan_out(df).mapInPandas(run, schema=FRAME_SCHEMA)

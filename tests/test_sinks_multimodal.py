@@ -106,3 +106,32 @@ def test_multimodal_stub_fails_per_row_not_job(spark, binary_df):
     assert not feats[1]["feature_ok"]
     assert "no image codec" in feats[1]["feature_err"]
     assert feats[2]["feature_ok"]
+
+def test_multimodal_resize_stage(spark, binary_df):
+    M.register_resizer("image", M.deterministic_fake_resizer())
+    tagged = M.attach_binary_metadata(binary_df, "content", "id", "modality")
+    out = {r["content_id"]: r for r in M.resize_images(tagged, 8, 4).collect()}
+    # resized payload is exactly w*h bytes, dims recorded
+    assert out[1]["resize_ok"] and len(out[1]["content"]) == 32
+    assert (out[1]["width"], out[1]["height"]) == (8, 4)
+    assert out[3]["resize_ok"] and len(out[3]["content"]) == 32  # empty input padded
+    # modality without a resizer: captured per-row, not thrown (E1)
+    assert not out[2]["resize_ok"] and "no resizer" in out[2]["resize_err"]
+    assert out[2]["content"] is None
+
+
+def test_multimodal_frame_sample_stage(spark, binary_df):
+    M.register_frame_sampler("image", M.deterministic_fake_frame_sampler())
+    tagged = M.attach_binary_metadata(binary_df, "content", "id", "modality")
+    frames = M.sample_frames(tagged, n_frames=4).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["content_id"], []).append(r)
+    # each sampled row expands to 4 frames that tile the original payload
+    ok1 = sorted(by_id[1], key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in ok1] == [0, 1, 2, 3]
+    assert [r["frame_ms"] for r in ok1] == [0, 1000, 2000, 3000]
+    assert b"".join(bytes(r["frame"]) for r in ok1) == b"\x89PNG fake image bytes"
+    # unsupported modality collapses to one error row
+    assert len(by_id[2]) == 1 and not by_id[2][0]["frame_ok"]
+    assert "no frame sampler" in by_id[2][0]["frame_err"]
