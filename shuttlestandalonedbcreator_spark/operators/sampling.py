@@ -41,6 +41,27 @@ def hash_bucket(col: Column, seed: int = 0, buckets: int = HASH_BUCKETS) -> Colu
     return md5_long(col, seed=seed) % F.lit(buckets)
 
 
+def split_label(
+    key: Column, splits: list[tuple[str, float]], seed: int = 0
+) -> Column:
+    """Column expression mapping a stable key to its split name — the
+    row-local core of ``hash_split``, usable anywhere a join against the
+    assignment table would otherwise be needed (the label is a pure
+    function of the key, so RE-DERIVE it instead of joining)."""
+    total = sum(f for _, f in splits)
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    bucket = hash_bucket(key, seed=seed)
+    expr = None
+    upper = 0
+    for name, frac in splits[:-1]:
+        upper += int(round(frac * HASH_BUCKETS))
+        clause = bucket < F.lit(upper)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    last = F.lit(splits[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
@@ -56,19 +77,7 @@ def hash_split(
     (any remainder falls into the LAST split). Fractions are snapped to
     1/10000ths so the cut points are exact integers.
     """
-    total = sum(f for _, f in splits)
-    if not 0 < total <= 1.0 + 1e-9:
-        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
-    bucket = hash_bucket(F.col(key_col), seed=seed)
-    expr = None
-    upper = 0
-    for name, frac in splits[:-1]:
-        upper += int(round(frac * HASH_BUCKETS))
-        clause = bucket < F.lit(upper)
-        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
-    last = F.lit(splits[-1][0])
-    assigned = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, assigned)
+    return df.withColumn(out_col, split_label(F.col(key_col), splits, seed=seed))
 
 
 def stratified_sample(

@@ -1158,6 +1158,107 @@ FROM laid
 """
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: near-duplicate pairs (word-3-gram
+    Jaccard >= 0.5) whose members land in DIFFERENT hash splits — the
+    leakage audit every training pipeline needs before shipping a split.
+    The split label is RE-DERIVED from the id (pure hash function), so no
+    join against an assignment table: one inverted-index near-dup pass +
+    a narrow map."""
+    from shuttlestandalonedbcreator_spark.operators.sampling import split_label
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    return (
+        pairs.withColumn("split_a", split_label(F.col("id_a"), splits, seed=7))
+        .withColumn("split_b", split_label(F.col("id_b"), splits, seed=7))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
+SQL_SPLIT_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), pairs AS (
+  SELECT id_a, id_b, round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+), sp AS (
+  SELECT id_a, id_b, jaccard,
+         CASE WHEN CAST(('0x' || substr(md5(concat('7|', CAST(id_a AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(concat('7|', CAST(id_a AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split_a,
+         CASE WHEN CAST(('0x' || substr(md5(concat('7|', CAST(id_b AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(concat('7|', CAST(id_b AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split_b
+  FROM pairs
+)
+SELECT id_a, id_b, jaccard, split_a, split_b FROM sp WHERE split_a <> split_b
+"""
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel in ONE aggregation pass:
+    cumulative survivor counts for language-ID → quality threshold →
+    near-dup removal (drop the higher id of each jaccard>=0.8 pair).
+    Flags are computed per row (narrow); the near-dup id set is a small
+    broadcast; the output is a single row of funnel counters."""
+    docs = _t(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", "text", T.word_tokens(F.col("text")).alias("_toks")
+    )
+    scored = with_toks.select(
+        "doc_id",
+        T.quality_score(F.col("text"), F.col("_toks")).alias("_q"),
+        T.lang_id(F.col("text"), F.col("_toks")).alias("_lang"),
+    )
+    dup_ids = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_isdup", F.lit(1))
+    )
+    flagged = scored.join(F.broadcast(dup_ids), "doc_id", "left")
+    lang_ok = F.col("_lang") != "und"
+    quality_ok = lang_ok & (F.col("_q") >= 0.75)
+    unique_ok = quality_ok & F.col("_isdup").isNull()
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(lang_ok, 1)).alias("n_lang_ok"),
+        F.count(F.when(quality_ok, 1)).alias("n_quality_ok"),
+        F.count(F.when(unique_ok, 1)).alias("n_unique"),
+    )
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH tq AS ({SQL_TEXT_QUALITY}), dups AS (
+  SELECT DISTINCT id_b AS doc_id FROM ({SQL_NGRAM_JACCARD}) j
+)
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (tq.lang_guess <> 'und') AS n_lang_ok,
+       COUNT(*) FILTER (tq.lang_guess <> 'und' AND tq.quality >= 0.75) AS n_quality_ok,
+       COUNT(*) FILTER (tq.lang_guess <> 'und' AND tq.quality >= 0.75
+                        AND dups.doc_id IS NULL) AS n_unique
+FROM tq LEFT JOIN dups ON tq.doc_id = dups.doc_id
+"""
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1229,6 +1330,8 @@ CATALOG: dict[str, QueryDef] = {
     "train_val_test_split": QueryDef(q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
     "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "sequence_packing": QueryDef(q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "split_contamination": QueryDef(q_split_contamination, SQL_SPLIT_CONTAMINATION),
+    "curation_funnel": QueryDef(q_curation_funnel, SQL_CURATION_FUNNEL),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
