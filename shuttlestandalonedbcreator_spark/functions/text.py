@@ -97,6 +97,61 @@ def lang_id(col: Column, toks: Column | None = None) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def word_ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-grams (non-distinct, space-joined) of a token array —
+    repetition metrics need occurrence counts, unlike the distinct shingle
+    sets used for Jaccard (operators/dedup.py:word_ngrams)."""
+    if n == 1:
+        return toks
+    counts = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard explicitly
+    return F.when(
+        counts >= 1,
+        F.transform(
+            F.sequence(F.lit(1), counts),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array = the max
+    occurrence count of any element. Single aggregate pass with a
+    (prev, run, best) struct accumulator — per-row, shuffle-free."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def top_ngram_frac(toks: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher-style repetition signal: boilerplate/spam documents
+    score high). 0.0 for docs with no n-grams. Pure per-row map — at any
+    scale this is scan-parallel with zero network traffic."""
+    grams = word_ngrams_all(toks, n)
+    total = F.size(grams)
+    frac = _max_run(F.array_sort(grams)).cast("double") / total.cast("double")
+    return F.round(F.when(total > 0, frac).otherwise(F.lit(0.0)), 6)
+
+
+def dup_ngram_frac(toks: Column, n: int = 3) -> Column:
+    """Fraction of n-gram occurrences that are redundant repeats
+    (total - distinct) / total — the second Gopher repetition axis; high
+    values mean the document loops over its own phrases."""
+    grams = word_ngrams_all(toks, n)
+    total = F.size(grams)
+    frac = (total - F.size(F.array_distinct(grams))).cast("double") / total.cast("double")
+    return F.round(F.when(total > 0, frac).otherwise(F.lit(0.0)), 6)
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint: md5 of the normalized token stream — stable
     under whitespace/case/punctuation-spacing changes (the rolling-hash

@@ -1,0 +1,112 @@
+"""Graph operators: connected components over an edge list.
+
+Extension surface (no reference counterpart — the reference's only graph
+construct is the parent/child tree walk, SQLiteDirectImporter.java:902-912,
+handled by operators/hierarchy.py). Connected components is the missing
+LAST step of every near-duplicate pipeline: pair detection (dedup.py /
+similarity.py) yields edges; clustering those edges yields one canonical
+document per duplicate group, which is what actually gets dropped from a
+training corpus.
+
+Algorithm: iterative min-label propagation — every node repeatedly adopts
+the smallest label in its closed neighborhood until fixpoint. Each round
+is one equi join (labels ⋈ edges) plus one min-aggregate, i.e. two
+shuffles keyed on node id; `localCheckpoint` per round truncates lineage.
+Rounds needed = graph diameter. Near-dup graphs are dense star-like
+clusters (a duplicated document matches most of its copies directly), so
+the diameter is small — typically 2-4 — independent of corpus size; this
+is why plain propagation is the right scale choice here over the
+O(log² n)-round large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), which pays ~2×
+per-round cost to win only on high-diameter graphs (paths/meshes) that
+near-dup workloads never produce. A `max_iterations` guard bounds the
+worst case; hitting it raises rather than returning a half-converged
+clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Cluster an undirected edge list; returns (id, component) where
+    ``component`` is the smallest node id in the node's component —
+    deterministic canonical representative, no randomness.
+
+    Only nodes that appear in at least one edge are returned (isolated
+    documents are trivially their own component; callers left-join this
+    result and coalesce to the doc's own id).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if checkpoint:
+        # materialize the edge list once — it is re-joined every round, and
+        # upstream pair detection (shingling + inverted index) is far more
+        # expensive than the propagation itself
+        sym = sym.localCheckpoint(eager=True)
+
+    # label(u) starts as min(u, min direct neighbor) — one propagation
+    # round folded into initialization
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("comp"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # candidate labels: own label ∪ each neighbor's label
+        nbr = sym.join(labels.withColumnRenamed("u", "v"), "v").select("u", "comp")
+        new_labels = (
+            nbr.unionByName(labels)
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def cluster_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Join a near-dup pair list back onto the corpus: every row of ``df``
+    gains (cluster_id, keep) — cluster_id is the component representative
+    (the row's own id when it has no duplicates), keep=1 exactly for the
+    representative. Dropping keep=0 rows deduplicates the corpus while
+    retaining one member per duplicate group.
+
+    The component table is tiny relative to the corpus (only docs with at
+    least one near-dup), so the join broadcasts.
+    """
+    comp = connected_components(pairs, src, dst).withColumnRenamed("id", id_col)
+    return (
+        df.join(F.broadcast(comp), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("keep", (F.col(id_col) == F.col("cluster_id")).cast("long"))
+        .drop("component")
+    )

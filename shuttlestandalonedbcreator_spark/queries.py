@@ -1259,6 +1259,110 @@ FROM tq LEFT JOIN dups ON tq.doc_id = dups.doc_id
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs (word-3-gram Jaccard >=
+    0.5) — the pairs→clusters step that turns pair detection into an
+    actionable keep/drop list: one canonical doc (smallest id) per
+    duplicate group. Iterative min-label propagation, rounds = cluster
+    diameter (tiny for near-dup graphs)."""
+    from shuttlestandalonedbcreator_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).cast("long").alias("keep"),
+    )
+
+
+SQL_NEARDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id,
+       CAST(u = MIN(r) AS BIGINT) AS keep
+FROM reach GROUP BY u
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters, per document: fraction of bigram
+    occurrences taken by the most frequent bigram, and fraction of
+    redundant trigram occurrences. Both pure per-row maps (shuffle-free
+    at any scale) — the boilerplate/looping-text axes of corpus quality
+    filtering that length/punctuation scores (text_quality) miss."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    docs = _t(spark, sf_dir, "documents")
+    with_toks = fan_out(docs).select(
+        "doc_id", D.tokens(F.col("text")).alias("_toks")
+    )
+    return with_toks.select(
+        "doc_id",
+        T.top_ngram_frac(F.col("_toks"), n=2).alias("top_bigram_frac"),
+        T.dup_ngram_frac(F.col("_toks"), n=3).alias("dup_trigram_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1]))
+      ELSE [] END AS g2,
+    CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+      ELSE [] END AS g3
+  FROM toks
+), top2 AS (
+  SELECT doc_id, MAX(cnt) AS maxc FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(g2) AS tok FROM grams) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+  CASE WHEN len(g2) > 0
+    THEN round(CAST(t.maxc AS DOUBLE) / CAST(len(g2) AS DOUBLE), 6)
+    ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(g3) > 0
+    THEN round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6)
+    ELSE 0.0 END AS dup_trigram_frac
+FROM grams g LEFT JOIN top2 t ON g.doc_id = t.doc_id
+"""
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1332,6 +1436,8 @@ CATALOG: dict[str, QueryDef] = {
     "sequence_packing": QueryDef(q_sequence_packing, SQL_SEQUENCE_PACKING),
     "split_contamination": QueryDef(q_split_contamination, SQL_SPLIT_CONTAMINATION),
     "curation_funnel": QueryDef(q_curation_funnel, SQL_CURATION_FUNNEL),
+    "neardup_clusters": QueryDef(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
