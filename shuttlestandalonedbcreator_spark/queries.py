@@ -1363,6 +1363,96 @@ FROM grams g LEFT JOIN top2 t ON g.doc_id = t.doc_id
 """
 
 
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (SURVEY §2.8 F11 — absent in the reference,
+    provided as extension surface): pull a typed field out of a JSON
+    string column and aggregate it. `get_json_object` stays JVM-side
+    (Jackson path eval inside codegen); the agg is one shuffle with
+    map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.round(
+                F.sum("_k").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_k"),
+        )
+    )
+
+
+SQL_JSON_EXTRACT_AGG = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       round(CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
+FROM x GROUP BY event_type
+"""
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time-grid rollup (hypertable-rollup family): hourly
+    aggregates per event_type joined onto a dense generated time spine so
+    silent hours surface as explicit zero rows. Both join sides are tiny
+    however large the fact table gets — the spine (hours × types) is
+    generated with `sequence`+`explode` from a single min/max agg, and
+    the fact side is aggregated BEFORE the join, so the left join
+    broadcasts its build side."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        spine.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+SQL_GAPFILL_HOURLY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds) g
+)
+SELECT s.event_type, s.hour, COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+"""
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1438,6 +1528,8 @@ CATALOG: dict[str, QueryDef] = {
     "curation_funnel": QueryDef(q_curation_funnel, SQL_CURATION_FUNNEL),
     "neardup_clusters": QueryDef(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
+    "json_extract_agg": QueryDef(q_json_extract_agg, SQL_JSON_EXTRACT_AGG),
+    "gapfill_hourly": QueryDef(q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
