@@ -46,6 +46,10 @@ HEADLINE = (
     "train_val_test_split",
     "stratified_sample",
     "sequence_packing",
+    "text_repetition",
+    "neardup_clusters",
+    "json_extract_agg",
+    "gapfill_hourly",
 )
 
 
