@@ -214,25 +214,11 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int, num_has
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-dup candidate pairs via LSH banding, verified by estimated
-    Jaccard (fraction of agreeing minhashes) >= threshold.
-
-    Scale path: docs never meet unless a whole band of minhashes collides,
-    so the join is keyed on (band_index, band_hash) — output-bounded, no
-    quadratic blowup. rows=(id_a, id_b, est_jaccard)."""
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Expand a (_id, _sig) signature frame into one row per LSH band:
+    (_id, _sig, _band, _bucket) where _bucket = md5 of the band's slice."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes).cache()
-
-    banded = sig.select(
+    return sig.select(
         "_id",
         "_sig",
         F.explode(
@@ -253,6 +239,100 @@ def minhash_lsh_pairs(
             )
         ).alias("_bb"),
     ).select("_id", "_sig", F.col("_bb.band").alias("_band"), F.col("_bb.bucket").alias("_bucket"))
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable near-dup index for INCREMENTAL dedup: one row per
+    (doc, band) with the doc's full signature and the band's bucket hash.
+
+    Write this once per corpus (partitioned by `band`, optionally bucketed
+    by `bucket`) and each new ingest batch only joins against it — the
+    corpus is never re-shingled and never re-compared against itself.
+    Columns: (id, sig, band, bucket)."""
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    return _banded(sig, num_hashes, bands).select(
+        F.col("_id").alias("id"),
+        F.col("_sig").alias("sig"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    )
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an existing ``minhash_index``
+    (same n/num_hashes/bands as at index build time — the signatures are
+    deterministic, so incremental results equal what a full recompute
+    would say about new×corpus pairs).
+
+    Scale: cost is O(batch × shingles) to sign the batch plus a join keyed
+    on (band, bucket) against the index — the corpus signature store is
+    scanned, never recomputed, and with the index partitioned by band the
+    scan prunes to matching partitions. Returns (new_id, match_id,
+    est_jaccard); new-batch-internal duplicates come from running plain
+    ``minhash_lsh_pairs`` on the (small) batch."""
+    new_banded = _banded(
+        minhash_signature(new_docs, id_col, text_col, n, num_hashes), num_hashes, bands
+    )
+    cand = (
+        new_banded.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a._band") == F.col("b.band")) & (F.col("a._bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a._id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.col("a._sig").alias("_siga"),
+            F.col("b.sig").alias("_sigb"),
+        )
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree.cast("double") / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "match_id", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified by estimated
+    Jaccard (fraction of agreeing minhashes) >= threshold.
+
+    Scale path: docs never meet unless a whole band of minhashes collides,
+    so the join is keyed on (band_index, band_hash) — output-bounded, no
+    quadratic blowup. rows=(id_a, id_b, est_jaccard)."""
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes).cache()
+    banded = _banded(sig, num_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -202,3 +202,37 @@ def test_lsh_topk_finds_duplicate_clusters(spark):
         a, b = 2 * pair, 2 * pair + 1
         assert best[a]["neighbor_id"] == b and best[a]["score"] == 1.0
         assert best[b]["neighbor_id"] == a and best[b]["score"] == 1.0
+
+
+def test_incremental_neardup_matches_full_recompute(spark, sf_oracle, tmp_path):
+    from shuttlestandalonedbcreator_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # index survives a parquet round trip (the production shape: written
+    # once per corpus, partitioned by band, read by every ingest batch)
+    idx_path = str(tmp_path / "minhash_index")
+    minhash_index(corpus, "doc_id", "text").write.partitionBy("band").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = {
+        (r["new_id"], r["match_id"]): r["est_jaccard"]
+        for r in incremental_neardup_pairs(batch, index, "doc_id", "text").collect()
+    }
+
+    full = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    cross = {}
+    for r in full:
+        a_new, b_new = r["id_a"] % 5 == 0, r["id_b"] % 5 == 0
+        if a_new != b_new:  # exactly one side in the new batch
+            new_id = r["id_a"] if a_new else r["id_b"]
+            match_id = r["id_b"] if a_new else r["id_a"]
+            cross[(new_id, match_id)] = r["est_jaccard"]
+
+    assert inc == cross and len(inc) > 0
