@@ -6,12 +6,15 @@ ops; these are designed for the 100 TB profile from the start.
 - ``brute_force_topk``   — exact cosine top-k for a query set: broadcast
   the (small) query side, per-partition score + global TakeOrdered. The
   correctness baseline.
-- ``all_pairs_topk``     — per-vector k nearest neighbours among the
-  table itself (symmetric), windowed rank after a blocked join.
+- ``ivf_topk``           — IVF approximate top-k: k-means cells, each
+  query probes only the nearest `n_probe` cells.
 - ``lsh_topk``           — random-hyperplane (sign-LSH) bucketed
-  approximate top-k: vectors only meet inside a bucket, making the join
-  output-bounded; the scale path. Hyperplanes are deterministic
-  (seeded md5 → ±1 components) so results are reproducible.
+  per-vector k-nearest-neighbours over the table itself: vectors only
+  meet inside a bucket, making the self-join output-bounded; the scale
+  path. Hyperplanes are deterministic (seeded md5 → ±1 components) so
+  results are reproducible.
+- ``cosine_neardup_pairs`` — threshold near-dup pairs; exact baseline
+  or sign-LSH bucketed scale path.
 
 All vector math is `F.zip_with` + `F.aggregate` (JVM higher-order
 functions) over double-cast arrays — no Python in the loop.
