@@ -1372,6 +1372,20 @@ FROM grams g LEFT JOIN top2 t ON g.doc_id = t.doc_id
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch (doc_id % 5 == 0) against a
+    minhash signature index of the existing corpus (the rest). At scale
+    the index is persisted once, partitioned by band; here it is built
+    inline. Rows-only check (band/bucket internals are heavy to restate
+    in SQL); equivalence to a full recompute is pinned by
+    tests/test_scale_ops.py::test_incremental_neardup_matches_full_recompute."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = D.minhash_index(corpus, "doc_id", "text")
+    return D.incremental_neardup_pairs(batch, index, "doc_id", "text")
+
+
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (SURVEY §2.8 F11 — absent in the reference,
     provided as extension surface): pull a typed field out of a JSON
@@ -1539,6 +1553,7 @@ CATALOG: dict[str, QueryDef] = {
     "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
     "json_extract_agg": QueryDef(q_json_extract_agg, SQL_JSON_EXTRACT_AGG),
     "gapfill_hourly": QueryDef(q_gapfill_hourly, SQL_GAPFILL_HOURLY),
+    "incremental_neardup": QueryDef(q_incremental_neardup, None),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),

@@ -55,6 +55,16 @@ def test_cluster_keep_list_isolated_docs_keep_themselves(spark):
     assert got == {1: (1, 1), 2: (2, 1), 3: (3, 1), 4: (2, 0)}
 
 
+def test_cluster_keep_list_no_pairs_at_all(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in cluster_keep_list(docs, pairs, "doc_id").collect()
+    }
+    assert got == {1: (1, 1), 2: (2, 1)}
+
+
 def test_repetition_metrics(spark):
     df = spark.createDataFrame(
         [
