@@ -86,6 +86,44 @@ def test_sanitize_matches_java_semantics(s):
     assert got == "" or re.fullmatch(r"[a-z0-9_]+", got)
 
 
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Random graphs vs an independent pure-Python union-find: every node's
+    component label must be the minimum id reachable from it."""
+    from shuttlestandalonedbcreator_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    nodes = {n for e in edges for n in e}
+    roots: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    expect = {n: roots[find(n)] for n in nodes}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, "a", "b", checkpoint=False).collect()
+    }
+    assert got == expect
+
+
 def test_hierarchy_loop_equals_native_cte(spark):
     """The iterative fallback and Spark 4's WITH RECURSIVE must agree on a
     ragged multi-root forest with an orphan subtree."""

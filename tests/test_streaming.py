@@ -156,3 +156,42 @@ def test_streaming_dedup(spark, event_stream):
     # one row per (user_id, event_type) pair present in the data
     want = ev.select("user_id", "event_type").distinct().count()
     assert got.count() == want
+
+
+def test_incremental_dedup_stream_two_polls(spark, tmp_path):
+    """Continuous corpus dedup: within-batch clusters collapse to their
+    canonical doc, cross-batch near-dups are rejected by the signature
+    index, and the index grows with the accepted corpus."""
+    from shuttlestandalonedbcreator_spark.streaming.incremental_dedup import dedupe_stream
+
+    source = tmp_path / "drops"
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    source.mkdir()
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_uni1 = "one two three four five six seven eight nine ten"
+    t_uni2 = "red orange yellow green blue indigo violet black white gray"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(source / name))
+
+    def poll():
+        q = dedupe_stream(spark, f"{source}/*", corpus, index, ckpt)
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    drop("b1", [(1, t_dup), (2, t_dup), (3, t_uni1)])
+    poll()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3]
+
+    drop("b2", [(10, t_dup), (11, t_uni2)])  # 10 duplicates corpus doc 1
+    poll()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3, 11]
+    # index holds signatures for exactly the accepted docs
+    assert sorted(
+        set(r["id"] for r in spark.read.parquet(index).collect())
+    ) == [1, 3, 11]
