@@ -70,3 +70,27 @@ def test_hierarchy_uses_native_recursion(spark, sf_small):
 def test_aggregations_have_no_cartesian(spark, sf_small, name):
     plan = plan_of(spark, sf_small, name)
     assert "CartesianProduct" not in plan
+
+
+def test_revenue_join_has_no_distinct_expand(spark, sf_small):
+    # n_orders comes from pre-aggregation on the join key, NOT from a
+    # COUNT(DISTINCT) Expand + second wide shuffle
+    plan = plan_of(spark, sf_small, "join_agg_revenue")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan  # customer dim broadcasts
+
+
+def test_gapfill_joins_broadcast(spark, sf_small):
+    # both the spine cross join and the fact left join stay broadcast —
+    # nothing in this query may shuffle-join
+    plan = plan_of(spark, sf_small, "gapfill_hourly")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_incremental_index_join_is_keyed(spark, sf_small):
+    # batch-vs-index candidates must meet on (band, bucket) equi keys —
+    # never a cartesian / nested-loop pass over the corpus index
+    plan = plan_of(spark, sf_small, "incremental_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
