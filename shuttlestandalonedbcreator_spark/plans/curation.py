@@ -1,0 +1,70 @@
+"""End-to-end training-corpus curation: the composition of the
+training-pipeline operator families into one declarative plan.
+
+    quality gates (lang-ID, score, repetition)   — narrow per-row maps
+    → near-dup clustering (MinHash-LSH → components → canonical keep)
+    → deterministic split assignment             — narrow hash map
+    → write partitioned by split
+
+Scale shape: the only shuffles are the LSH banding join and the
+components propagation (both output-bounded, keyed); every filter is a
+per-row map computed in the same scan; the split label is a pure hash of
+the id (re-derivable anywhere, no assignment table). The partitioned
+write gives downstream trainers partition-pruned reads per split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.functions import text as T
+from shuttlestandalonedbcreator_spark.operators.dedup import minhash_lsh_pairs, tokens
+from shuttlestandalonedbcreator_spark.operators.graph import cluster_keep_list
+from shuttlestandalonedbcreator_spark.operators.sampling import hash_split
+
+DEFAULT_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.75,
+    max_top_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.2,
+    neardup_threshold: float = 0.5,
+    splits: list[tuple[str, float]] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Return the curated, split-labeled corpus: input rows that pass the
+    language/quality/repetition gates and are the canonical member of
+    their near-dup cluster, with a ``split`` column appended."""
+    toks = tokens(F.col(text_col))
+    gated = (
+        docs.withColumn("_toks", toks)
+        .filter(T.lang_id(F.col(text_col), F.col("_toks")) != "und")
+        .filter(T.quality_score(F.col(text_col), F.col("_toks")) >= quality_threshold)
+        .filter(T.top_ngram_frac(F.col("_toks"), n=2) <= max_top_bigram_frac)
+        .filter(T.dup_ngram_frac(F.col("_toks"), n=3) <= max_dup_trigram_frac)
+        .drop("_toks")
+    )
+    pairs = minhash_lsh_pairs(gated, id_col, text_col, threshold=neardup_threshold)
+    kept = (
+        cluster_keep_list(gated, pairs, id_col)
+        .filter(F.col("keep") == 1)
+        .drop("cluster_id", "keep")
+    )
+    return hash_split(kept, id_col, splits or DEFAULT_SPLITS, seed=seed)
+
+
+def write_curated(
+    docs: DataFrame,
+    out_dir: str,
+    **kwargs,
+) -> DataFrame:
+    """Curate and persist, partitioned by split (pruned reads per split
+    for downstream consumers). Returns the curated DataFrame."""
+    curated = curate_corpus(docs, **kwargs)
+    curated.write.partitionBy("split").mode("overwrite").parquet(out_dir)
+    return curated

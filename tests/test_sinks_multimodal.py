@@ -135,3 +135,35 @@ def test_multimodal_frame_sample_stage(spark, binary_df):
     # unsupported modality collapses to one error row
     assert len(by_id[2]) == 1 and not by_id[2][0]["frame_ok"]
     assert "no frame sampler" in by_id[2][0]["frame_err"]
+
+
+def test_curation_pipeline_end_to_end(spark, sf_oracle, tmp_path):
+    """plans/curation.py: gates applied, no near-dup pair survives inside
+    the output, split labels partition the sink."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.operators.dedup import minhash_lsh_pairs
+    from shuttlestandalonedbcreator_spark.plans.curation import write_curated
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    out = str(tmp_path / "curated")
+    curated = write_curated(docs, out)
+
+    n_in, n_out = docs.count(), curated.count()
+    assert 0 < n_out < n_in
+
+    # canonical-only: re-detecting near-dups on the output finds nothing
+    assert minhash_lsh_pairs(curated, "doc_id", "text", threshold=0.5).isEmpty()
+
+    back = spark.read.parquet(out)
+    assert back.count() == n_out
+    assert {r["split"] for r in back.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    # split is a pure hash of the id — the round-tripped labels agree
+    mismatch = (
+        back.select("doc_id", "split")
+        .join(curated.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+    )
+    assert mismatch.isEmpty()
