@@ -1476,6 +1476,61 @@ FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.ho
 """
 
 
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile`, not the
+    approx sketch — `approx_aggregates` covers that). Exact quantiles
+    sort within the aggregation buffer: memory O(group size) — right for
+    bounded groups; use percentile_approx when groups are unbounded."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — fact rows below a per-key aggregate of the same
+    fact table (correlated-subquery semantics, decorrelated into a join):
+    revenue of lineitems with quantity under 50% of their part's average.
+    The per-part averages reuse the join's hash key; the threshold uses
+    exact decimal sums so both engines compute the identical cutoff."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    qty_scaled = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(qty_scaled).cast("double") / (F.count(F.lit(1)) * 100).cast("double")).alias("_avg")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _exact_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_BELOW_AVG_QTY = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.5 * p.avg_qty
+"""
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1554,6 +1609,8 @@ CATALOG: dict[str, QueryDef] = {
     "json_extract_agg": QueryDef(q_json_extract_agg, SQL_JSON_EXTRACT_AGG),
     "gapfill_hourly": QueryDef(q_gapfill_hourly, SQL_GAPFILL_HOURLY),
     "incremental_neardup": QueryDef(q_incremental_neardup, None),
+    "exact_percentiles": QueryDef(q_exact_percentiles, SQL_EXACT_PERCENTILES),
+    "below_avg_qty": QueryDef(q_below_avg_qty, SQL_BELOW_AVG_QTY),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
