@@ -356,6 +356,62 @@ SELECT c_custkey, c_nationkey, c_acctbal, CAST(rank_in_nation AS INTEGER) AS ran
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile deciles, percent_rank,
+    cume_dist — over account balances within each nation. Rank-based
+    (ratios of counts), so cross-engine deterministic given the unique
+    (balance, custkey) ordering; one shuffle keyed on the partition col."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       round(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_rolling_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: for every event, how many events the same user
+    fired in the preceding hour (inclusive). Time-valued range frames are
+    the sliding-lookback primitive (rate limiting, burst detection);
+    Spark expresses them as rangeBetween over epoch seconds — one shuffle
+    keyed on user_id, frame evaluated per partition in sorted order."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )
+
+
+SQL_ROLLING_HOUR_COUNT = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS events_last_hour
+FROM events
+"""
+
+
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: per-user running total (exact decimal accumulation
     cast to double at the end for cross-engine determinism)."""
@@ -1611,6 +1667,8 @@ CATALOG: dict[str, QueryDef] = {
     "incremental_neardup": QueryDef(q_incremental_neardup, None),
     "exact_percentiles": QueryDef(q_exact_percentiles, SQL_EXACT_PERCENTILES),
     "below_avg_qty": QueryDef(q_below_avg_qty, SQL_BELOW_AVG_QTY),
+    "window_distribution": QueryDef(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+    "rolling_hour_count": QueryDef(q_rolling_hour_count, SQL_ROLLING_HOUR_COUNT),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
