@@ -1587,6 +1587,63 @@ WHERE l.l_quantity < 0.5 * p.avg_qty
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: corpus document frequency (one
+    agg over the exploded token set), smoothed idf = ln((N+1)/(df+1))+1,
+    per-doc top-k by a ranking window. Plan shape: the token explode is
+    aggregated to (doc, token, tf) with map-side partials before anything
+    joins; df is a second agg over distinct (doc, token) rows — both keyed
+    on the token, so AQE reuses the exchange; the final window shuffles on
+    doc_id. Deterministic ties: (score desc, token asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar; at scale a separate count job
+    toks = docs.select(
+        F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * (
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0))
+                + 1.0
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.token,
+         round(CAST(t.tf AS DOUBLE) * (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+  FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+)
+SELECT doc_id, token, score, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, token, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 SQL_ADHOC = """
 SELECT n_name AS nation,
        COUNT(DISTINCT c_custkey) AS n_customers,
@@ -1669,6 +1726,7 @@ CATALOG: dict[str, QueryDef] = {
     "below_avg_qty": QueryDef(q_below_avg_qty, SQL_BELOW_AVG_QTY),
     "window_distribution": QueryDef(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
     "rolling_hour_count": QueryDef(q_rolling_hour_count, SQL_ROLLING_HOUR_COUNT),
+    "tfidf_top_terms": QueryDef(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
