@@ -50,6 +50,11 @@ HEADLINE = (
     "neardup_clusters",
     "json_extract_agg",
     "gapfill_hourly",
+    "semi_join_exists",
+    "anti_join_orphans",
+    "cube_counts",
+    "histogram_price",
+    "column_profile",
 )
 
 

@@ -1665,6 +1665,195 @@ def q_sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_ADHOC)
 
 
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 extension (TPC-H Q4 shape): EXISTS decorrelated to a left-semi
+    join. The semi join shuffles only the join key of the filtered probe
+    side (no payload columns cross the exchange) and short-circuits per
+    key — at 100 TB this is the cheapest possible existence check."""
+    orders = _t(spark, sf_dir, "orders")
+    hit = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(hit, orders["o_orderkey"] == hit["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_SEMI_JOIN_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY 1
+"""
+
+
+def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 extension (TPC-H Q22 shape): NOT EXISTS as a left-anti join —
+    the same plan family J1 uses to find transfer rows whose
+    parent_folder resolves to no id (SQLiteDirectImporter.java:826-836
+    leaves parent_id NULL). Probe side filtered BEFORE the join so the
+    anti join's build input is minimal. Exact-decimal sum, cast out."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+SQL_ANTI_JOIN_ORPHANS = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY 1
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: CUBE over two dimensions with GROUPING() markers —
+    the markers disambiguate subtotal rows from genuine NULL group keys
+    (the `''` vs NULL asymmetry of §1.2 makes this distinction load-
+    bearing). One Expand + one hash aggregate; no extra shuffles."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS record_count,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: fixed-width histogram (width_bucket family) — one
+    narrow projection + one hash aggregate on a derived key; the bucket
+    count is bounded so the reduce side is tiny at any scale. min/max
+    are exact data values (no accumulation-order sensitivity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+SQL_HISTOGRAM_PRICE = """
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_items,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
+_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+_PROFILE_TS_COLS = ("o_orderdate",)
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (inspection family, S10 writ large): per-
+    column row/null/distinct counts plus typed min/max, then unpivoted
+    driver-free via explode of a 6-element struct array on the singleton
+    aggregate row. Two passes by design: the distinct counts ride the
+    Expand pass with only fixed-width (hash-aggregable) buffers, while
+    string min/max — whose var-width buffers would force a SortAggregate
+    over the x7-expanded rows — run in a second scan pruned to just the
+    two string columns (measured 3x faster than one combined pass).
+    Timestamp min/max stay NULL (session-timezone-free by design)."""
+    orders = _t(spark, sf_dir, "orders")
+    all_cols = _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in all_cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    for c in _PROFILE_NUM_COLS:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+    str_aggs = []
+    for c in _PROFILE_STR_COLS:
+        str_aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        str_aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = orders.agg(*aggs).crossJoin(orders.agg(*str_aggs))
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    entries = []
+    for c in all_cols:
+        if c in _PROFILE_NUM_COLS:
+            mn, mx, ms, xs = F.col(f"{c}__min"), F.col(f"{c}__max"), null_s, null_s
+        elif c in _PROFILE_STR_COLS:
+            mn, mx, ms, xs = null_d, null_d, F.col(f"{c}__min"), F.col(f"{c}__max")
+        else:
+            mn, mx, ms, xs = null_d, null_d, null_s, null_s
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                ms.alias("min_str"),
+                xs.alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def _profile_oracle_block(c: str) -> str:
+    if c in _PROFILE_NUM_COLS:
+        mn = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        ms = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif c in _PROFILE_STR_COLS:
+        mn = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms = f"MIN({c})", f"MAX({c})"
+    else:
+        mn = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    return (
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct,"
+        f" {mn[0]} AS min_num, {mn[1]} AS max_num,"
+        f" {ms[0]} AS min_str, {ms[1]} AS max_str FROM orders"
+    )
+
+
+SQL_COLUMN_PROFILE = "\nUNION ALL\n".join(
+    _profile_oracle_block(c)
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS + _PROFILE_TS_COLS
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1696,6 +1885,11 @@ CATALOG: dict[str, QueryDef] = {
     "count_distinct": QueryDef(q_count_distinct, SQL_COUNT_DISTINCT),
     "window_lag_delta": QueryDef(q_window_lag_delta, SQL_WINDOW_LAG_DELTA),
     "range_join_buckets": QueryDef(q_range_join_buckets, SQL_RANGE_JOIN_BUCKETS),
+    "semi_join_exists": QueryDef(q_semi_join_exists, SQL_SEMI_JOIN_EXISTS),
+    "anti_join_orphans": QueryDef(q_anti_join_orphans, SQL_ANTI_JOIN_ORPHANS),
+    "cube_counts": QueryDef(q_cube_counts, SQL_CUBE_COUNTS),
+    "histogram_price": QueryDef(q_histogram_price, SQL_HISTOGRAM_PRICE),
+    "column_profile": QueryDef(q_column_profile, SQL_COLUMN_PROFILE),
     # TPC-H-style analytics
     "pricing_summary": QueryDef(q_pricing_summary, SQL_PRICING_SUMMARY),
     "join_agg_revenue": QueryDef(q_join_agg_revenue, SQL_JOIN_AGG_REVENUE),

@@ -94,3 +94,47 @@ def test_incremental_index_join_is_keyed(spark, sf_small):
     plan = plan_of(spark, sf_small, "incremental_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_join_filters_probe_before_join(spark, sf_small):
+    # EXISTS must become a LeftSemi whose probe side pushes the discount
+    # predicate to the scan and ships ONLY the join key
+    plan = plan_of(spark, sf_small, "semi_join_exists")
+    assert "LeftSemi" in plan
+    assert "GreaterThan(l_discount,0.05)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_discount:double>" in plan
+
+
+def test_anti_join_filters_build_before_join(spark, sf_small):
+    # NOT EXISTS → LeftAnti; the 400k filter must run under the join so
+    # the build relation holds only qualifying keys
+    plan = plan_of(spark, sf_small, "anti_join_orphans")
+    assert "LeftAnti" in plan
+    assert "GreaterThan(o_totalprice,400000.0)" in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_cube_is_one_expand_one_aggregate(spark, sf_small):
+    # CUBE = Expand (4 grouping sets) + partial/final hash agg; exactly
+    # one shuffle, and only the two grouping columns leave the scan
+    plan = plan_of(spark, sf_small, "cube_counts")
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>" in plan
+
+
+def test_histogram_reads_one_column(spark, sf_small):
+    plan = plan_of(spark, sf_small, "histogram_price")
+    assert "ReadSchema: struct<l_extendedprice:double>" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_column_profile_is_two_bounded_scans(spark, sf_small):
+    # profiling six columns costs exactly TWO passes (never one per
+    # column): the Expand/distinct pass with hash-aggregable buffers,
+    # plus a string-min/max pass pruned to just the two string columns
+    # (var-width buffers would force a SortAggregate over the Expand)
+    plan = plan_of(spark, sf_small, "column_profile")
+    assert plan.count("FileScan parquet") == 2
+    assert "ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>" in plan
