@@ -55,6 +55,9 @@ HEADLINE = (
     "cube_counts",
     "histogram_price",
     "column_profile",
+    "vocab_build",
+    "zscore_outliers",
+    "normalize_text",
 )
 
 

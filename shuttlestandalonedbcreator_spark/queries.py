@@ -1854,6 +1854,141 @@ SQL_COLUMN_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: build a top-N vocabulary with stable ids and
+    corpus-coverage stats. The token count is a partial+final hash agg;
+    the top-N cut is TakeOrderedAndProject (never a global sort of the
+    full vocabulary); only the N surviving rows pass through the global
+    window for id assignment + running coverage — bounded work no matter
+    the corpus size. Ties broken lexicographically for determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(D.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    # corpus total = sum of per-doc token counts: a narrow, shuffle-free
+    # second scan — NOT a recompute of the token-count exchange
+    total = docs.agg(
+        F.sum(F.size(D.tokens(F.col("text")))).cast("double").alias("_total")
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("token_id", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_coverage",
+            F.round(
+                F.sum("n_occurrences").over(w).cast("double") / F.col("_total"), 6
+            ),
+        )
+        .select("token", "n_occurrences", "token_id", "cum_coverage")
+    )
+
+
+SQL_VOCAB_BUILD = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token
+), total AS (
+  SELECT CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE) AS _total
+  FROM documents
+), top AS (
+  SELECT token, n_occurrences FROM counts
+  ORDER BY n_occurrences DESC, token LIMIT 100
+)
+SELECT token, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INTEGER) AS token_id,
+       round(CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / _total, 6) AS cum_coverage
+FROM top CROSS JOIN total
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per-group z-score outliers. Group moments come
+    from EXACT decimal sums (sum and sum-of-squares are order-free), so
+    mean/stddev are bit-identical across engines; the per-row z uses one
+    shared double expression tree. The tiny per-type moment table joins
+    back by broadcast — the fact table is scanned once, never shuffled."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(v).cast("double").alias("_s"),
+            F.sum(v * v).cast("double").alias("_ss"),
+        )
+        .withColumn("_mu", F.col("_s") / F.col("_n"))
+        .withColumn(
+            "_sigma",
+            F.sqrt(F.col("_ss") / F.col("_n") - F.col("_mu") * F.col("_mu")),
+        )
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    z = F.round((F.col("value") - F.col("_mu")) / F.col("_sigma"), 6)
+    return (
+        joined.withColumn("zscore", z)
+        .filter((F.col("_sigma") > 0) & (F.abs(F.col("zscore")) > 3.0))
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS _n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS _s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS _ss
+  FROM events GROUP BY event_type
+), mom AS (
+  SELECT event_type, _s / _n AS _mu,
+         sqrt(_ss / _n - (_s / _n) * (_s / _n)) AS _sigma
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m._mu) / m._sigma, 6) AS zscore
+FROM events e JOIN mom m USING (event_type)
+WHERE m._sigma > 0 AND abs(round((e.value - m._mu) / m._sigma, 6)) > 3.0
+"""
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: deterministic text normalization (lowercase,
+    strip non-alphanumerics, collapse runs of spaces, trim) + a canonical
+    md5 fingerprint of the normalized form — the step that runs BEFORE
+    exact dedup so near-identical formatting collapses to one key. Pure
+    narrow projection: no shuffle, whole-stage codegen end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id, source,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1921,6 +2056,9 @@ CATALOG: dict[str, QueryDef] = {
     "window_distribution": QueryDef(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
     "rolling_hour_count": QueryDef(q_rolling_hour_count, SQL_ROLLING_HOUR_COUNT),
     "tfidf_top_terms": QueryDef(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "vocab_build": QueryDef(q_vocab_build, SQL_VOCAB_BUILD),
+    "zscore_outliers": QueryDef(q_zscore_outliers, SQL_ZSCORE_OUTLIERS),
+    "normalize_text": QueryDef(q_normalize_text, SQL_NORMALIZE_TEXT),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),

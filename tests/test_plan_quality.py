@@ -138,3 +138,30 @@ def test_column_profile_is_two_bounded_scans(spark, sf_small):
     plan = plan_of(spark, sf_small, "column_profile")
     assert plan.count("FileScan parquet") == 2
     assert "ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>" in plan
+
+
+def test_vocab_topn_is_take_ordered(spark, sf_small):
+    # the top-N vocabulary cut must be TakeOrderedAndProject (bounded),
+    # never a global Sort of the full token-count table; the corpus
+    # total comes from a narrow scan, not a second token shuffle
+    plan = plan_of(spark, sf_small, "vocab_build")
+    assert "TakeOrderedAndProject(limit=100" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one token shuffle
+
+
+def test_zscore_moments_broadcast_back(spark, sf_small):
+    # the per-type moment table must broadcast; the fact table is never
+    # shuffle-joined, and the moment pass reads only (event_type, value)
+    plan = plan_of(spark, sf_small, "zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<event_type:string,value:double>" in plan
+
+
+def test_normalize_text_is_narrow_codegen(spark, sf_small):
+    # pure per-row projection: no exchange at all, fused into a single
+    # whole-stage-codegen span over the scan ("*(1)" marks the span in
+    # executedPlan().toString())
+    plan = plan_of(spark, sf_small, "normalize_text")
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan
