@@ -58,6 +58,9 @@ HEADLINE = (
     "vocab_build",
     "zscore_outliers",
     "normalize_text",
+    "gapfill_locf",
+    "funnel_conversion",
+    "retention_cohorts",
 )
 
 

@@ -1989,6 +1989,140 @@ FROM documents
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-analytics funnel: per user, first signup → first purchase
+    strictly after it; stage counts + conversion rate. One shuffle on
+    user_id produces the per-user stage timestamps (conditional min
+    aggregates — no self-join of the event stream), then a tiny global
+    rollup. Rate = int/int division in double, rounded."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    converted = (F.col("first_signup").isNotNull()) & (
+        F.col("first_purchase") > F.col("first_signup")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed_up"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(converted, 1)).cast("double")
+            / F.count(F.when(F.col("first_signup").isNotNull(), 1)).cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS n_signed_up,
+       COUNT(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup THEN 1 END) AS n_converted,
+       round(CAST(COUNT(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS DOUBLE), 6) AS conversion_rate
+FROM per_user
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-analytics retention matrix: users cohorted by first-seen
+    week × activity in each subsequent week. Two keyed aggregations
+    (user first-seen, then distinct user-week activity) meet on a
+    broadcast of the cohort map — at scale the cohort side is |users|,
+    far smaller than the event stream, and the week offset is pure
+    integer date arithmetic (timezone-free)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    active = ev.select("user_id", wk(F.col("ts")).alias("active_week")).distinct()
+    return (
+        active.join(F.broadcast(first_seen), "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM active a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable family: gap-filled hourly grid with last-observation-
+    carried-forward — missing hours inherit the latest preceding real
+    value per series. The spine/rollup join is the bounded gapfill plan;
+    the LOCF pass is one window per series ordered by the grid (state =
+    one value per partition). Hours before a series' first sample stay
+    NULL by definition."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("hour_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    grid = spine.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "hour",
+        (F.col("hour_value").isNotNull()).alias("is_observed"),
+        F.round(F.last("hour_value", ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
+SQL_GAPFILL_LOCF = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+  SELECT t.hour, e.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+), grid AS (
+  SELECT s.event_type, s.hour, h.hour_value
+  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+)
+SELECT event_type, hour,
+       hour_value IS NOT NULL AS is_observed,
+       round(last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+FROM grid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2050,6 +2184,9 @@ CATALOG: dict[str, QueryDef] = {
     "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
     "json_extract_agg": QueryDef(q_json_extract_agg, SQL_JSON_EXTRACT_AGG),
     "gapfill_hourly": QueryDef(q_gapfill_hourly, SQL_GAPFILL_HOURLY),
+    "gapfill_locf": QueryDef(q_gapfill_locf, SQL_GAPFILL_LOCF),
+    "funnel_conversion": QueryDef(q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": QueryDef(q_retention_cohorts, SQL_RETENTION_COHORTS),
     "incremental_neardup": QueryDef(q_incremental_neardup, None),
     "exact_percentiles": QueryDef(q_exact_percentiles, SQL_EXACT_PERCENTILES),
     "below_avg_qty": QueryDef(q_below_avg_qty, SQL_BELOW_AVG_QTY),

@@ -165,3 +165,26 @@ def test_normalize_text_is_narrow_codegen(spark, sf_small):
     plan = plan_of(spark, sf_small, "normalize_text")
     assert "Exchange" not in plan
     assert "*(1) Project" in plan
+
+
+def test_funnel_is_aggregation_only(spark, sf_small):
+    # stage timestamps come from conditional MIN aggregates — the event
+    # stream is never self-joined
+    plan = plan_of(spark, sf_small, "funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one user_id shuffle
+
+
+def test_retention_cohort_map_broadcasts(spark, sf_small):
+    plan = plan_of(spark, sf_small, "retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_locf_grid_joins_broadcast(spark, sf_small):
+    # same contract as gapfill_hourly: the spine/rollup joins stay
+    # broadcast, and LOCF is a single bounded-state window per series
+    plan = plan_of(spark, sf_small, "gapfill_locf")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Window" in plan
