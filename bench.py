@@ -61,6 +61,8 @@ HEADLINE = (
     "gapfill_locf",
     "funnel_conversion",
     "retention_cohorts",
+    "local_supplier_revenue",
+    "pandas_udaf_weighted",
 )
 
 

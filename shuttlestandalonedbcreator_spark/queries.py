@@ -2123,6 +2123,93 @@ FROM grid
 """
 
 
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join — revenue per nation from lineitems
+    where the supplier and customer share a nation, for one region and
+    one order-year. The two big tables (lineitem ⋈ orders) meet on
+    their natural key; region/nation are broadcast dims; customer and
+    supplier join on pruned key columns only. Date + region predicates
+    push to the scans. Exact decimal revenue, cast on output."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_pandas_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDF surface: a user-defined GROUPED_AGG pandas UDAF —
+    linenumber-weighted mean quantity per return flag. Arrow ships each
+    group's columns as one batch; the UDAF works in scaled int64 (cents
+    × weight), so its sums are order-free exact and the result is
+    bit-stable however Spark orders rows within the group. This is the
+    extension path for aggregations Catalyst lacks; everything
+    expressible with built-ins should stay JVM-side instead."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG form: under `from __future__ import annotations`
+    # type hints stringify and can't declare the eval type
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean_qty(qty, weight):
+        cents = (qty * 100).round().astype("int64")
+        w = weight.astype("int64")
+        return round(float((cents * w).sum()) / 100.0 / float(w.sum()), 6)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_mean_qty(F.col("l_quantity"), F.col("l_linenumber")).alias(
+                "weighted_mean_qty"
+            )
+        )
+    )
+
+
+SQL_PANDAS_UDAF_WEIGHTED = """
+SELECT l_returnflag,
+       round(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * l_linenumber) AS DOUBLE)
+             / 100.0 / CAST(SUM(l_linenumber) AS DOUBLE), 6) AS weighted_mean_qty
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2163,6 +2250,10 @@ CATALOG: dict[str, QueryDef] = {
     "pricing_summary": QueryDef(q_pricing_summary, SQL_PRICING_SUMMARY),
     "join_agg_revenue": QueryDef(q_join_agg_revenue, SQL_JOIN_AGG_REVENUE),
     "orders_by_month": QueryDef(q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "local_supplier_revenue": QueryDef(
+        q_local_supplier_revenue, SQL_LOCAL_SUPPLIER_REVENUE
+    ),
+    "pandas_udaf_weighted": QueryDef(q_pandas_udaf_weighted, SQL_PANDAS_UDAF_WEIGHTED),
     # training-data pipeline extensions
     "exact_dedup": QueryDef(q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_dedup": QueryDef(q_ngram_jaccard_dedup, SQL_NGRAM_JACCARD),

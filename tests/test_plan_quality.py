@@ -188,3 +188,31 @@ def test_locf_grid_joins_broadcast(spark, sf_small):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_q5_join_prunes_and_pushes(spark, sf_small):
+    # 6-table Q5 shape: key-only columns leave customer/supplier, the
+    # lineitem scan reads just 4 columns, the order-year and region
+    # predicates reach their scans, and nothing goes cartesian (the
+    # c_nationkey = s_nationkey filter folds into the supplier join key)
+    plan = plan_of(spark, sf_small, "local_supplier_revenue")
+    assert "ReadSchema: struct<c_custkey:bigint,c_nationkey:int>" in plan
+    assert "ReadSchema: struct<s_suppkey:bigint,s_nationkey:int>" in plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,"
+        "l_extendedprice:double,l_discount:double>" in plan
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pandas_udaf_is_arrow_grouped_agg(spark, sf_small):
+    # the UDAF must run as an Arrow-batched grouped aggregate (one batch
+    # per group), with the scan pruned to the three referenced columns
+    plan = plan_of(spark, sf_small, "pandas_udaf_weighted")
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert (
+        "ReadSchema: struct<l_linenumber:int,l_quantity:double,"
+        "l_returnflag:string>" in plan
+    )
