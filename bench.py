@@ -63,6 +63,9 @@ HEADLINE = (
     "retention_cohorts",
     "local_supplier_revenue",
     "pandas_udaf_weighted",
+    "benchmark_decontamination",
+    "weighted_sample",
+    "length_percentile_gate",
 )
 
 

@@ -1278,6 +1278,179 @@ SELECT id_a, id_b, jaccard, split_a, split_b FROM sp WHERE split_a <> split_b
 """
 
 
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by EXACT n-gram overlap (the GPT-3-style
+    check, complementing `split_contamination`'s fuzzy-Jaccard audit):
+    flag every TRAIN document sharing any word-5-gram with the held-out
+    test split, with the count and fraction of contaminated grams.
+
+    Scale shape: the benchmark gram set is the small side by construction
+    (the held-out slice) → distinct + broadcast; the train side streams
+    through a narrow explode + broadcast-hash probe — the 100 TB corpus is
+    never shuffled. Split labels are RE-DERIVED from doc_id (pure hash,
+    operators/sampling.py:split_label), so no assignment-table join."""
+    from shuttlestandalonedbcreator_spark.operators.sampling import split_label
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    labeled = docs.withColumn("split", split_label(F.col("doc_id"), splits, seed=7))
+    grams = labeled.select(
+        "doc_id",
+        "split",
+        F.explode(D.word_ngrams(F.col("text"), 5)).alias("gram"),
+    )
+    bench = grams.filter(F.col("split") == "test").select("gram").distinct()
+    hits = (
+        grams.filter(F.col("split") == "train")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    sizes = labeled.filter(F.col("split") == "train").select(
+        "doc_id", F.size(D.word_ngrams(F.col("text"), 5)).cast("long").alias("n_grams")
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shared_grams",
+        "n_grams",
+        F.round(F.col("n_shared_grams") * F.lit(1.0) / F.col("n_grams"), 6).alias(
+            "shared_frac"
+        ),
+    )
+
+
+SQL_BENCHMARK_DECONTAMINATION = """
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(('0x' || substr(md5(concat('7|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(concat('7|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, split,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM sp WHERE split IN ('train', 'test')
+), grams AS (
+  SELECT doc_id, split,
+         list_distinct(CASE WHEN len(w) >= 5
+           THEN list_transform(range(1, len(w) - 3),
+                               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4]))
+           ELSE [] END) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE split = 'test'
+), tg AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE split = 'train'
+), sz AS (
+  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM grams WHERE split = 'train'
+), hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared_grams
+  FROM tg t JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_shared_grams, s.n_grams,
+       round(h.n_shared_grams * 1.0 / s.n_grams, 6) AS shared_frac
+FROM hits h JOIN sz s ON h.doc_id = s.doc_id
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling via PRIORITY SAMPLING (Duffield,
+    Lund & Thorup, JACM 2007): priority = weight / u with u a
+    deterministic hash-uniform in (0, 1]; keep the top-k priorities.
+    Weight here is n_chars — longer documents proportionally likelier.
+
+    Chosen over Efraimidis-Spirakis u^(1/w) because priority needs only
+    IEEE divisions (bit-identical across engines — u is an exact
+    power-of-two scaling of the 60-bit md5 hash), not `pow`, so the
+    oracle comparison is exact. Narrow map + TakeOrderedAndProject:
+    no shuffle, top-k merges per-partition heaps on the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (D.md5_long(F.col("doc_id"), seed=13) + F.lit(1)).cast("double") / F.lit(
+        float(2**60)
+    )
+    priority = F.col("n_chars").cast("double") / u
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.round(priority, 6).alias("priority"),
+            priority.alias("_p"),
+        )
+        .orderBy(F.desc("_p"), "doc_id")
+        .limit(500)
+        .drop("_p")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, lang, source, n_chars,
+         n_chars / ((CAST(('0x' || substr(md5(concat('13|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+                    / 1152921504606846976.0) AS p
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, source, n_chars, round(p, 6) AS priority
+FROM k ORDER BY p DESC, doc_id LIMIT 500
+"""
+
+
+def q_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-percentile quality gate: compute exact p05/p95
+    of n_chars per language, keep documents inside the band — the
+    distribution-relative filter (trim truncated fragments + outlier
+    boilerplate) that fixed thresholds can't express across languages.
+
+    Two passes over a single scan lineage: a tiny per-language bounds agg
+    (5 rows) broadcast back onto the corpus, then one survivors agg.
+    At 100 TB the bounds side stays O(languages) — broadcast, no skew."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("_lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("_hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    kept = (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_chars") >= F.col("_lo")) & (F.col("n_chars") <= F.col("_hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return bounds.join(kept, "lang").select(
+        "lang",
+        F.round(F.col("_lo"), 6).alias("lo_chars"),
+        F.round(F.col("_hi"), 6).alias("hi_chars"),
+        "n_total",
+        "n_kept",
+        "kept_chars",
+        F.round(F.col("n_kept") * F.lit(1.0) / F.col("n_total"), 6).alias("kept_frac"),
+    )
+
+
+SQL_LENGTH_PERCENTILE_GATE = """
+WITH bounds AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi,
+         COUNT(*) AS n_total
+  FROM documents GROUP BY lang
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+  FROM documents d JOIN bounds b ON d.lang = b.lang
+  WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+  GROUP BY d.lang
+)
+SELECT b.lang, round(b.lo, 6) AS lo_chars, round(b.hi, 6) AS hi_chars,
+       b.n_total, k.n_kept, k.kept_chars,
+       round(k.n_kept * 1.0 / b.n_total, 6) AS kept_frac
+FROM bounds b JOIN kept k ON b.lang = k.lang
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation funnel in ONE aggregation pass:
     cumulative survivor counts for language-ID → quality threshold →
@@ -2270,6 +2443,13 @@ CATALOG: dict[str, QueryDef] = {
     "stratified_sample": QueryDef(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "sequence_packing": QueryDef(q_sequence_packing, SQL_SEQUENCE_PACKING),
     "split_contamination": QueryDef(q_split_contamination, SQL_SPLIT_CONTAMINATION),
+    "benchmark_decontamination": QueryDef(
+        q_benchmark_decontamination, SQL_BENCHMARK_DECONTAMINATION
+    ),
+    "weighted_sample": QueryDef(q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "length_percentile_gate": QueryDef(
+        q_length_percentile_gate, SQL_LENGTH_PERCENTILE_GATE
+    ),
     "curation_funnel": QueryDef(q_curation_funnel, SQL_CURATION_FUNNEL),
     "neardup_clusters": QueryDef(q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION),
