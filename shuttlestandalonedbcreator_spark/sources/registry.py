@@ -53,6 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col_name in ns_cols:
         # integer div keeps full precision (ns values overflow double)
         df = df.withColumn(col_name, F.expr(f"timestamp_micros({col_name} div 1000)"))
+    # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ; the engine's
+    # time functions (unix_micros, range frames) need TIMESTAMP. Pin the
+    # session to UTC so the NTZ->LTZ cast is the identity on the wall clock
+    # (matches DuckDB's naive-timestamp reading bit-for-bit).
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for col_name in ntz_cols:
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 
