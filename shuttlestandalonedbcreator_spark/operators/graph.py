@@ -64,22 +64,23 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
-        # candidate labels: own label ∪ each neighbor's label
-        nbr = sym.join(labels.withColumnRenamed("u", "v"), "v").select("u", "comp")
+        # candidate labels: own label ∪ each neighbor's label. The own-label
+        # row is tagged so the SAME aggregation that picks the new label also
+        # recovers the old one — convergence is then a cheap scan-count over
+        # the materialized result instead of a per-round shuffle join.
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "comp", F.lit(None).cast(labels.schema["comp"].dataType).alias("own"))
+        )
         new_labels = (
-            nbr.unionByName(labels)
+            nbr.unionByName(labels.select("u", "comp", F.col("comp").alias("own")))
             .groupBy("u")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("own").alias("_old"))
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        labels = new_labels
+        converged = new_labels.filter(F.col("comp") != F.col("_old")).isEmpty()
+        labels = new_labels.select("u", "comp")
         if converged:
             return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
     raise RuntimeError(
