@@ -66,6 +66,11 @@ HEADLINE = (
     "benchmark_decontamination",
     "weighted_sample",
     "length_percentile_gate",
+    "doc_chunking",
+    "canonical_pick",
+    "shipping_priority",
+    "grouping_sets",
+    "embedding_centroids",
 )
 
 

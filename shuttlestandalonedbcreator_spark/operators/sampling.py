@@ -147,3 +147,41 @@ def pack_sequences(
         F.floor(start / F.lit(budget)).cast("long").alias("chunk_id"),
         (start % F.lit(budget)).cast("long").alias("offset_in_chunk"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding-window document chunking: split each row's token array into
+    overlapping windows of ``size`` tokens advancing by ``stride`` (the
+    context-window preparation step for embedding / retrieval pipelines —
+    complement of :func:`pack_sequences`, which concatenates instead of
+    splitting). Returns (id, chunk_idx, chunk) with chunk_idx dense from 0.
+
+    Entirely per-row (narrow): chunk count = 1 + ceil(max(n-size,0)/stride)
+    computed in integer math, windows taken with ``slice`` on the already
+    -materialized array — no shuffle at any scale; rows with empty token
+    arrays produce no chunks. The trailing window is allowed to be shorter
+    than ``size`` (it still starts < n, so every token appears in >=1 chunk).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.size(F.col(tokens_col))
+    # non-negative integer ceil-div: floor is exact here and identical in
+    # every engine (no negative-truncation ambiguity)
+    last = F.floor((F.greatest(n - F.lit(size), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride))
+    windows = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.slice(F.col(tokens_col), i * stride + 1, size),
+    )
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(windows).alias("chunk_idx", "chunk"),
+        )
+    )

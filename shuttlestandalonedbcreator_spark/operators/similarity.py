@@ -283,3 +283,28 @@ def lsh_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "score", F.col("_rk").alias("rank"))
     )
+
+
+def label_centroids(vectors: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label mean vector as ``(label, centroid array<double>)``.
+
+    Plan shape: posexplode to (label, dim, value) — a narrow expansion of
+    dim× the row count — then ONE hash aggregate keyed on (label, dim)
+    followed by a reassembly aggregate keyed on label. The result is tiny
+    (labels × dims doubles) regardless of corpus size, so callers broadcast
+    it back; the per-vector pass that consumes it stays shuffle-free. This
+    is the E-step building block for IVF cell refinement / k-means and the
+    basis of centroid-distance outlier detection.
+    """
+    exploded = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+    )
+    per_dim = exploded.groupBy("label", "_d").agg(
+        (F.sum(F.col("_x").cast("double")) / F.count(F.lit(1))).alias("_c")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_c"))), lambda s: s["_c"]
+        ).alias("centroid")
+    )

@@ -2383,6 +2383,186 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, stride 48) —
+    the context-window preparation step for embedding/retrieval pipelines
+    (operators/sampling.py:chunk_tokens). Entirely per-row narrow compute:
+    no shuffle at any corpus size; each chunk is identified by a portable
+    md5 fingerprint so downstream chunk-level dedup needs no text."""
+    from shuttlestandalonedbcreator_spark.operators.sampling import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.word_tokens(F.col("text")).alias("_w"))
+    chunks = chunk_tokens(toks, "doc_id", "_w", size=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
+
+
+SQL_DOC_CHUNKING = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), nz AS (
+  SELECT doc_id, w, (greatest(len(w) - 64, 0) + 47) // 48 AS last_idx
+  FROM toks WHERE len(w) > 0
+), ch AS (
+  SELECT doc_id, unnest(range(0, last_idx + 1)) AS i, w FROM nz
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(w, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_hash
+FROM ch
+"""
+
+
+def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group canonical-document pick via argmax (`max_by` /
+    `arg_max`): for each (lang, source) keep the id of the longest
+    document, deterministic tiebreak on id — the keep-best rule used when
+    collapsing exact-duplicate URL/content groups. One hash aggregate;
+    no window, no self-join; the ranking key is an integer encode of
+    (n_chars, doc_id) so both engines order identically."""
+    docs = _t(spark, sf_dir, "documents")
+    rank = F.col("n_chars") * 100_000 + F.col("doc_id")
+    return docs.groupBy("lang", "source").agg(
+        F.max_by(F.col("doc_id"), rank).alias("best_doc_id"),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_CANONICAL_PICK = """
+SELECT lang, source,
+       arg_max(doc_id, n_chars * 100000 + doc_id) AS best_doc_id,
+       MAX(n_chars) AS max_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filters on both sides of a
+    3-way join, then top-10 unshipped orders by revenue. lineitem is
+    pre-aggregated per order key BEFORE joining (the exchange is reused
+    by the join), customer broadcasts, and the final top-k plans as
+    TakeOrderedAndProject — no global sort materializes."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_scaled = (rev.cast("decimal(18,6)") * 1_000_000).cast("long")
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev_scaled).alias("_rev"))
+    return (
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "l_orderkey",
+            (F.col("_rev") / F.lit(1e6)).alias("revenue"),
+            "o_orderdate",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension: explicit GROUPING SETS (two-level subtotals + grand
+    total) with GROUPING() null-vs-subtotal markers — the general form of
+    rollup/cube. The IDENTICAL SQL string runs on both engines (dialect
+    compatibility, like sql_adhoc); Catalyst expands it into a single
+    Expand + one hash aggregate — one shuffle for all three sets."""
+    from shuttlestandalonedbcreator_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_GROUPING_SETS)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + per-vector cosine-to-own-centroid — the
+    cluster-quality / outlier-scoring pass over an embedding corpus
+    (operators/similarity.py:label_centroids). The centroid table is
+    labels×dims — tiny at any corpus size — so it broadcasts back and the
+    scoring pass is a narrow map; total cost is one posexplode aggregate
+    over the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = V.label_centroids(emb, "label", "embedding")
+    return (
+        emb.join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                V.dot(F.col("embedding"), F.col("centroid"))
+                / (V.norm(F.col("embedding")) * V.norm(F.col("centroid"))),
+                6,
+            ).alias("cos_centroid"),
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH e AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS d,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), c AS (
+  SELECT label, d, SUM(x) / COUNT(*) AS cx FROM e GROUP BY label, d
+), j AS (
+  SELECT e.vec_id, e.label,
+         SUM(e.x * c.cx) AS dotp,
+         SUM(e.x * e.x) AS nv,
+         SUM(c.cx * c.cx) AS nc
+  FROM e JOIN c ON e.label = c.label AND e.d = c.d
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, ROUND(dotp / (sqrt(nv) * sqrt(nc)), 6) AS cos_centroid
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2473,4 +2653,9 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_frame_sample": QueryDef(
         q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE
     ),
+    "doc_chunking": QueryDef(q_doc_chunking, SQL_DOC_CHUNKING),
+    "canonical_pick": QueryDef(q_canonical_pick, SQL_CANONICAL_PICK),
+    "shipping_priority": QueryDef(q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "grouping_sets": QueryDef(q_grouping_sets, SQL_GROUPING_SETS),
+    "embedding_centroids": QueryDef(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }

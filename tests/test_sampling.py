@@ -113,3 +113,37 @@ def test_cosine_neardup_lsh_recall(spark, sf_small):
     # identical vectors share every LSH bucket → all planted pairs found
     planted = {p for p in exact_pairs if p[1] >= 10_000}
     assert planted and planted <= approx_pairs
+
+
+def test_chunk_tokens_windows_and_edges(spark):
+    from shuttlestandalonedbcreator_spark.operators.sampling import chunk_tokens
+
+    rows = [
+        (1, [f"t{i}" for i in range(10)]),  # spans 3 windows of (4, stride 3)
+        (2, ["a", "b", "c"]),  # shorter than one window
+        (3, []),  # empty → no chunks
+        (4, [f"t{i}" for i in range(11)]),  # trailing short window
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    out = chunk_tokens(df, "id", "toks", size=4, stride=3).collect()
+
+    def chunks(i):
+        return [r["chunk"] for r in sorted(out, key=lambda r: r["chunk_idx"]) if r["id"] == i]
+
+    assert chunks(1) == [
+        ["t0", "t1", "t2", "t3"],
+        ["t3", "t4", "t5", "t6"],
+        ["t6", "t7", "t8", "t9"],
+    ]
+    assert chunks(2) == [["a", "b", "c"]]
+    assert chunks(3) == []
+    # trailing window is short but present — every token appears somewhere
+    assert chunks(4)[-1] == ["t9", "t10"]
+    covered = {t for r in out if r["id"] == 4 for t in r["chunk"]}
+    assert covered == {f"t{i}" for i in range(11)}
+    # chunk_idx dense from 0 per doc
+    idxs = sorted(r["chunk_idx"] for r in out if r["id"] == 1)
+    assert idxs == [0, 1, 2]
+
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "id", "toks", size=0, stride=3)

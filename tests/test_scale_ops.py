@@ -236,3 +236,17 @@ def test_incremental_neardup_matches_full_recompute(spark, sf_oracle, tmp_path):
             cross[(new_id, match_id)] = r["est_jaccard"]
 
     assert inc == cross and len(inc) > 0
+
+
+def test_label_centroids_exact_means(spark):
+    from shuttlestandalonedbcreator_spark.operators.similarity import label_centroids
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 2.0], 0),
+        (3, [0.0, 4.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r["centroid"] for r in label_centroids(df, "label", "embedding").collect()}
+    assert out[0] == [2.0, 1.0]
+    assert out[1] == [0.0, 4.0]
