@@ -71,6 +71,7 @@ HEADLINE = (
     "shipping_priority",
     "grouping_sets",
     "embedding_centroids",
+    "edit_distance_neardup",
 )
 
 

@@ -2563,6 +2563,79 @@ FROM j
 """
 
 
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy dedup: Levenshtein-verified near-duplicate
+    pairs. Edit distance is quadratic per pair, so it NEVER runs on a
+    blocked self-join at scale — candidates come from minhash-LSH banding
+    (output-bounded; the same portable hash family the oracle replays)
+    and Levenshtein only VERIFIES that small pair set. The candidate list
+    is tiny next to the corpus, so both text joins broadcast it."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.0
+    ).select("id_a", "id_b")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    j = a.join(F.broadcast(cand), "id_a").join(b, "id_b")
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    ratio = F.round(
+        1 - dist / F.greatest(F.length("_ta"), F.length("_tb")), 6
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_distance"),
+            ratio.alias("sim_ratio"),
+        )
+        .filter(F.col("sim_ratio") >= 0.4)
+    )
+
+
+# candidate generation is the SQL_MINHASH_LSH CTE chain (same md5-derived
+# hash family), with the est-jaccard gate dropped (threshold 0) and a
+# Levenshtein verification stage on top
+SQL_EDIT_DISTANCE_NEARDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+         CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 1000000007 AS h2
+  FROM e
+), mh AS (
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % 1000000007) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+  GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(v ORDER BY seed) AS s FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       round(1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.text)), 6) AS sim_ratio
+FROM cand
+JOIN documents da ON id_a = da.doc_id
+JOIN documents db ON id_b = db.doc_id
+WHERE round(1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.text)), 6) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2658,4 +2731,5 @@ CATALOG: dict[str, QueryDef] = {
     "shipping_priority": QueryDef(q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "grouping_sets": QueryDef(q_grouping_sets, SQL_GROUPING_SETS),
     "embedding_centroids": QueryDef(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "edit_distance_neardup": QueryDef(q_edit_distance_neardup, SQL_EDIT_DISTANCE_NEARDUP),
 }
