@@ -216,3 +216,44 @@ def test_pandas_udaf_is_arrow_grouped_agg(spark, sf_small):
         "ReadSchema: struct<l_linenumber:int,l_quantity:double,"
         "l_returnflag:string>" in plan
     )
+
+
+def test_shipping_priority_topk_and_pushdown(spark, sf_small):
+    # Q3: both date predicates reach their scans, the segment filter
+    # reaches customer, customer broadcasts, and the final top-10 plans
+    # as TakeOrderedAndProject (no global sort materializes)
+    plan = plan_of(spark, sf_small, "shipping_priority")
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_chunking_is_narrow(spark, sf_small):
+    # chunking is per-row slicing — no exchange anywhere in the plan
+    plan = plan_of(spark, sf_small, "doc_chunking")
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark, sf_small):
+    # all three grouping sets evaluate in a single Expand + one exchange
+    plan = plan_of(spark, sf_small, "grouping_sets")
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_canonical_pick_single_aggregate(spark, sf_small):
+    # argmax is ONE hash aggregate (partial+final) — no window, no join
+    plan = plan_of(spark, sf_small, "canonical_pick")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_centroids_broadcast_back(spark, sf_small):
+    # the labels×dims centroid table broadcasts back onto the corpus
+    plan = plan_of(spark, sf_small, "embedding_centroids")
+    assert "BroadcastHashJoin" in plan
