@@ -97,3 +97,22 @@ def test_broadcast_lookup_dup_key_collapse(spark):
     )
     got = J.broadcast_lookup(fact, dim, "key", "key", {"val": "out"}, dedup_order="seq").collect()
     assert got[0]["out"] == "new"
+
+
+def test_load_table_normalizes_all_timestamps(spark, sf_small):
+    """Every table loads with plain TIMESTAMP columns — nanos-encoded
+    (events) and TIMESTAMP_NTZ parquet columns are normalized at load so
+    time functions / range frames work on a vanilla session."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    from shuttlestandalonedbcreator_spark.sources.registry import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(spark, sf_small, t)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, TimestampNTZType), (t, f.name)
+        if t == "events":
+            assert isinstance(df.schema["ts"].dataType, TimestampType)
+            # sanity: values decoded to sensible wall-clock range, not raw nanos
+            mx = df.agg(F.max("ts")).collect()[0][0]
+            assert mx.year < 2100

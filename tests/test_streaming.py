@@ -195,3 +195,86 @@ def test_incremental_dedup_stream_two_polls(spark, tmp_path):
     assert sorted(
         set(r["id"] for r in spark.read.parquet(index).collect())
     ) == [1, 3, 11]
+
+
+def test_hourly_rollup_incremental_maintenance(spark, sf_small, tmp_path):
+    """Two polls of the continuous hourly rollup: results equal a batch
+    aggregate over everything seen, and the second poll only rewrites the
+    hour partitions its events touch."""
+    import os
+    import time
+
+    from shuttlestandalonedbcreator_spark.streaming import rollup as R
+
+    ev = load_table(spark, sf_small, "events")
+    schema_str = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    src = str(tmp_path / "drops")
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    first = ev.filter(F.col("event_id") % 2 == 0).select(cols)
+    second = ev.filter(F.col("event_id") % 2 == 1).select(cols).limit(50)
+
+    def drop(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        part = [
+            f for f in os.listdir(tmp_path / ("stage_" + name)) if f.endswith(".parquet")
+        ][0]
+        os.rename(tmp_path / ("stage_" + name) / part, os.path.join(src, name + ".parquet"))
+
+    def poll():
+        q = R.maintain_hourly_rollup(spark, src, roll, ckpt, schema_str)
+        assert q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    drop(first, "a")
+    poll()
+    seen = first
+
+    def expected(df):
+        return {
+            r["epoch_hour"]: (r["n_events"], round(r["total_value"], 2))
+            for r in R.hourly_partial(df)
+            .select(
+                "epoch_hour", "n_events", (F.col("sum_scaled") / 100.0).alias("total_value")
+            )
+            .collect()
+        }
+
+    got = {
+        r["epoch_hour"]: (r["n_events"], round(r["total_value"], 2))
+        for r in R.read_rollup(spark, roll).collect()
+    }
+    assert got == expected(seen)
+
+    # record per-partition mtimes, then poll a second small drop
+    def part_mtimes():
+        out = {}
+        for d in os.listdir(roll):
+            if d.startswith("epoch_hour="):
+                p = os.path.join(roll, d)
+                out[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+        return out
+
+    before = part_mtimes()
+    time.sleep(1.1)
+    drop(second, "b")
+    poll()
+    seen = first.unionByName(second)
+    got = {
+        r["epoch_hour"]: (r["n_events"], round(r["total_value"], 2))
+        for r in R.read_rollup(spark, roll).collect()
+    }
+    assert got == expected(seen)
+
+    touched = {
+        f"epoch_hour={r['epoch_hour']}"
+        for r in R.hourly_partial(second).select("epoch_hour").collect()
+    }
+    after = part_mtimes()
+    for d, mt in after.items():
+        if d in before and d not in touched:
+            assert mt == before[d], f"untouched partition {d} was rewritten"
