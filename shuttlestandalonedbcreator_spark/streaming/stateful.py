@@ -100,3 +100,74 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond, "inner")
+
+
+class _RunningTotalsProcessor:
+    """StatefulProcessor for transformWithStateInPandas (Spark 4's
+    successor to applyInPandasWithState): same per-user running totals,
+    but state lives in a named ValueState handle backed by the RocksDB
+    state store — checkpointable, TTL-capable, and queryable via the
+    state data source. Declared lazily (class body imports nothing from
+    pyspark.sql.streaming.stateful_processor at module import time is
+    fine in 4.x)."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._totals.exists():
+            n, total, last_id = self._totals.get()
+        else:
+            n, total, last_id = 0, 0.0, -1
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            if len(pdf):
+                last_id = max(last_id, int(pdf["event_id"].max()))
+        self._totals.update((n, float(round(total, 6)), last_id))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "total_value": float(round(total, 6)),
+                    "last_event_id": last_id,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on the transformWithStateInPandas API —
+    requires the RocksDB state store provider (set on the session at call
+    time; the conf is runtime-settable) and the `protobuf` package (the
+    TWS python runner's wire protocol — absent in this container, so the
+    convergence test skips; the operator is exercised wherever protobuf
+    exists). Batch frames degrade to the same plain groupBy as the v1
+    operator."""
+    if not events.isStreaming:
+        return running_user_totals(events)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    import shuttlestandalonedbcreator_spark.streaming.stateful as _self_module
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_self_module)
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _Proc(_RunningTotalsProcessor, StatefulProcessor):
+        pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Proc(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

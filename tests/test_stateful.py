@@ -78,3 +78,42 @@ def test_interval_join_stream_matches_batch(spark, event_source):
     got = spark.table("ivj_mem").count()
     assert got == want
     assert want > 0  # the join actually matched something
+
+
+def test_tws_running_totals_converge(spark, event_source, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB store)
+    converges to the same per-user totals as the batch path."""
+    # the TWS python runner speaks protobuf to the JVM; without the
+    # protobuf package the driver worker crashes at init
+    pytest.importorskip("google.protobuf.descriptor")
+    from shuttlestandalonedbcreator_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    ev, src = event_source
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        running_user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    terminated = q.awaitTermination(180)
+    if q.exception() is not None:
+        raise q.exception()
+    assert terminated
+    got = (
+        spark.table("tws_mem")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "last_event_id")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value", "s.last_event_id")
+    )
+    want = running_user_totals_tws(ev)  # batch path
+    canon = lambda df: sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 4), r["last_event_id"])
+        for r in df.collect()
+    )
+    assert canon(got) == canon(want)
