@@ -72,6 +72,7 @@ HEADLINE = (
     "grouping_sets",
     "embedding_centroids",
     "edit_distance_neardup",
+    "large_orders",
 )
 
 

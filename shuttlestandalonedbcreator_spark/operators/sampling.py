@@ -170,6 +170,10 @@ def chunk_tokens(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # stride > size would skip tokens between windows (and emit empty
+        # trailing windows) — that's sampling, not chunking
+        raise ValueError("stride must be <= size for full-coverage chunking")
     n = F.size(F.col(tokens_col))
     # non-negative integer ceil-div: floor is exact here and identical in
     # every engine (no negative-truncation ambiguity)

@@ -2636,6 +2636,56 @@ WHERE round(1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.te
 """
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered aggregate
+    subquery joined back to its dimensions. Spark-first restatement: the
+    per-order quantity sum is computed ONCE and filtered (no IN-subquery
+    re-scan of lineitem); orders join reuses the same order-key exchange;
+    customer broadcasts; top-100 plans as TakeOrderedAndProject."""
+    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(qty_sum.alias("_q"))
+        .filter(F.col("_q") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CAST(q AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2732,4 +2782,5 @@ CATALOG: dict[str, QueryDef] = {
     "grouping_sets": QueryDef(q_grouping_sets, SQL_GROUPING_SETS),
     "embedding_centroids": QueryDef(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "edit_distance_neardup": QueryDef(q_edit_distance_neardup, SQL_EDIT_DISTANCE_NEARDUP),
+    "large_orders": QueryDef(q_large_orders, SQL_LARGE_ORDERS),
 }

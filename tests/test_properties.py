@@ -144,3 +144,42 @@ def test_hierarchy_loop_equals_native_cte(spark):
     canon = lambda df: sorted(tuple(r) for r in df.collect())
     assert canon(loop) == canon(cte)
     assert ("orphan", "missing", "O", 0, "O") not in canon(cte)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+def test_chunk_tokens_coverage_invariants(spark, doc_lens, size, stride):
+    if stride > size:
+        stride = size  # operator rejects stride > size (skips tokens)
+    """For any doc lengths and any (size, stride): every token lands in
+    >=1 chunk, chunk 0 starts at token 0, consecutive chunks overlap by
+    exactly size-stride tokens (when both full), and the chunk count
+    matches 1 + ceil(max(n-size,0)/stride)."""
+    import math
+
+    from shuttlestandalonedbcreator_spark.operators.sampling import chunk_tokens
+
+    rows = [(i, [f"w{i}_{j}" for j in range(n)]) for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    out = chunk_tokens(df, "id", "toks", size=size, stride=stride).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    for i, n in enumerate(doc_lens):
+        chunks = sorted(by_id.get(i, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert chunks == []
+            continue
+        want = 1 + math.ceil(max(n - size, 0) / stride)
+        assert len(chunks) == want
+        assert [c["chunk_idx"] for c in chunks] == list(range(want))
+        assert chunks[0]["chunk"][0] == f"w{i}_0"
+        covered = {t for c in chunks for t in c["chunk"]}
+        assert covered == {f"w{i}_{j}" for j in range(n)}
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a["chunk"]) == size:
+                assert a["chunk"][stride:] == b["chunk"][: size - stride]

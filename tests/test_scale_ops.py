@@ -3,6 +3,8 @@ bucketed co-located joins (no shuffle), IVF ANN sanity."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -250,3 +252,40 @@ def test_label_centroids_exact_means(spark):
     out = {r["label"]: r["centroid"] for r in label_centroids(df, "label", "embedding").collect()}
     assert out[0] == [2.0, 1.0]
     assert out[1] == [0.0, 4.0]
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, sf_small, tmp_path):
+    from shuttlestandalonedbcreator_spark.plans.maintenance import (
+        compact_parquet,
+        data_file_count,
+    )
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    tbl = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(tbl)  # simulate incremental-append fragmentation
+    assert data_file_count(tbl) == 40
+    before = docs.agg(F.sum("doc_id"), F.count(F.lit(1))).collect()[0]
+
+    got = compact_parquet(spark, tbl, target_file_mb=128)
+    assert got == data_file_count(tbl) == 1  # tiny table → one file
+    after = spark.read.parquet(tbl).agg(F.sum("doc_id"), F.count(F.lit(1))).collect()[0]
+    assert tuple(before) == tuple(after)
+    assert not os.path.exists(tbl + "._compact_staging")
+    assert not os.path.exists(tbl + "._compact_old")
+
+
+def test_compact_parquet_partitioned_keeps_pruning(spark, sf_small, tmp_path):
+    from shuttlestandalonedbcreator_spark.plans.maintenance import compact_parquet
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    tbl = str(tmp_path / "bylang")
+    docs.repartition(10).write.partitionBy("lang").parquet(tbl)
+    compact_parquet(spark, tbl, target_file_mb=128, partition_by=("lang",))
+    back = spark.read.parquet(tbl)
+    assert back.count() == docs.count()
+    plan = (
+        back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan
