@@ -73,6 +73,7 @@ HEADLINE = (
     "embedding_centroids",
     "edit_distance_neardup",
     "large_orders",
+    "snapshot_diff",
 )
 
 

@@ -2686,6 +2686,62 @@ LIMIT 100
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): FULL OUTER join two corpus
+    versions on the key and classify every row added / removed / changed /
+    unchanged — the validation gate run between pipeline re-builds before
+    promoting a new corpus. The 'new' snapshot is derived deterministically
+    from the base table by a portable hash (10% removed, 20% rewritten,
+    10% cloned under new ids), so both engines diff identical inputs.
+    One shuffle keyed on the id; classification is a narrow projection;
+    output is the 4-row summary."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = D.md5_long(F.col("doc_id"), seed=11) % 10
+    surviving = docs.filter(h != 0).select(
+        "doc_id",
+        F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(h == 9).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new = surviving.unionByName(added)
+    old_k = docs.select(F.col("doc_id").alias("k"), F.col("text").alias("_old"))
+    new_k = new.select(F.col("doc_id").alias("k"), F.col("text").alias("_new"))
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old_k.join(new_k, "k", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(concat('11|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10 AS h
+  FROM documents
+), new AS (
+  SELECT doc_id, CASE WHEN h <= 2 THEN concat(text, ' v2') ELSE text END AS text
+  FROM base WHERE h <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE h = 9
+), d AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM base o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2783,4 +2839,5 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_centroids": QueryDef(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "edit_distance_neardup": QueryDef(q_edit_distance_neardup, SQL_EDIT_DISTANCE_NEARDUP),
     "large_orders": QueryDef(q_large_orders, SQL_LARGE_ORDERS),
+    "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }
