@@ -1834,7 +1834,7 @@ def q_sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrating the engine's SQL surface is dialect-compatible."""
     from shuttlestandalonedbcreator_spark.sources.registry import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "nation", "orders"))
     return spark.sql(SQL_ADHOC)
 
 
@@ -2515,7 +2515,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand + one hash aggregate — one shuffle for all three sets."""
     from shuttlestandalonedbcreator_spark.sources.registry import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(SQL_GROUPING_SETS)
 
 
