@@ -74,6 +74,8 @@ HEADLINE = (
     "edit_distance_neardup",
     "large_orders",
     "snapshot_diff",
+    "mixture_sample",
+    "sole_late_supplier",
 )
 
 

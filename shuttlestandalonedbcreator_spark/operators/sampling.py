@@ -189,3 +189,46 @@ def chunk_tokens(
             F.posexplode(windows).alias("chunk_idx", "chunk"),
         )
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    budget_rows: int,
+    weight_scale: int = 1000,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Temperature-based mixture weighting (α = 0.5): per-stratum keep
+    rates ∝ √count, scaled so the expected kept total is ``budget_rows``
+    — the standard corpus-mixing move that upsamples low-resource strata
+    relative to proportional sampling.
+
+    All math is INTEGER so rates are bit-identical across engines: the
+    weight is floor(√n · scale) (IEEE sqrt is exactly rounded, so floor
+    is deterministic), the denominator Σ wᵢ·nᵢ is an exact integer sum,
+    and each threshold is one integer division, capped at the bucket
+    count. Returns (stratum, n_rows, _thresh) where _thresh/buckets is
+    the keep rate; join back broadcast + `hash_bucket < _thresh` selects.
+
+    Two corpus passes by construction (rates depend on global counts):
+    the counts aggregate, then the selection scan — both narrow shuffles
+    of the tiny strata table, never of the corpus.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("n_rows")) * weight_scale).cast("long")
+    )
+    denom = w.agg(F.sum(F.col("_w") * F.col("n_rows")).alias("_d"))
+    return (
+        w.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "_thresh",
+            F.least(
+                F.lit(buckets).cast("long"),
+                F.expr(f"({budget_rows}L * _w * {buckets}) div _d"),
+            ),
+        )
+        .select("stratum", "n_rows", "_thresh")
+    )

@@ -2742,6 +2742,115 @@ SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (α = 0.5): per-source keep rates
+    ∝ √count scaled to a 2000-row budget (upsampling small sources), then
+    a deterministic hash-threshold selection pass
+    (operators/sampling.py:mixture_rates). Rate math is all-integer, so
+    both engines derive bit-identical thresholds; the corpus is scanned
+    twice (counts, then selection) but shuffled never — only the tiny
+    source table moves."""
+    from shuttlestandalonedbcreator_spark.operators.sampling import (
+        hash_bucket,
+        mixture_rates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "source", budget_rows=2000)
+    picked = (
+        docs.join(
+            F.broadcast(rates), docs["source"] == rates["stratum"]
+        )
+        .filter(hash_bucket(F.col("doc_id"), seed=21) < F.col("_thresh"))
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        rates.join(picked, "stratum", "left")
+        .select(
+            F.col("stratum").alias("source"),
+            F.col("n_rows").alias("n_docs"),
+            F.round(F.col("_thresh") / 10000.0, 4).alias("rate"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+        )
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS wv FROM counts
+), d AS (
+  SELECT CAST(SUM(wv * n_docs) AS BIGINT) AS denom FROM w
+), r AS (
+  SELECT source, n_docs, least(10000, (2000 * wv * 10000) // denom) AS thresh FROM w, d
+), sel AS (
+  SELECT doc.source, COUNT(*) AS n_selected
+  FROM documents doc JOIN r ON doc.source = r.source
+  WHERE CAST(('0x' || substr(md5(concat('21|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10000 < r.thresh
+  GROUP BY doc.source
+)
+SELECT r.source, r.n_docs,
+       round(thresh / 10000.0, 4) AS rate,
+       COALESCE(n_selected, 0) AS n_selected
+FROM r LEFT JOIN sel ON r.source = sel.source
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS ("the only
+    supplier that shipped late on a multi-supplier order"), decorrelated
+    into aggregates — the textbook rewrite that replaces two correlated
+    re-scans of the fact table with ONE (order, supplier)-level dedup
+    aggregate reused by both the candidate set and the per-order
+    supplier/late counts. Supplier dim broadcasts; top-20 plans as
+    TakeOrderedAndProject."""
+    late = (F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp")).cast("int")
+    lvl1 = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_late"))
+    )
+    per_order = lvl1.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lvl1.filter(F.col("_late") == 1)
+        .join(
+            per_order.filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_SOLE_LATE_SUPPLIER = """
+WITH lvl1 AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END) AS late
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM lvl1 GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM lvl1
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE lvl1.late = 1 AND per_o.n_supp > 1 AND per_o.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2840,4 +2949,6 @@ CATALOG: dict[str, QueryDef] = {
     "edit_distance_neardup": QueryDef(q_edit_distance_neardup, SQL_EDIT_DISTANCE_NEARDUP),
     "large_orders": QueryDef(q_large_orders, SQL_LARGE_ORDERS),
     "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "mixture_sample": QueryDef(q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "sole_late_supplier": QueryDef(q_sole_late_supplier, SQL_SOLE_LATE_SUPPLIER),
 }
