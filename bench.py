@@ -76,6 +76,7 @@ HEADLINE = (
     "snapshot_diff",
     "mixture_sample",
     "sole_late_supplier",
+    "promo_revenue_share",
 )
 
 

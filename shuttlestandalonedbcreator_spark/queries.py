@@ -2851,6 +2851,52 @@ LIMIT 20
 """
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: scalar conditional-aggregate ratio (promo revenue
+    % in one month). One pass over the date-pruned lineitem slice, part
+    dim broadcast with the promo flag pre-computed (the probe carries one
+    boolean, not the type string); both sums are exact scaled longs so
+    the final ratio is bit-identical across engines."""
+    lo, hi = (
+        F.lit("1995-09-01").cast("timestamp"),
+        F.lit("1995-10-01").cast("timestamp"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("_promo")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_scaled = (rev.cast("decimal(18,6)") * 1_000_000).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("_promo"), rev_scaled)).alias("_promo_rev"),
+            F.sum(rev_scaled).alias("_total_rev"),
+        )
+        .select(
+            F.round(
+                (100.0 * F.col("_promo_rev")) / F.col("_total_rev"), 6
+            ).alias("promo_revenue_pct"),
+            (F.col("_total_rev") / F.lit(1e6)).alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rs,
+         p_type = 'PROMO' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT round((100.0 * CAST(SUM(CASE WHEN promo THEN rs END) AS BIGINT)) / CAST(SUM(rs) AS BIGINT), 6) AS promo_revenue_pct,
+       CAST(SUM(rs) AS BIGINT) / 1000000.0 AS total_revenue
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2951,4 +2997,5 @@ CATALOG: dict[str, QueryDef] = {
     "snapshot_diff": QueryDef(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "mixture_sample": QueryDef(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "sole_late_supplier": QueryDef(q_sole_late_supplier, SQL_SOLE_LATE_SUPPLIER),
+    "promo_revenue_share": QueryDef(q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
 }
