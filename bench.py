@@ -77,6 +77,8 @@ HEADLINE = (
     "mixture_sample",
     "sole_late_supplier",
     "promo_revenue_share",
+    "disjunctive_revenue",
+    "dormant_rich_customers",
 )
 
 

@@ -2897,6 +2897,103 @@ FROM j
 """
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a 3-branch disjunctive predicate over joined
+    dimension+fact attributes (brand × size-range × quantity-range). The
+    dimension-only conjuncts ride the broadcast build side; the OR of
+    per-branch conjunctions evaluates post-join in one codegen stage —
+    and the quantity bounds common to all branches (1..40) are pushed to
+    the lineitem scan as a CNF residual."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#12") & sz.between(1, 10) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 20) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 30) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_scaled = (rev.cast("decimal(18,6)") * 1_000_000).cast("long")
+    return (
+        li.filter(q.between(1, 40))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch)
+        .agg(
+            (F.sum(rev_scaled) / F.lit(1e6)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity BETWEEN 1 AND 40
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40))
+"""
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global avg positive
+    balance, computed ONCE as a 1-row broadcast) + LEFT ANTI join against
+    recent orders ("dormant since mid-1998") + per-nation rollup. The
+    anti join's build side is date-filtered BEFORE the join and ships
+    only the custkey column; the threshold compare is exact (scaled
+    longs; quotient is one IEEE division, identical in both engines)."""
+    c = _t(spark, sf_dir, "customer")
+    bal_scaled = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(bal_scaled).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("_avg_scaled")
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = c.crossJoin(F.broadcast(thresh)).filter(
+        bal_scaled.cast("double") > F.col("_avg_scaled")
+    )
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_scaled) / F.lit(100.0)).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_DORMANT_RICH_CUSTOMERS = """
+WITH t AS (
+  SELECT CAST(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_scaled
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+FROM customer, t
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) > t.avg_scaled
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-06-01')
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2998,4 +3095,8 @@ CATALOG: dict[str, QueryDef] = {
     "mixture_sample": QueryDef(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "sole_late_supplier": QueryDef(q_sole_late_supplier, SQL_SOLE_LATE_SUPPLIER),
     "promo_revenue_share": QueryDef(q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
+    "disjunctive_revenue": QueryDef(q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE),
+    "dormant_rich_customers": QueryDef(
+        q_dormant_rich_customers, SQL_DORMANT_RICH_CUSTOMERS
+    ),
 }
