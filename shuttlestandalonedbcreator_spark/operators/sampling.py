@@ -203,12 +203,17 @@ def mixture_rates(
     — the standard corpus-mixing move that upsamples low-resource strata
     relative to proportional sampling.
 
+    Expected picks per stratum follow nᵢ^0.5 normalized to the budget:
+    picksᵢ = budget·√nᵢ / Σ√nⱼ, so keep RATE ∝ 1/√nᵢ — small strata are
+    kept at higher rates than proportional sampling would give them.
+
     All math is INTEGER so rates are bit-identical across engines: the
     weight is floor(√n · scale) (IEEE sqrt is exactly rounded, so floor
-    is deterministic), the denominator Σ wᵢ·nᵢ is an exact integer sum,
-    and each threshold is one integer division, capped at the bucket
-    count. Returns (stratum, n_rows, _thresh) where _thresh/buckets is
-    the keep rate; join back broadcast + `hash_bucket < _thresh` selects.
+    is deterministic), Σ wⱼ is an exact integer sum, and each threshold
+    rateᵢ·buckets = (budget·buckets·scale²) / (wᵢ·Σwⱼ) is one integer
+    division, capped at the bucket count. Returns (stratum, n_rows,
+    _thresh) where _thresh/buckets is the keep rate; join back broadcast
+    + `hash_bucket < _thresh` selects.
 
     Two corpus passes by construction (rates depend on global counts):
     the counts aggregate, then the selection scan — both narrow shuffles
@@ -220,14 +225,15 @@ def mixture_rates(
     w = counts.withColumn(
         "_w", F.floor(F.sqrt(F.col("n_rows")) * weight_scale).cast("long")
     )
-    denom = w.agg(F.sum(F.col("_w") * F.col("n_rows")).alias("_d"))
+    denom = w.agg(F.sum("_w").alias("_s"))
+    numer = budget_rows * buckets * weight_scale * weight_scale
     return (
         w.crossJoin(F.broadcast(denom))
         .withColumn(
             "_thresh",
             F.least(
                 F.lit(buckets).cast("long"),
-                F.expr(f"({budget_rows}L * _w * {buckets}) div _d"),
+                F.expr(f"{numer}L div (_w * _s)"),
             ),
         )
         .select("stratum", "n_rows", "_thresh")

@@ -2743,8 +2743,9 @@ SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status
 
 
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based corpus mixing (α = 0.5): per-source keep rates
-    ∝ √count scaled to a 2000-row budget (upsampling small sources), then
+    """Temperature-based corpus mixing (α = 0.5): per-source expected
+    picks ∝ √count scaled to a 2000-row budget — keep rate ∝ 1/√count,
+    so small sources are upsampled relative to proportional — then
     a deterministic hash-threshold selection pass
     (operators/sampling.py:mixture_rates). Rate math is all-integer, so
     both engines derive bit-identical thresholds; the corpus is scanned
@@ -2782,9 +2783,9 @@ WITH counts AS (
 ), w AS (
   SELECT source, n_docs, CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS wv FROM counts
 ), d AS (
-  SELECT CAST(SUM(wv * n_docs) AS BIGINT) AS denom FROM w
+  SELECT CAST(SUM(wv) AS BIGINT) AS s FROM w
 ), r AS (
-  SELECT source, n_docs, least(10000, (2000 * wv * 10000) // denom) AS thresh FROM w, d
+  SELECT source, n_docs, least(10000, 20000000000000 // (wv * s)) AS thresh FROM w, d
 ), sel AS (
   SELECT doc.source, COUNT(*) AS n_selected
   FROM documents doc JOIN r ON doc.source = r.source

@@ -257,3 +257,45 @@ def test_embedding_centroids_broadcast_back(spark, sf_small):
     # the labels×dims centroid table broadcasts back onto the corpus
     plan = plan_of(spark, sf_small, "embedding_centroids")
     assert "BroadcastHashJoin" in plan
+
+
+def test_promo_share_pushdown_and_broadcast(spark, sf_small):
+    # Q14: both shipdate bounds reach the lineitem scan; part broadcasts
+    plan = plan_of(spark, sf_small, "promo_revenue_share")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_supplier_decorrelated(spark, sf_small):
+    # Q21: decorrelation means NO nested-loop / cartesian anywhere; the
+    # supplier dim broadcasts and the top-20 is TakeOrderedAndProject
+    plan = plan_of(spark, sf_small, "sole_late_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_disjunctive_revenue_residual_pushdown(spark, sf_small):
+    # Q19: the branch-common quantity bounds reach the lineitem scan even
+    # though each branch carries its own tighter range
+    plan = plan_of(spark, sf_small, "disjunctive_revenue")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,40.0)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dormant_customers_anti_join_filtered_build(spark, sf_small):
+    # Q22: the anti join build side is date-filtered BEFORE the join and
+    # the date predicate reaches the orders scan
+    plan = plan_of(spark, sf_small, "dormant_rich_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_small):
+    # the per-stratum rate table broadcasts back onto the corpus
+    plan = plan_of(spark, sf_small, "mixture_sample")
+    assert "BroadcastHashJoin" in plan

@@ -147,3 +147,41 @@ def test_chunk_tokens_windows_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_tokens(df, "id", "toks", size=0, stride=3)
+
+
+def test_mixture_rates_budget_and_upsampling(spark, sf_oracle):
+    from shuttlestandalonedbcreator_spark.operators.sampling import mixture_rates
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    total = docs.count()
+    budget = 200
+    rates = mixture_rates(docs, "source", budget_rows=budget).collect()
+    assert {r["stratum"] for r in rates} == {
+        r["source"] for r in docs.select("source").distinct().collect()
+    }
+    # expected kept total ≈ budget (integer floors + caps eat a little)
+    expected = sum(r["n_rows"] * r["_thresh"] / 10_000 for r in rates)
+    assert abs(expected - budget) / budget < 0.10
+    # temperature α=0.5: keep rate is non-increasing in stratum size —
+    # small sources are upsampled relative to proportional
+    by_size = sorted(rates, key=lambda r: r["n_rows"])
+    for a, b in zip(by_size, by_size[1:]):
+        if a["n_rows"] < b["n_rows"]:
+            assert a["_thresh"] >= b["_thresh"]
+    # smallest stratum ≥ proportional ≥ largest stratum (equal only when
+    # strata are equal-sized, as in this synthetic corpus); ~1% slack for
+    # the integer floors in weight/threshold derivation
+    prop_rate = budget / total * 10_000
+    assert by_size[0]["_thresh"] >= prop_rate * 0.99
+    assert by_size[-1]["_thresh"] <= prop_rate * 1.01
+
+    # a skewed corpus must strictly upsample the small stratum
+    skewed = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 10 == 0, "rare").otherwise("common")
+    )
+    sk = {
+        r["stratum"]: r["_thresh"]
+        for r in mixture_rates(skewed, "source", budget_rows=budget).collect()
+    }
+    assert sk["rare"] > sk["common"]
