@@ -169,3 +169,30 @@ def test_xls_end_to_end_pipeline(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["source_file_size"] == 100
     assert out[0]["job_name"] == "JobC"
+
+
+def test_xlsx_python_datasource_matches_mapinpandas_scan(spark, workbook_dir):
+    """spark.read.format('xlsx') (Spark 4 Python DataSource) returns the
+    exact rows of the binaryFile+mapInPandas scan, partitioned one task
+    per workbook, with S1 discovery semantics (glob + ~lock exclusion)."""
+    from shuttlestandalonedbcreator_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+
+    register_xlsx_source(spark)
+    ds = (
+        spark.read.format("xlsx")
+        .option("sheetPrefix", "Transfer Report")
+        .load(workbook_dir)
+    )
+    ref = read_workbook_rows(spark, workbook_dir, sheet_prefix="Transfer Report")
+
+    def canon(df):
+        return sorted(
+            (r["_source_file"], r["_sheet"], r["_row_index"], tuple(r["_cells"]))
+            for r in df.collect()
+        )
+
+    assert canon(ds) == canon(ref)
+    # one partition per (non-temp) workbook
+    assert ds.rdd.getNumPartitions() == 2
