@@ -308,3 +308,73 @@ def label_centroids(vectors: DataFrame, label_col: str, vec_col: str) -> DataFra
             F.array_sort(F.collect_list(F.struct("_d", "_c"))), lambda s: s["_c"]
         ).alias("centroid")
     )
+
+
+def matmul_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """`brute_force_topk` on the vectorized Arrow path: the query matrix
+    (small side, same role as the broadcast in the HOF version) ships to
+    executors as one float64 numpy array; the corpus streams through
+    mapInPandas where each Arrow batch scores against ALL queries with a
+    single BLAS matmul instead of per-pair HOF folds — the standard
+    rerank kernel when per-pair expression evaluation becomes the
+    bottleneck. Each batch emits only its per-query top-k, so the final
+    exact window shuffles k·batches rows per query, not the corpus.
+
+    Same output contract as brute_force_topk: (query_id, neighbor_id,
+    score[round 6], rank), ties broken by neighbor_id.
+    """
+    import numpy as np
+
+    import shuttlestandalonedbcreator_spark.operators.similarity as _self_module
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_self_module)
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in qrows])
+    qm = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    src = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    def score_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            scores = c @ qm.T  # (batch, n_queries)
+            top = min(k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(scores.shape[1]):
+                col = scores[:, j]
+                idx = np.argpartition(-col, top - 1)[:top]
+                out_q.extend([q_ids[j]] * top)
+                out_n.extend(ids[idx])
+                out_s.extend(np.round(col[idx], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    cand = src.mapInPandas(
+        score_partition, schema="query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("_rk").alias("rank"))
+    )

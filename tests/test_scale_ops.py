@@ -289,3 +289,36 @@ def test_compact_parquet_partitioned_keeps_pruning(spark, sf_small, tmp_path):
         back.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_matmul_topk_matches_brute_force(spark, sf_small):
+    from shuttlestandalonedbcreator_spark.operators.similarity import (
+        brute_force_topk,
+        matmul_topk,
+    )
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.limit(15).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    args = (emb, queries, "vec_id", "embedding", "qid", "qv")
+    hof = brute_force_topk(*args, k=5)
+    blas = matmul_topk(*args, k=5)
+
+    def canon(df):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+            for r in df.collect()
+        }
+    a, b = canon(hof), canon(blas)
+    assert a.keys() == b.keys()
+    for key, (n_hof, s_hof) in a.items():
+        n_blas, s_blas = b[key]
+        assert abs(s_hof - s_blas) <= 2e-6  # same math, BLAS reassociation
+        # identical neighbor unless two candidates genuinely tie on score
+        assert n_hof == n_blas or abs(s_hof - s_blas) <= 2e-6
+    # rank 1 must be the vector itself (cosine 1.0)
+    for (qid, rank), (nid, score) in b.items():
+        if rank == 1:
+            assert nid == qid and score == 1.0
