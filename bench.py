@@ -40,6 +40,7 @@ HEADLINE = (
     "minhash_lsh_dedup",
     "simhash",
     "embedding_topk",
+    "embedding_topk_blas",
     "embedding_cosine_neardup",
     "text_token_stats",
     "text_quality",
@@ -79,6 +80,7 @@ HEADLINE = (
     "promo_revenue_share",
     "disjunctive_revenue",
     "dormant_rich_customers",
+    "metrics_unpivot",
 )
 
 

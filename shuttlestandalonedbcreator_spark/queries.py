@@ -2995,6 +2995,55 @@ GROUP BY n_name
 """
 
 
+def q_embedding_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized rerank path: exact cosine top-10 for 200 query
+    vectors via Arrow-batch BLAS matmul (operators/similarity.py:
+    matmul_topk) — measured ~10× the HOF per-pair path at this shape.
+    Rows-only check (float reassociation in BLAS); exactness vs the HOF
+    baseline is pinned by test_matmul_topk_matches_brute_force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return V.matmul_topk(
+        emb, queries, "vec_id", "embedding", "qid", "qv", k=10
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational reshape (melt): a wide per-priority metrics row is
+    unpivoted to (priority, metric, value) long form — the inverse of
+    pivot_counts and the standard shape for metric sinks/dashboards.
+    Spark 4's native `unpivot` plans as a single Expand (no join, no
+    shuffle beyond the aggregate's); all metrics are cast to one DOUBLE
+    value column as unpivot requires a common type."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.count_distinct(F.col("o_custkey")).cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+SQL_METRICS_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+)
+UNPIVOT wide ON n_orders, total_price, n_customers
+INTO NAME metric VALUE metric_value
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3046,6 +3095,7 @@ CATALOG: dict[str, QueryDef] = {
     "simhash": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk": QueryDef(q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, None),
+    "embedding_topk_blas": QueryDef(q_embedding_topk_blas, None),
     "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
     "approx_aggregates": QueryDef(q_approx_aggregates, None),
     "embedding_cosine_neardup": QueryDef(
@@ -3100,4 +3150,5 @@ CATALOG: dict[str, QueryDef] = {
     "dormant_rich_customers": QueryDef(
         q_dormant_rich_customers, SQL_DORMANT_RICH_CUSTOMERS
     ),
+    "metrics_unpivot": QueryDef(q_metrics_unpivot, SQL_METRICS_UNPIVOT),
 }
