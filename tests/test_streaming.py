@@ -278,3 +278,27 @@ def test_hourly_rollup_incremental_maintenance(spark, sf_small, tmp_path):
     for d, mt in after.items():
         if d in before and d not in touched:
             assert mt == before[d], f"untouched partition {d} was rewritten"
+
+
+def test_stream_static_broadcast_enrichment(spark, event_stream):
+    """Stream-static join: a micro-batch stream enriched against a static
+    broadcast dimension (per-user segment), then windowed counts per
+    segment — results equal the same plan on the batch frame."""
+    ev, stream = event_stream
+    segments = ev.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) >= 10, "heavy").otherwise("light").alias("segment")
+    )
+
+    def enriched_counts(df):
+        src = df.withWatermark("ts", _FULL_SPAN) if df.isStreaming else df
+        return (
+            src.join(F.broadcast(segments), "user_id")
+            .groupBy(F.window("ts", "1 day").alias("win"), "segment")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("day"), "segment", "n_events")
+        )
+
+    name = _run_stream(enriched_counts(stream), "enrich_mem")
+    got = _canon(spark.table(name), ["day", "segment", "n_events"])
+    want = _canon(enriched_counts(ev), ["day", "segment", "n_events"])
+    assert got == want and len(want) > 0
