@@ -1288,7 +1288,10 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the held-out slice) → distinct + broadcast; the train side streams
     through a narrow explode + broadcast-hash probe — the 100 TB corpus is
     never shuffled. Split labels are RE-DERIVED from doc_id (pure hash,
-    operators/sampling.py:split_label), so no assignment-table join."""
+    operators/sampling.py:split_label), so no assignment-table join.
+    Grams travel as 64-bit xxhash64 keys (word_ngram_hashes: no gram
+    strings built, ~3× faster); the oracle counts the same overlaps from
+    text grams — equal absent 64-bit collisions."""
     from shuttlestandalonedbcreator_spark.operators.sampling import split_label
 
     docs = _t(spark, sf_dir, "documents")
@@ -1297,7 +1300,7 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = labeled.select(
         "doc_id",
         "split",
-        F.explode(D.word_ngrams(F.col("text"), 5)).alias("gram"),
+        F.explode(D.word_ngram_hashes(F.col("text"), 5)).alias("gram"),
     )
     bench = grams.filter(F.col("split") == "test").select("gram").distinct()
     hits = (
@@ -1307,7 +1310,7 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
     sizes = labeled.filter(F.col("split") == "train").select(
-        "doc_id", F.size(D.word_ngrams(F.col("text"), 5)).cast("long").alias("n_grams")
+        "doc_id", F.size(D.word_ngram_hashes(F.col("text"), 5)).cast("long").alias("n_grams")
     )
     return hits.join(sizes, "doc_id").select(
         "doc_id",

@@ -116,3 +116,27 @@ def test_load_table_normalizes_all_timestamps(spark, sf_small):
             # sanity: values decoded to sensible wall-clock range, not raw nanos
             mx = df.agg(F.max("ts")).collect()[0][0]
             assert mx.year < 2100
+
+
+def test_word_ngram_hashes_cardinality_matches_string_grams(spark):
+    """Hashed grams must agree with string grams on the distinct-set
+    cardinality (that's all downstream counts use), incl. the short-doc
+    guard (n_tokens < n → empty, not a descending-sequence error)."""
+    from shuttlestandalonedbcreator_spark.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b"),  # shorter than one 3-gram
+        (3, ""),
+        (4, "x y z x y z x y"),  # repeats → distinct shrinks both sides
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = df.select(
+        "id",
+        F.size(D.word_ngram_hashes(F.col("text"), 3)).alias("nh"),
+        F.size(D.word_ngrams(F.col("text"), 3)).alias("ns"),
+    ).collect()
+    for r in got:
+        assert r["nh"] == r["ns"], r
+    by_id = {r["id"]: r["nh"] for r in got}
+    assert by_id[1] == 4 and by_id[2] == 0 and by_id[3] == 0 and by_id[4] == 3
