@@ -101,16 +101,21 @@ def word_ngrams(col: Column, n: int) -> Column:
     the distinct token set; for n>1, transform over a sequence of start
     offsets, slicing the token array.
     """
-    toks = tokens(col)
     if n == 1:
-        return F.array_distinct(toks)
-    counts = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard explicitly
-    grams = F.when(counts >= 1, F.transform(
-        F.sequence(F.lit(1), counts),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+        return F.array_distinct(tokens(col))
+
+    # let-bind the token array (one tokenizer eval per row, not per gram —
+    # no CSE across lambda boundaries, see word_ngram_hashes)
+    def grams_of(t: Column) -> Column:
+        counts = F.size(t) - F.lit(n - 1)
+        # sequence(1, 0) would produce a DESCENDING [1, 0] — guard explicitly
+        return F.when(counts >= 1, F.transform(
+            F.sequence(F.lit(1), counts),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )).otherwise(F.array().cast("array<string>"))
+
+    bound = F.flatten(F.transform(F.array(tokens(col)), grams_of))
+    return F.array_distinct(bound)
 
 
 def word_ngram_hashes(col: Column, n: int) -> Column:
