@@ -167,3 +167,23 @@ def test_curation_pipeline_end_to_end(spark, sf_oracle, tmp_path):
         .filter(F.col("split") != F.col("s2"))
     )
     assert mismatch.isEmpty()
+
+
+def test_write_curated_observed_metrics(spark, sf_small, tmp_path):
+    """observe() metrics must match what a separate aggregate computes,
+    and must come from the SAME job as the write (no extra pass)."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.plans.curation import write_curated_observed
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "curated_obs")
+    curated, metrics = write_curated_observed(docs, out)
+    back = spark.read.parquet(out)
+    assert metrics["n_kept"] == back.count() > 0
+    by_split = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert metrics["n_train"] == by_split.get("train", 0)
+    assert metrics["n_val"] == by_split.get("val", 0)
+    assert metrics["n_test"] == by_split.get("test", 0)
+    assert metrics["n_kept"] == metrics["n_train"] + metrics["n_val"] + metrics["n_test"]
