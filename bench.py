@@ -81,6 +81,8 @@ HEADLINE = (
     "disjunctive_revenue",
     "dormant_rich_customers",
     "metrics_unpivot",
+    "forecast_revenue",
+    "nation_revenue_share",
 )
 
 

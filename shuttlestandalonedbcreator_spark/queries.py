@@ -3047,6 +3047,82 @@ INTO NAME metric VALUE metric_value
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure-pushdown microbenchmark — scan + three
+    conjunctive range predicates + one exact sum, no join/shuffle beyond
+    the final single-partition agg. All three predicates must reach the
+    parquet scan (PLANS.md shows the pushed count); at 100 TB this query
+    is I/O-bound and row-group statistics skip most of the file."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_scaled = (
+        (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev_scaled) / F.lit(1e6)).alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS forecast_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total reporting shape: per-nation revenue plus its share
+    of the grand total — a window over an AGGREGATE. The unpartitioned
+    window runs on the tiny post-aggregation frame (one row per nation),
+    so the 'move everything to one partition' cost everyone fears applies
+    to ~25 rows, not the fact table; the fact table sees one ordinary
+    partial+final aggregate."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    price_scaled = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(price_scaled).alias("_rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        F.col("n_name").alias("nation"),
+        (F.col("_rev") / F.lit(100.0)).alias("revenue"),
+        F.round(F.col("_rev") / F.sum("_rev").over(w) * 100.0, 6).alias("revenue_pct"),
+    )
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name AS nation,
+       rev / 100.0 AS revenue,
+       round(rev / CAST(SUM(rev) OVER () AS BIGINT) * 100.0, 6) AS revenue_pct
+FROM per_nation
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3154,4 +3230,8 @@ CATALOG: dict[str, QueryDef] = {
         q_dormant_rich_customers, SQL_DORMANT_RICH_CUSTOMERS
     ),
     "metrics_unpivot": QueryDef(q_metrics_unpivot, SQL_METRICS_UNPIVOT),
+    "forecast_revenue": QueryDef(q_forecast_revenue, SQL_FORECAST_REVENUE),
+    "nation_revenue_share": QueryDef(
+        q_nation_revenue_share, SQL_NATION_REVENUE_SHARE
+    ),
 }

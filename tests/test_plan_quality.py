@@ -299,3 +299,35 @@ def test_mixture_sample_broadcasts_rates(spark, sf_small):
     # the per-stratum rate table broadcasts back onto the corpus
     plan = plan_of(spark, sf_small, "mixture_sample")
     assert "BroadcastHashJoin" in plan
+
+
+def test_forecast_revenue_all_filters_pushed(spark, sf_small):
+    # Q6: every predicate reaches the lineitem scan; no join at all.
+    # plan_of's toString truncates long PushedFilters lists at 100 chars,
+    # so capture the untruncated formatted explain instead
+    import contextlib
+    import io
+
+    df = CATALOG["forecast_revenue"].spark(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    assert "GreaterThanOrEqual(l_shipdate" in line
+    assert "LessThan(l_shipdate" in line
+    assert "GreaterThanOrEqual(l_discount,0.05)" in line
+    assert "LessThan(l_quantity,24.0)" in line
+    assert "Join" not in plan
+
+
+def test_nation_share_window_after_aggregate(spark, sf_small):
+    # the unpartitioned window must sit ABOVE the aggregate (25 rows),
+    # with the fact table reduced by partial+final agg first
+    plan = plan_of(spark, sf_small, "nation_revenue_share")
+    agg_pos = plan.rindex("HashAggregate")
+    win_pos = plan.index("Window")
+    assert win_pos < agg_pos  # physical plan prints top-down
+    assert plan.count("BroadcastHashJoin") == 2
