@@ -83,6 +83,7 @@ HEADLINE = (
     "metrics_unpivot",
     "forecast_revenue",
     "nation_revenue_share",
+    "k_anonymity_audit",
 )
 
 

@@ -3123,6 +3123,29 @@ FROM per_nation
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance: k-anonymity audit over the
+    quasi-identifier (lang, source) — groups with fewer than k=5 members
+    are re-identification risks a release pipeline must flag (HAVING
+    shape: one hash aggregate, filter on the aggregate). Output is the
+    offending groups plus their sizes; an empty result means the corpus
+    partition is k-anonymous at k=5."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = """
+SELECT lang, source, COUNT(*) AS group_size
+FROM documents
+GROUP BY lang, source
+HAVING COUNT(*) < 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3234,4 +3257,5 @@ CATALOG: dict[str, QueryDef] = {
     "nation_revenue_share": QueryDef(
         q_nation_revenue_share, SQL_NATION_REVENUE_SHARE
     ),
+    "k_anonymity_audit": QueryDef(q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
 }
