@@ -42,6 +42,7 @@ HEADLINE = (
     "embedding_topk",
     "embedding_topk_blas",
     "embedding_cosine_neardup",
+    "embedding_cosine_neardup_lsh",
     "text_token_stats",
     "text_quality",
     "train_val_test_split",

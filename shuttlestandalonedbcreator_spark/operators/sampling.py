@@ -210,10 +210,16 @@ def mixture_rates(
     All math is INTEGER so rates are bit-identical across engines: the
     weight is floor(√n · scale) (IEEE sqrt is exactly rounded, so floor
     is deterministic), Σ wⱼ is an exact integer sum, and each threshold
-    rateᵢ·buckets = (budget·buckets·scale²) / (wᵢ·Σwⱼ) is one integer
-    division, capped at the bucket count. Returns (stratum, n_rows,
-    _thresh) where _thresh/buckets is the keep rate; join back broadcast
-    + `hash_bucket < _thresh` selects.
+    rateᵢ·buckets = (budget·buckets·scale²) / (wᵢ·Σwⱼ) is evaluated as
+    TWO divisions, (numer div wᵢ) div Σwⱼ — exactly equal to the single
+    division for positive integers (floor(floor(a/b)/c) = floor(a/(bc)))
+    but immune to the int64 overflow of the product wᵢ·Σwⱼ, which at the
+    100 TB design point (~1e13 total rows → Σwⱼ ≈ √n·scale ≈ 3e9·#strata)
+    would otherwise go negative and silently select zero rows. The
+    remaining bound is the numerator itself: budget·buckets·scale² must
+    fit int64, asserted below. Returns (stratum, n_rows, _thresh) where
+    _thresh/buckets is the keep rate; join back broadcast +
+    `hash_bucket < _thresh` selects.
 
     Two corpus passes by construction (rates depend on global counts):
     the counts aggregate, then the selection scan — both narrow shuffles
@@ -227,13 +233,18 @@ def mixture_rates(
     )
     denom = w.agg(F.sum("_w").alias("_s"))
     numer = budget_rows * buckets * weight_scale * weight_scale
+    if numer >= 2**63:
+        raise ValueError(
+            f"budget_rows*buckets*weight_scale^2 = {numer} overflows int64; "
+            "lower weight_scale or buckets"
+        )
     return (
         w.crossJoin(F.broadcast(denom))
         .withColumn(
             "_thresh",
             F.least(
                 F.lit(buckets).cast("long"),
-                F.expr(f"{numer}L div (_w * _s)"),
+                F.expr(f"({numer}L div _w) div _s"),
             ),
         )
         .select("stratum", "n_rows", "_thresh")

@@ -196,21 +196,12 @@ def cosine_neardup_pairs(
         return pairs.filter(F.col("cosine") >= threshold)
 
     # scale path: candidates meet only inside an LSH signature bucket
-    from shuttlestandalonedbcreator_spark.operators.dedup import md5_long as _h
-
-    def plane_component(p: int, d: Column) -> Column:
-        return F.when(_h(d.cast("string"), seed=1000 + p) % 2 == 0, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        )
-
+    comps = _sign_planes(planes, dim)
     sig_bits = []
     for p in range(planes):
+        plane = F.array(*[F.lit(v) for v in comps[p]])
         proj = F.aggregate(
-            F.zip_with(
-                F.col("_u"),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: plane_component(p, d)),
-                lambda x, hcol: x * hcol,
-            ),
+            F.zip_with(F.col("_u"), plane, lambda x, hcol: x * hcol),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -231,6 +222,26 @@ def cosine_neardup_pairs(
     )
 
 
+def _sign_planes(planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components h[p][d] from md5('{1000+p}|{d}') parity —
+    bit-identical to what `md5_long(d, seed=1000+p) % 2` evaluates on
+    executors, but computed ONCE here: the components are row-independent
+    constants, and the HOF form re-ran dim×planes md5s per ROW (no
+    common-subexpression elimination inside lambda bodies), which
+    dominated the whole signature pass (~10M digests at sf0.1)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{1000 + p}|{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
 def lsh_topk(
     vectors: DataFrame,
     id_col: str,
@@ -246,20 +257,12 @@ def lsh_topk(
     Join is keyed on the bucket — output-bounded, no quadratic pass; recall
     is tunable with fewer planes / multiple tables. Deterministic seeds.
     """
-    # hyperplane component h[p][d] ∈ {-1,+1} from md5(p|d) parity
-    def plane_component(p: int, d: Column) -> Column:
-        return F.when(md5_long(d.cast("string"), seed=1000 + p) % 2 == 0, F.lit(1.0)).otherwise(
-            F.lit(-1.0)
-        )
-
+    comps = _sign_planes(planes, dim)
     sig_bits = []
     for p in range(planes):
+        plane = F.array(*[F.lit(v) for v in comps[p]])
         proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: plane_component(p, d)),
-                lambda x, h: x.cast("double") * h,
-            ),
+            F.zip_with(F.col(vec_col), plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -356,15 +359,22 @@ def matmul_topk(
             ids = pdf["_id"].to_numpy()
             c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
             c /= np.linalg.norm(c, axis=1, keepdims=True)
-            scores = c @ qm.T  # (batch, n_queries)
+            scores = np.round(c @ qm.T, 6)  # (batch, n_queries)
             top = min(k, len(ids))
             out_q, out_n, out_s = [], [], []
             for j in range(scores.shape[1]):
+                # prune on the ROUNDED scores (the final ranking key) and
+                # keep everything tied with the k-th boundary value, so
+                # batch-local selection can never drop a candidate that the
+                # global (score desc, neighbor_id asc) tie-break would keep
                 col = scores[:, j]
-                idx = np.argpartition(-col, top - 1)[:top]
+                boundary = np.partition(col, len(col) - top)[len(col) - top]
+                cand = np.flatnonzero(col >= boundary)
+                order = np.lexsort((ids[cand], -col[cand]))[:top]
+                idx = cand[order]
                 out_q.extend([q_ids[j]] * top)
                 out_n.extend(ids[idx])
-                out_s.extend(np.round(col[idx], 6))
+                out_s.extend(col[idx])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
             )

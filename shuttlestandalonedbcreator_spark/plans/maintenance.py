@@ -12,9 +12,13 @@ Design:
 - target file count is derived from ACTUAL on-disk bytes (not row counts)
   so compaction is size-stable across schemas and compression ratios.
 - the rewrite goes to a sibling staging directory first and swaps in with
-  two renames — readers never observe a half-written table, and the old
-  layout survives until the swap (crash before swap leaves the table
-  untouched; the stale staging dir is re-created on retry).
+  two renames. A crash before the first rename leaves the table untouched;
+  a crash BETWEEN the two renames leaves the data at ``._compact_old`` with
+  nothing at ``path`` (an unavoidable window with POSIX renames on a
+  directory — an atomic single-rename swap needs a table format like
+  Iceberg/Delta). The next ``compact_parquet`` call recovers automatically:
+  stale ``._compact_old`` with a missing ``path`` is renamed back before
+  retrying, and stale staging/old leftovers are cleared up front.
 - hive-partitioned layouts compact per partition directory, preserving
   pruning.
 """
@@ -55,12 +59,21 @@ def compact_parquet(
     the read (Spark reconstructs them from directory names) and written
     back hive-style, so pruning keeps working.
     """
+    staging = path.rstrip("/") + "._compact_staging"
+    old = path.rstrip("/") + "._compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # a prior run crashed between the two swap renames: the full
+        # pre-compaction table is at `old` — restore it before retrying
+        os.rename(old, path)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(old):
+        # leftover from a crash after the swap completed but before
+        # cleanup; `path` is the new table, old is safe to drop
+        shutil.rmtree(old)
     size = _dir_bytes(path)
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "._compact_staging"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
     writer = (
         df.repartition(n_files, *partition_by)
         if partition_by
@@ -69,7 +82,6 @@ def compact_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

@@ -30,11 +30,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC — an engine-wide invariant
+    (session.get_spark sets it at build; this enforces it for
+    caller-provided sessions). Called unconditionally before every table
+    load so timestamp semantics NEVER depend on which table happened to
+    be loaded first: NTZ->LTZ casts, string->timestamp parsing,
+    date_trunc and unix_timestamp all read the session zone, and the
+    DuckDB oracle evaluates naive timestamps, i.e. UTC wall clock."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table, normalizing parquet TIMESTAMP(NANOS) columns (which
     Spark reads as long under `nanosAsLong`) back to TimestampType via
     exact integer division — semantics identical to DuckDB's truncation."""
     import pyarrow as pa
+
+    ensure_utc(spark)
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -54,16 +68,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div keeps full precision (ns values overflow double)
         df = df.withColumn(col_name, F.expr(f"timestamp_micros({col_name} div 1000)"))
     # Parquet timestamp[us] without tz reads as TIMESTAMP_NTZ; the engine's
-    # time functions (unix_micros, range frames) need TIMESTAMP. Pin the
-    # session to UTC so the NTZ->LTZ cast is the identity on the wall clock
-    # (matches DuckDB's naive-timestamp reading bit-for-bit).
+    # time functions (unix_micros, range frames) need TIMESTAMP. The session
+    # is pinned UTC (ensure_utc above), so the NTZ->LTZ cast is the identity
+    # on the wall clock (matches DuckDB's naive-timestamp reading bit-for-bit).
     from pyspark.sql.types import TimestampNTZType
 
-    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
-    if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for col_name in ntz_cols:
-            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

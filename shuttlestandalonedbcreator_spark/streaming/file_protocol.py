@@ -15,16 +15,26 @@ running the SAME batch ingest pipeline (plans.transfer_pipeline) with a
 keyed-upsert merge into the sink. One code path serves batch and
 streaming — the pipeline functions are DataFrame→DataFrame.
 
-Semantic delta vs the reference (observed, deliberate): Spark archives the
-files of micro-batch N while executing batch N+1, so the most recent
-file(s) stay in `source/` until the next PRODUCTIVE poll cycle — the
-reference moves each file eagerly right after processing (:185-192).
-Under a polling cadence the folders converge; correctness is unaffected
-because re-listed-but-checkpointed files are never re-processed.
+Archive timing, two modes:
+- default (``eager_archive=False``): Spark's ``cleanSource=archive``
+  moves the files of micro-batch N while executing batch N+1, so the most
+  recent file(s) stay in `source/` until the next PRODUCTIVE poll cycle.
+  Correctness is unaffected (re-listed-but-checkpointed files are never
+  re-processed), but folder state lags the reference by one poll.
+- ``eager_archive=True``: each batch's files are moved to ``archive_dir``
+  (flat, basename only — the reference's processed/ layout, :185-192)
+  right after the batch's sink write succeeds, inside ``foreachBatch`` —
+  same-poll folder parity with the reference. Same crash window as the
+  reference too: a crash after the move but before the checkpoint commit
+  re-plans the batch against a source file that is gone; the move is
+  therefore LAST in the batch body, exactly like the reference's
+  move-after-import.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +59,7 @@ def watch_folder(
     file_format: str = "csv",
     max_files_per_trigger: int | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    eager_archive: bool = False,
 ) -> StreamingQuery:
     """Watch ``source_dir`` for transfer-report files; ingest each through
     the batch pipeline and append to a parquet sink at ``target_dir``.
@@ -65,8 +76,9 @@ def watch_folder(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if archive_dir:
-        # S8: source lifecycle — archive consumed files
+    if archive_dir and not eager_archive:
+        # S8: source lifecycle — archive consumed files (lazy: batch N's
+        # files move during batch N+1)
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
         )
@@ -87,8 +99,21 @@ def watch_folder(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         # _batch_id is the major upsert-order key: _ingest_seq restarts
         # per micro-batch, batch ids are monotonic across runs (checkpoint)
+        if eager_archive and archive_dir:
+            # foreachBatch frames are LogicalRDD-backed (inputFiles() is
+            # empty), so list the batch's files from the _source_file
+            # column — a tiny distinct, bounded by maxFilesPerTrigger
+            src_files = [
+                r[0] for r in batch.select("_source_file").distinct().collect()
+            ]
         out = pipeline(batch).withColumn("_batch_id", F.lit(batch_id))
         out.write.mode("append").parquet(target_dir)
+        if eager_archive and archive_dir:
+            os.makedirs(archive_dir, exist_ok=True)
+            for uri in src_files:
+                p = uri.removeprefix("file://").removeprefix("file:")
+                if os.path.exists(p):
+                    shutil.move(p, os.path.join(archive_dir, os.path.basename(p)))
 
     return (
         raw.writeStream.foreachBatch(process_batch)

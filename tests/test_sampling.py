@@ -185,3 +185,59 @@ def test_mixture_rates_budget_and_upsampling(spark, sf_oracle):
         for r in mixture_rates(skewed, "source", budget_rows=budget).collect()
     }
     assert sk["rare"] > sk["common"]
+
+
+def test_mixture_rates_no_int64_overflow_at_scale(spark):
+    """ADVICE r1: the single-division form `numer div (_w * _s)` overflows
+    int64 once total rows ≈ 1e13 (the 100 TB design point), flipping
+    thresholds negative and silently selecting nothing. The two-step form
+    `(numer div _w) div _s` is algebraically identical for positive ints
+    (floor(floor(a/b)/c) == floor(a/(bc))) and immune. Simulate the scale
+    with a pre-aggregated counts frame pushed through the same expression."""
+    from shuttlestandalonedbcreator_spark.operators.sampling import mixture_rates
+
+    # strata totalling ~2e13 rows: _w ≈ floor(sqrt(n))*1000 ≈ 3.5e9;
+    # _w*_s ≈ 5e19 > 2^63 would have gone negative under the old math.
+    # 2e13 rows can't be materialized in a test, so replicate the exact
+    # threshold expression over a pre-aggregated counts frame.
+    counts_df = spark.createDataFrame(
+        [("a", 12_500_000_000_000), ("b", 6_100_000_000_000), ("c", 81_000_000)],
+        "source string, _precount long",
+    )
+    w = counts_df.select(
+        F.col("source").alias("stratum"),
+        F.col("_precount").alias("n_rows"),
+        F.floor(F.sqrt(F.col("_precount")) * 1000).cast("long").alias("_w"),
+    )
+    denom = w.agg(F.sum("_w").alias("_s"))
+    numer = 1_000_000 * 10_000 * 1000 * 1000  # budget 1e6, buckets 1e4, scale 1e3
+    out = (
+        w.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "_thresh",
+            F.least(F.lit(10_000).cast("long"), F.expr(f"({numer}L div _w) div _s")),
+        )
+        .collect()
+    )
+    # every threshold must equal the arbitrary-precision single-division
+    # value floor(numer / (w*s)) — proving the two-step int64 form is the
+    # exact same math, not an approximation, and nothing went negative
+    import math
+
+    strata_n = (12_500_000_000_000, 6_100_000_000_000, 81_000_000)
+    s_total = sum(math.floor(math.sqrt(n) * 1000) for n in strata_n)
+    for r in out:
+        w_i = math.floor(math.sqrt(r["n_rows"]) * 1000)
+        exact = min(10_000, numer // (w_i * s_total))
+        assert r["_thresh"] == exact, (r, exact)
+        assert r["_thresh"] >= 0, r
+    # guard: the numerator bound is enforced
+    import pytest
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        mixture_rates(
+            spark.range(1).withColumn("s", F.lit("x")),
+            "s",
+            budget_rows=10**12,
+            weight_scale=100_000,
+        )

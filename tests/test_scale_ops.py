@@ -275,6 +275,40 @@ def test_compact_parquet_reduces_files_preserves_data(spark, sf_small, tmp_path)
     assert not os.path.exists(tbl + "._compact_old")
 
 
+def test_compact_parquet_recovers_from_crash_states(spark, sf_small, tmp_path):
+    """The two-rename swap has a crash window (ADVICE r1): between the
+    renames the table lives at ._compact_old with nothing at `path`. A
+    retry must restore it, and stale old/staging leftovers from either
+    crash side must not make the next run fail."""
+    import shutil
+
+    from shuttlestandalonedbcreator_spark.plans.maintenance import compact_parquet
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    tbl = str(tmp_path / "crashy")
+    docs.repartition(8).write.parquet(tbl)
+    expect = docs.agg(F.sum("doc_id"), F.count(F.lit(1))).collect()[0]
+
+    # crash BETWEEN the renames: table is wholly at ._compact_old
+    os.rename(tbl, tbl + "._compact_old")
+    got = compact_parquet(spark, tbl, target_file_mb=128)
+    assert got == 1
+    after = spark.read.parquet(tbl).agg(F.sum("doc_id"), F.count(F.lit(1))).collect()[0]
+    assert tuple(expect) == tuple(after)
+    assert not os.path.exists(tbl + "._compact_old")
+
+    # crash AFTER the swap but before cleanup: stale old + stale staging
+    # next to a live table — both must be cleared, table kept
+    shutil.copytree(tbl, tbl + "._compact_old")
+    shutil.copytree(tbl, tbl + "._compact_staging")
+    compact_parquet(spark, tbl, target_file_mb=128)
+    after = spark.read.parquet(tbl).agg(F.sum("doc_id"), F.count(F.lit(1))).collect()[0]
+    assert tuple(expect) == tuple(after)
+    assert not os.path.exists(tbl + "._compact_old")
+    assert not os.path.exists(tbl + "._compact_staging")
+
+
 def test_compact_parquet_partitioned_keeps_pruning(spark, sf_small, tmp_path):
     from shuttlestandalonedbcreator_spark.plans.maintenance import compact_parquet
     from shuttlestandalonedbcreator_spark.sources.registry import load_table

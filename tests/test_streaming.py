@@ -82,6 +82,42 @@ def test_folder_protocol_end_to_end(spark, tmp_path):
     assert "JobB.csv" not in os.listdir(source)
 
 
+def test_folder_protocol_eager_archive(spark, tmp_path):
+    """eager_archive=True closes the one-poll archive lag vs the
+    reference (SQLiteDirectImporter.java:185-192): after a SINGLE drain,
+    every consumed file is already in processed/ (flat, basename layout)
+    and source/ is empty — no second poll needed."""
+    source = tmp_path / "source"
+    processed = tmp_path / "processed"
+    source.mkdir()
+
+    _write_report_csv(
+        source / "JobA.csv",
+        [_row("/A", "", "10", "success"), _row("/A/f1.pdf", "100", "11", "success")],
+    )
+    _write_report_csv(source / "JobB.csv", [_row("/B/f2.pdf", "200", "20", "failed")])
+
+    q = watch_folder(
+        spark,
+        str(source),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        archive_dir=str(processed),
+        max_files_per_trigger=1,
+        eager_archive=True,
+    )
+    q.awaitTermination(120)
+    if q.exception() is not None:
+        raise q.exception()
+
+    # same-poll parity: both files archived, source drained, data landed
+    assert sorted(os.listdir(processed)) == ["JobA.csv", "JobB.csv"]
+    assert os.listdir(source) == []
+    out = read_deduplicated(spark, str(tmp_path / "sink"))
+    assert out.count() == 3
+    assert {r["job_name"] for r in out.collect()} == {"JobA", "JobB"}
+
+
 @pytest.fixture(scope="module")
 def event_stream(spark, sf_small, tmp_path_factory):
     """events table re-materialized as a 3-file streaming source."""
