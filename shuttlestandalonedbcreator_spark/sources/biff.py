@@ -42,9 +42,22 @@ _NOSTREAM = 0xFFFFFFFF
 
 
 def cfb_streams(data: bytes) -> dict[str, bytes]:
-    """Top-level stream name → bytes for a compound file."""
+    """Top-level stream name → bytes for a compound file.
+
+    Malformed containers (truncated sectors, out-of-range chains, garbage
+    directory) raise ValueError — never struct.error/IndexError — so the
+    caller's per-FILE tolerance (E2) can catch one exception type. Chain
+    walks are cycle-guarded: a corrupted FAT that loops terminates the
+    walk instead of hanging the scan."""
     if data[:8] != CFB_MAGIC:
         raise ValueError("not a CFB (compound) file — bad magic")
+    try:
+        return _cfb_streams_inner(data)
+    except (struct.error, IndexError, UnicodeDecodeError, StopIteration) as e:
+        raise ValueError(f"corrupt CFB container: {e!r}") from e
+
+
+def _cfb_streams_inner(data: bytes) -> dict[str, bytes]:
     sector_shift = struct.unpack_from("<H", data, 30)[0]
     mini_shift = struct.unpack_from("<H", data, 32)[0]
     sector_size = 1 << sector_shift
@@ -143,6 +156,7 @@ R_FORMULA = 0x0006
 R_STRING = 0x0207
 R_CODEPAGE = 0x0042
 R_DIMENSIONS = 0x0200
+R_RSTRING = 0x00D6  # rich-text inline string (legacy writers); runs ignored
 
 
 def _records(stream: bytes) -> Iterator[tuple[int, bytes, int]]:
@@ -277,17 +291,71 @@ def _fmt_num(d: float) -> str:
 
 
 def parse_xls_rows(
-    data: bytes, sheet_prefix: str | None = None
+    data: bytes,
+    sheet_prefix: str | None = None,
+    errors: list[tuple[str, int, str]] | None = None,
 ) -> Iterator[tuple[str, int, list[str]]]:
     """Stream (sheet_name, row_index, cells) from .xls bytes — the S3 scan,
     same contract as excel.parse_xlsx_rows (row_index counts emitted rows
-    per sheet; sparse cells padded with '')."""
+    per sheet; sparse cells padded with '').
+
+    Error tolerance (E1, reference SQLiteDirectImporter.java:588-662
+    tolerates per-row errors): a malformed CELL record skips that record —
+    never the sheet or the file — and appends (sheet, record_id, error)
+    to ``errors`` when the caller passes a list. Unsupported record types
+    are silently ignored by design: only cell-content records (LABELSST,
+    LABEL, RSTRING, NUMBER, RK, MULRK, BLANK, MULBLANK, BOOLERR, FORMULA
+    + cached STRING) carry values; formatting/layout records (XF, FONT,
+    ROW, COLINFO, MERGEDCELLS, window/pane state...) don't affect the
+    extracted data."""
     streams = cfb_streams(data)
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
         raise ValueError("no Workbook/Book stream in .xls file")
 
     # -- workbook globals: SST + sheet directory ---------------------------
+    # corruption here poisons the whole file (can't locate sheets/strings),
+    # so it surfaces as ValueError for the per-FILE tolerance layer (E2) —
+    # unlike per-CELL records below, which skip individually (E1)
+    try:
+        sst, sheets, recs = _parse_globals(wb)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt BIFF workbook globals: {e!r}") from e
+
+    offset_index = {off: k for k, (_, _, off) in enumerate(recs)}
+
+    for name, bof_off in sheets:
+        if sheet_prefix is not None and not name.startswith(sheet_prefix):
+            continue
+        k = offset_index.get(bof_off)
+        if k is None:
+            continue
+        cells: dict[int, dict[int, str]] = {}
+        box: list[tuple[int, int] | None] = [None]  # pending formula cell
+        k += 1  # skip the sheet BOF itself
+        while k < len(recs):
+            rid, p, _ = recs[k]
+            k += 1
+            if rid == R_EOF:
+                break
+            try:
+                _parse_cell_record(rid, p, cells, sst, box)
+            except (struct.error, IndexError, UnicodeDecodeError) as e:
+                if errors is not None:
+                    errors.append((name, rid, repr(e)))
+        row_idx = 0
+        for r in sorted(cells):
+            row = cells[r]
+            width = max(row) + 1
+            yield name, row_idx, [row.get(c, "") for c in range(width)]
+            row_idx += 1
+
+
+def _parse_globals(
+    wb: bytes,
+) -> tuple[list[str], list[tuple[str, int]], list[tuple[int, bytes, int]]]:
+    """Workbook-globals substream: shared-string table + visible-sheet
+    directory, plus the full record list for the sheet scans."""
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []  # (name, stream offset of sheet BOF)
     recs = list(_records(wb))
@@ -312,85 +380,73 @@ def parse_xls_rows(
             sst = _parse_sst(chunks)
             i = j - 1
         i += 1
+    return sst, sheets, recs
 
-    offset_index = {off: k for k, (_, _, off) in enumerate(recs)}
 
-    for name, bof_off in sheets:
-        if sheet_prefix is not None and not name.startswith(sheet_prefix):
-            continue
-        k = offset_index.get(bof_off)
-        if k is None:
-            continue
-        cells: dict[int, dict[int, str]] = {}
-        pending_formula: tuple[int, int] | None = None
-        k += 1  # skip the sheet BOF itself
-        while k < len(recs):
-            rid, p, _ = recs[k]
-            k += 1
-            if rid == R_EOF:
-                break
-            if rid == R_LABELSST:
-                r, c, _xf, isst = struct.unpack_from("<HHHI", p)
-                cells.setdefault(r, {})[c] = sst[isst] if isst < len(sst) else ""
-            elif rid == R_NUMBER:
-                r, c = struct.unpack_from("<HH", p)
-                cells.setdefault(r, {})[c] = _fmt_num(
-                    struct.unpack_from("<d", p, 6)[0]
-                )
-            elif rid == R_RK:
-                r, c = struct.unpack_from("<HH", p)
-                cells.setdefault(r, {})[c] = _fmt_num(
-                    _decode_rk(struct.unpack_from("<I", p, 6)[0])
-                )
-            elif rid == R_MULRK:
-                r, c0 = struct.unpack_from("<HH", p)
-                n = (len(p) - 6) // 6
-                for m in range(n):
-                    rk = struct.unpack_from("<I", p, 4 + 6 * m + 2)[0]
-                    cells.setdefault(r, {})[c0 + m] = _fmt_num(_decode_rk(rk))
-            elif rid == R_LABEL:
-                r, c = struct.unpack_from("<HH", p)
-                cells.setdefault(r, {})[c] = _unicode_string_at(p, 6)
-            elif rid == R_BLANK:
-                r, c = struct.unpack_from("<HH", p)
+def _parse_cell_record(
+    rid: int,
+    p: bytes,
+    cells: dict[int, dict[int, str]],
+    sst: list[str],
+    box: list[tuple[int, int] | None],
+) -> None:
+    """Apply ONE cell record to the sheet accumulator. Split out so the
+    caller's E1 try/except wraps exactly one record's worth of parsing;
+    ``box`` carries the pending FORMULA→STRING cell across records."""
+    if rid == R_LABELSST:
+        r, c, _xf, isst = struct.unpack_from("<HHHI", p)
+        cells.setdefault(r, {})[c] = sst[isst] if isst < len(sst) else ""
+    elif rid == R_NUMBER:
+        r, c = struct.unpack_from("<HH", p)
+        cells.setdefault(r, {})[c] = _fmt_num(struct.unpack_from("<d", p, 6)[0])
+    elif rid == R_RK:
+        r, c = struct.unpack_from("<HH", p)
+        cells.setdefault(r, {})[c] = _fmt_num(
+            _decode_rk(struct.unpack_from("<I", p, 6)[0])
+        )
+    elif rid == R_MULRK:
+        r, c0 = struct.unpack_from("<HH", p)
+        n = (len(p) - 6) // 6
+        for m in range(n):
+            rk = struct.unpack_from("<I", p, 4 + 6 * m + 2)[0]
+            cells.setdefault(r, {})[c0 + m] = _fmt_num(_decode_rk(rk))
+    elif rid in (R_LABEL, R_RSTRING):
+        # RSTRING = LABEL + trailing formatting runs; the string parse is
+        # identical and the runs are irrelevant to extracted data
+        r, c = struct.unpack_from("<HH", p)
+        cells.setdefault(r, {})[c] = _unicode_string_at(p, 6)
+    elif rid == R_BLANK:
+        r, c = struct.unpack_from("<HH", p)
+        cells.setdefault(r, {})[c] = ""
+    elif rid == R_MULBLANK:
+        r, c0 = struct.unpack_from("<HH", p)
+        n = (len(p) - 6) // 2
+        for m in range(n):
+            cells.setdefault(r, {})[c0 + m] = ""
+    elif rid == R_BOOLERR:
+        r, c, _xf, v, is_err = struct.unpack_from("<HHHBB", p)
+        if is_err:
+            cells.setdefault(r, {})[c] = ""
+        else:
+            cells.setdefault(r, {})[c] = "TRUE" if v else "FALSE"
+    elif rid == R_FORMULA:
+        r, c = struct.unpack_from("<HH", p)
+        num = p[6:14]
+        if num[6:8] == b"\xff\xff":
+            kind = num[0]
+            if kind == 0:  # string result in a following STRING rec
+                box[0] = (r, c)
                 cells.setdefault(r, {})[c] = ""
-            elif rid == R_MULBLANK:
-                r, c0 = struct.unpack_from("<HH", p)
-                n = (len(p) - 6) // 2
-                for m in range(n):
-                    cells.setdefault(r, {})[c0 + m] = ""
-            elif rid == R_BOOLERR:
-                r, c, _xf, v, is_err = struct.unpack_from("<HHHBB", p)
-                if is_err:
-                    cells.setdefault(r, {})[c] = ""
-                else:
-                    cells.setdefault(r, {})[c] = "TRUE" if v else "FALSE"
-            elif rid == R_FORMULA:
-                r, c = struct.unpack_from("<HH", p)
-                num = p[6:14]
-                if num[6:8] == b"\xff\xff":
-                    kind = num[0]
-                    if kind == 0:  # string result in a following STRING rec
-                        pending_formula = (r, c)
-                        cells.setdefault(r, {})[c] = ""
-                    elif kind == 1:
-                        cells.setdefault(r, {})[c] = "TRUE" if num[2] else "FALSE"
-                    else:  # error / empty string
-                        cells.setdefault(r, {})[c] = ""
-                else:
-                    cells.setdefault(r, {})[c] = _fmt_num(
-                        struct.unpack("<d", num)[0]
-                    )
-            elif rid == R_STRING and pending_formula is not None:
-                r, c = pending_formula
-                cells.setdefault(r, {})[c] = _unicode_string_at(p, 0)
-                pending_formula = None
-        row_idx = 0
-        for r in sorted(cells):
-            row = cells[r]
-            width = max(row) + 1
-            yield name, row_idx, [row.get(c, "") for c in range(width)]
-            row_idx += 1
+            elif kind == 1:
+                cells.setdefault(r, {})[c] = "TRUE" if num[2] else "FALSE"
+            else:  # error / empty string
+                cells.setdefault(r, {})[c] = ""
+        else:
+            cells.setdefault(r, {})[c] = _fmt_num(struct.unpack("<d", num)[0])
+    elif rid == R_STRING and box[0] is not None:
+        r, c = box[0]
+        cells.setdefault(r, {})[c] = _unicode_string_at(p, 0)
+        box[0] = None
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,78 @@ def test_biff_sst_continue_spanning():
     assert biff._parse_sst([frag1, frag2, frag3]) == [s1, s2]
 
 
+def _handbuilt_xls(sheet_records: bytes) -> bytes:
+    """Minimal one-sheet .xls: globals (BOUNDSHEET pointing at the sheet
+    BOF) + the given sheet cell records, wrapped in a CFB container."""
+    import struct
+
+    from shuttlestandalonedbcreator_spark.sources import biff
+
+    bs_payload = struct.pack("<IBB", 0, 0, 0) + biff._short_xl_string("S")
+    globals_part = (
+        biff._bof(0x0005)
+        + biff._rec(biff.R_BOUNDSHEET, bs_payload)
+        + biff._rec(biff.R_EOF, b"")
+    )
+    bs_fixed = struct.pack("<IBB", len(globals_part), 0, 0) + biff._short_xl_string("S")
+    globals_part = (
+        biff._bof(0x0005)
+        + biff._rec(biff.R_BOUNDSHEET, bs_fixed)
+        + biff._rec(biff.R_EOF, b"")
+    )
+    sheet = biff._bof(0x0010) + sheet_records + biff._rec(biff.R_EOF, b"")
+    return biff.wrap_cfb(globals_part + sheet)
+
+
+def test_biff_rstring_and_per_cell_error_tolerance():
+    """Legacy RSTRING records parse like LABEL (runs ignored), and a
+    malformed cell record skips THAT record only (E1): surrounding cells
+    survive, the error is reported to the caller's sink."""
+    import struct
+
+    from shuttlestandalonedbcreator_spark.sources import biff
+
+    recs = (
+        # RSTRING at (0,0): LABEL layout + 1 formatting run appended
+        biff._rec(
+            biff.R_RSTRING,
+            struct.pack("<HHH", 0, 0, 0) + biff._xl_string("rich") + b"\x01\x00\x00\x00",
+        )
+        # malformed NUMBER at row 1: payload truncated mid-double
+        + biff._rec(biff.R_NUMBER, struct.pack("<HH", 1, 0) + b"\x00\x00\x01")
+        # healthy BOOLERR at (2,0) AFTER the bad record
+        + biff._rec(biff.R_BOOLERR, struct.pack("<HHHBB", 2, 0, 0, 1, 0))
+    )
+    errors: list = []
+    rows = list(biff.parse_xls_rows(_handbuilt_xls(recs), errors=errors))
+    assert rows == [("S", 0, ["rich"]), ("S", 1, ["TRUE"])]
+    assert len(errors) == 1 and errors[0][0] == "S" and errors[0][1] == biff.R_NUMBER
+
+
+def test_biff_corrupt_container_raises_valueerror():
+    """Corruption never escapes as struct.error/IndexError or hangs:
+    truncated CFB and corrupt workbook globals both surface as ValueError
+    (the per-FILE E2 contract), bad magic keeps its specific message."""
+    import pytest
+
+    from shuttlestandalonedbcreator_spark.sources import biff
+
+    good = _handbuilt_xls(b"")
+    with pytest.raises(ValueError, match="bad magic"):
+        biff.cfb_streams(b"\x00" * 100)
+    with pytest.raises(ValueError):
+        # cut mid-FAT: header parses, sector reads come back short
+        biff.cfb_streams(good[:600])
+    # corrupt globals: truncated BOUNDSHEET payload
+    bad_globals = (
+        biff._bof(0x0005)
+        + biff._rec(biff.R_BOUNDSHEET, b"\x01\x00")
+        + biff._rec(biff.R_EOF, b"")
+    )
+    with pytest.raises(ValueError, match="globals"):
+        list(biff.parse_xls_rows(biff.wrap_cfb(bad_globals)))
+
+
 def test_biff_rk_decode():
     from shuttlestandalonedbcreator_spark.sources.biff import _decode_rk
 

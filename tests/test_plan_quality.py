@@ -323,6 +323,55 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
     assert "Join" not in plan
 
 
+# Catalog queries whose plans legitimately contain a nested-loop join.
+# Every entry is an intentional construct with a bounded side:
+#   range_join_buckets      — inequality (band) join, tiny bucket table
+#   column_profile          — 1-row stats frame joined to 1-row stats frame
+#   embedding_topk          — broadcast query side × corpus (exact baseline)
+#   embedding_ivf_topk      — n_probe cell-probe cross on a tiny probe set
+#   embedding_cosine_neardup— exact pair generation (the oracle baseline;
+#                             the LSH entry is the scale path)
+#   gapfill_hourly/locf     — generated time spine × type dimension (tiny)
+#   tfidf_top_terms         — broadcast 1-row corpus-size aggregate
+#   vocab_build             — broadcast 1-row corpus-total aggregate
+#   mixture_sample          — broadcast 1-row weight-sum aggregate
+#   dormant_rich_customers  — broadcast 1-row scalar threshold (Q22 shape)
+_NESTED_LOOP_ALLOWED = {
+    "range_join_buckets",
+    "column_profile",
+    "embedding_topk",
+    "embedding_ivf_topk",
+    "embedding_cosine_neardup",
+    "gapfill_hourly",
+    "gapfill_locf",
+    "tfidf_top_terms",
+    "vocab_build",
+    "mixture_sample",
+    "dormant_rich_customers",
+}
+
+
+def test_no_unlisted_cartesian_or_nested_loop_in_catalog(spark, sf_small):
+    """Full-catalog quadratic-join gate: a CartesianProduct anywhere, or a
+    BroadcastNestedLoopJoin outside the documented allowlist, fails the
+    suite — a new query can't silently ship an accidental cross join.
+    Plans are built, not executed (join strategy is visible pre-AQE)."""
+    offenders = {}
+    for name in CATALOG:
+        plan = plan_of(spark, sf_small, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
+    # the allowlist must not go stale: every listed query still plans a NL
+    stale = {
+        n for n in _NESTED_LOOP_ALLOWED
+        if "BroadcastNestedLoopJoin" not in plan_of(spark, sf_small, n)
+    }
+    assert not stale, f"allowlist entries no longer nested-loop: {stale}"
+
+
 def test_nation_share_window_after_aggregate(spark, sf_small):
     # the unpartitioned window must sit ABOVE the aggregate (25 rows),
     # with the fact table reduced by partial+final agg first
