@@ -85,6 +85,10 @@ HEADLINE = (
     "forecast_revenue",
     "nation_revenue_share",
     "k_anonymity_audit",
+    "pii_scrub",
+    "cheapest_supplier_per_part",
+    "per_source_cap",
+    "json_variant_extract",
 )
 
 

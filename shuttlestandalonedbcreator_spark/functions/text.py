@@ -157,3 +157,29 @@ def doc_fingerprint(col: Column) -> Column:
     under whitespace/case/punctuation-spacing changes (the rolling-hash
     fingerprint class of the north star, realized portably)."""
     return F.md5(F.array_join(word_tokens(col), " "))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing (curation-pipeline privacy gate)
+# ---------------------------------------------------------------------------
+
+# Patterns are kept to the Java-regex ∩ RE2 common subset (no backrefs, no
+# lookaround) so Spark (java.util.regex) and DuckDB (RE2) match the SAME
+# spans — cross-engine parity is part of the contract, not luck.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Number of PII spans matched in the column (JVM-side regex)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP> (in that
+    order; replacement tokens can't create new matches). Spark's
+    regexp_replace is global by default — DuckDB needs the 'g' flag."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")

@@ -50,6 +50,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_vector(v: Column) -> Column:
+    """L2-normalize with the norm LET-BOUND via a 1-element array transform.
+
+    The naive `transform(v, x -> x / norm(v))` looks linear but is
+    quadratic after CollapseProject: HOF lambda bodies get no
+    common-subexpression elimination, so the norm's 64-element fold
+    re-evaluates per ELEMENT (64×64 ops/row). Binding it as a lambda
+    variable evaluates it once per row (the dedup.py:word_ngram_hashes
+    trick)."""
+    return F.element_at(
+        F.transform(
+            F.array(norm(v)),
+            lambda nrm: F.transform(v, lambda x: x.cast("double") / nrm),
+        ),
+        1,
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -176,11 +194,7 @@ def cosine_neardup_pairs(
     """
     unit = vectors.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_nrm"),
-    ).select(
-        "_id",
-        F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_nrm")).alias("_u"),
+        unit_vector(F.col(vec_col)).alias("_u"),
     )
     if exact:
         # left side fans out so the quadratic pair pass parallelizes even
@@ -195,18 +209,30 @@ def cosine_neardup_pairs(
         )
         return pairs.filter(F.col("cosine") >= threshold)
 
-    # scale path: candidates meet only inside an LSH signature bucket
+    # scale path: candidates meet only inside an LSH signature bucket.
+    # the bucket is computed under a let-bound _u (1-element array
+    # transform) so CollapseProject can't inline the normalization into
+    # all `planes` projection folds — without this the unit vector
+    # re-evaluates once per plane
     comps = _sign_planes(planes, dim)
-    sig_bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(v) for v in comps[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("_u"), plane, lambda x, hcol: x * hcol),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    tagged = unit.select("_id", "_u", F.concat(*sig_bits).alias("_bucket"))
+
+    def bucket_of(u: Column) -> Column:
+        bits = []
+        for p in range(planes):
+            plane = F.array(*[F.lit(v) for v in comps[p]])
+            proj = F.aggregate(
+                F.zip_with(u, plane, lambda x, hcol: x * hcol),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    tagged = unit.select(
+        "_id",
+        "_u",
+        F.element_at(F.transform(F.array(F.col("_u")), bucket_of), 1).alias("_bucket"),
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(

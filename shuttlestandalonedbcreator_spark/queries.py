@@ -3283,6 +3283,208 @@ HAVING COUNT(*) < 5
 # registry
 # ---------------------------------------------------------------------------
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction gate (functions/text.py:scrub_pii) — the
+    privacy pass every training-corpus pipeline runs before release. The
+    synthetic corpus contains no digits, so each doc gets DETERMINISTIC
+    doc_id-derived PII (an email, a phone, an IPv4) prepended inside the
+    query; the gate must find exactly those spans and the redacted-text
+    hash must agree across engines. Regexes live in the Java-regex ∩ RE2
+    common subset so Spark and DuckDB match identical spans. Narrow map,
+    shuffle-free — scales as a pure scan."""
+    from shuttlestandalonedbcreator_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count,
+        scrub_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    # let-bind the scrubbed string: hash + length both read it, and
+    # CollapseProject would otherwise run the 3 regexp_replace passes twice
+    red = F.element_at(
+        F.transform(
+            F.array(scrub_pii(injected)),
+            lambda s: F.struct(
+                F.md5(s).alias("h"), F.length(s).cast("long").alias("n")
+            ),
+        ),
+        1,
+    )
+    return docs.select(
+        "doc_id",
+        pii_count(injected, PII_EMAIL_RE).alias("n_emails"),
+        pii_count(injected, PII_PHONE_RE).alias("n_phones"),
+        pii_count(injected, PII_IPV4_RE).alias("n_ips"),
+        red["h"].alias("redacted_hash"),
+        red["n"].alias("n_redacted_chars"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+         concat('contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or +1 555-',
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.',
+                CAST((doc_id * 7) % 256 AS VARCHAR), ' ', text) AS t
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS red
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+       md5(red) AS redacted_hash,
+       CAST(length(red) AS BIGINT) AS n_redacted_chars
+FROM scrubbed
+"""
+
+
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on the available tables (no partsupp in the corpus):
+    per part, the supplier with the lowest observed unit price in
+    lineitem, ties to the smallest suppkey. The argmin-with-wide-payload
+    pattern done the scale-safe way: aggregate DOWN first (part×supplier
+    unit-price min — one shuffle with map-side partials), then a single
+    max_by/arg_min struct aggregate per part — NO join-back of the fact
+    table and no window over it; supplier dim broadcasts for the name.
+    Unit price is scaled-integer math so both engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    # exact: cents via DECIMAL(18,2) (round-half-up in BOTH engines —
+    # a bare double→BIGINT cast truncates in Spark but rounds in DuckDB),
+    # then micros-scaled floor division by the integral quantity
+    unit_cost = F.expr(
+        "(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cost).alias("_cost")
+    )
+    best = per_ps.groupBy("l_partkey").agg(
+        F.min_by(
+            F.col("l_suppkey"), F.struct(F.col("_cost"), F.col("l_suppkey"))
+        ).alias("s_key"),
+        F.min("_cost").alias("min_unit_cost_micros"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(s), best["s_key"] == s["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_name").alias("cheapest_supplier"),
+            (F.col("min_unit_cost_micros") / F.lit(1e6)).alias("min_unit_price"),
+        )
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000)
+             // CAST(l_quantity AS BIGINT)) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey,
+         arg_min(l_suppkey, cost * 9223372036854775808::HUGEINT + l_suppkey) AS s_key,
+         MIN(cost) AS min_cost
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       s_name AS cheapest_supplier,
+       min_cost / 1000000.0 AS min_unit_price
+FROM best JOIN supplier ON s_key = s_suppkey
+"""
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (crawl-frequency capping): keep at most 40
+    docs per source, preferring longer docs, deterministic (n_chars desc,
+    doc_id asc) order — the anti-domination gate that stops one source
+    from flooding the training mix. One window over the source partition;
+    at scale the partition key is the host and skewed hosts are exactly
+    the rows the cap discards, so the window never materializes more than
+    it keeps + discards per host."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= 40)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.col("rank_in_source").cast("int").alias("rank_in_source"),
+        )
+    )
+
+
+SQL_PER_SOURCE_CAP = """
+SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rank_in_source FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
+def q_json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT path for semi-structured props (Spark 4):
+    `parse_json` once → typed `variant_get` extractions — at scale this
+    beats per-field `get_json_object` re-parsing when several fields are
+    pulled from the same JSON blob (one parse, binary-encoded access).
+    Same aggregate contract as `json_extract_agg`, which keeps the
+    string-path variant for comparison."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_VARIANT_EXTRACT = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -3394,4 +3596,10 @@ CATALOG: dict[str, QueryDef] = {
         q_nation_revenue_share, SQL_NATION_REVENUE_SHARE
     ),
     "k_anonymity_audit": QueryDef(q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
+    "pii_scrub": QueryDef(q_pii_scrub, SQL_PII_SCRUB),
+    "cheapest_supplier_per_part": QueryDef(
+        q_cheapest_supplier_per_part, SQL_CHEAPEST_SUPPLIER_PER_PART
+    ),
+    "per_source_cap": QueryDef(q_per_source_cap, SQL_PER_SOURCE_CAP),
+    "json_variant_extract": QueryDef(q_json_variant_extract, SQL_JSON_VARIANT_EXTRACT),
 }
