@@ -89,6 +89,7 @@ HEADLINE = (
     "cheapest_supplier_per_part",
     "per_source_cap",
     "json_variant_extract",
+    "boilerplate_ngrams",
 )
 
 

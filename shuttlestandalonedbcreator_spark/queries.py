@@ -3485,6 +3485,71 @@ FROM x GROUP BY event_type
 """
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (template/nav-bar removal
+    family): a 3-gram is "boilerplate" when it appears in >= 5 distinct
+    docs; each doc reports how much of its distinct-gram set is
+    boilerplate. Distinct from `text_repetition` (within-doc) and
+    `benchmark_decontamination` (vs external set) — this is corpus
+    self-similarity. Plan: one explode of distinct per-doc grams, a gram
+    doc-frequency agg, and a semi join back keyed on the gram (inverted
+    index family — the hot-gram table is bounded by corpus vocabulary,
+    never by corpus size); left join restores zero-boilerplate docs."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 5)
+        .select("gram")
+    )
+    boiler = (
+        grams.join(hot, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    base = docs.select(
+        "doc_id", F.size(D.word_ngrams(F.col("text"), 3)).cast("long").alias("n_grams")
+    )
+    return base.join(boiler, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_boilerplate"),
+        F.round(
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), gsets AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), grams AS (
+  SELECT doc_id, unnest(g) AS gram FROM gsets
+), hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 5
+), boiler AS (
+  SELECT doc_id, COUNT(*) AS nb FROM grams WHERE gram IN (SELECT gram FROM hot) GROUP BY doc_id
+)
+SELECT gsets.doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_boilerplate,
+       round(CAST(COALESCE(nb, 0) AS DOUBLE) / CAST(greatest(len(g), 1) AS DOUBLE), 6) AS boilerplate_frac
+FROM gsets LEFT JOIN boiler ON gsets.doc_id = boiler.doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -3602,4 +3667,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "per_source_cap": QueryDef(q_per_source_cap, SQL_PER_SOURCE_CAP),
     "json_variant_extract": QueryDef(q_json_variant_extract, SQL_JSON_VARIANT_EXTRACT),
+    "boilerplate_ngrams": QueryDef(q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
 }

@@ -1,0 +1,51 @@
+"""Stream-stream interval join (§2.9 extension surface).
+
+The reference's protocol is single-stream file ingest; a training-data /
+telemetry pipeline additionally correlates TWO live streams (impressions
+with clicks, requests with errors) — the canonical Structured Streaming
+stream-stream join. The crucial scale property is BOUNDED STATE: both
+sides carry a watermark and the join condition carries a time-range
+predicate, so Spark can evict left rows once `left_ts + max_delay` falls
+behind the right watermark (and vice versa). An equality-only
+stream-stream join would buffer both streams forever.
+
+Plan shape: both streams shuffle on the join key (co-partitioned state
+stores); the time-range predicate prunes state, it does not shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner-join two event streams on ``key`` where the right event lands
+    within ``[left_ts, left_ts + max_delay]``.
+
+    Works identically for batch DataFrames (watermarks are a no-op there),
+    so batch-vs-stream equivalence is testable — the engine's standard
+    one-code-path contract (streaming/windows.py does the same).
+    """
+    is_streaming = left.isStreaming or right.isStreaming
+    lf, rf = left.alias("l"), right.alias("r")
+    if is_streaming:
+        lf = left.withWatermark(left_ts, watermark).alias("l")
+        rf = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lf.join(rf, cond, "inner")

@@ -316,6 +316,49 @@ def test_hourly_rollup_incremental_maintenance(spark, sf_small, tmp_path):
             assert mt == before[d], f"untouched partition {d} was rewritten"
 
 
+def test_stream_stream_interval_join_matches_batch(spark, event_stream):
+    """Stream-STREAM interval join (streaming/joins.py): views correlated
+    with same-user clicks within 1 hour. Both sides are the same
+    micro-batched source filtered differently; watermark spans the full
+    data so no row is dropped as late, and the result must equal the
+    identical plan over the batch frame. Output rows are projected to a
+    stable key set before comparison."""
+    from shuttlestandalonedbcreator_spark.streaming.joins import interval_join
+
+    ev, stream = event_stream
+
+    def correlated(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        ).withColumnRenamed("c_user", "user_id")
+        joined = interval_join(
+            views, clicks, "user_id", "view_ts", "click_ts",
+            max_delay="1 hour", watermark=_FULL_SPAN,
+        )
+        return joined.select("l.view_id", "r.click_id")
+
+    q = (
+        correlated(stream)
+        .writeStream.format("memory")
+        .queryName("ssjoin_mem")
+        .outputMode("append")  # joins emit finalized rows, not aggregates
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.exception() is not None:
+        raise q.exception()
+    name = "ssjoin_mem"
+    got = _canon(spark.table(name), ["view_id", "click_id"])
+    want = _canon(correlated(ev), ["view_id", "click_id"])
+    assert got == want and len(want) > 0
+
+
 def test_stream_static_broadcast_enrichment(spark, event_stream):
     """Stream-static join: a micro-batch stream enriched against a static
     broadcast dimension (per-user segment), then windowed counts per
