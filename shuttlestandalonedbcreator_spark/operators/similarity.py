@@ -395,10 +395,13 @@ def matmul_topk(
                 # global (score desc, neighbor_id asc) tie-break would keep
                 col = scores[:, j]
                 boundary = np.partition(col, len(col) - top)[len(col) - top]
+                # NaN scores (zero-norm vectors) fail `>= boundary` and drop
+                # out of cand — emit len(idx) rows, not a fixed `top`, so the
+                # batch columns stay aligned
                 cand = np.flatnonzero(col >= boundary)
                 order = np.lexsort((ids[cand], -col[cand]))[:top]
                 idx = cand[order]
-                out_q.extend([q_ids[j]] * top)
+                out_q.extend([q_ids[j]] * len(idx))
                 out_n.extend(ids[idx])
                 out_s.extend(col[idx])
             yield pd.DataFrame(

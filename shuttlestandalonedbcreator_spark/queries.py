@@ -58,13 +58,21 @@ _TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+    from shuttlestandalonedbcreator_spark.sources.registry import ensure_utc, load_table
 
+    # the UTC pin must hold on cache HITS too — a cached plan evaluates
+    # its timestamp expressions under whatever zone the session has at
+    # EXECUTION time, so skipping ensure_utc here would reopen the
+    # load-order-dependence the loader invariant closed
+    ensure_utc(spark)
     # keyed on the session OBJECT (not id()) so a stopped-and-recreated
-    # session can never alias a stale cache entry
+    # session can never alias a stale cache entry; bounded so long-lived
+    # processes with many sessions/sf_dirs can't pin plans forever
     key = (spark, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
+        if len(_TABLE_CACHE) >= 512:
+            _TABLE_CACHE.clear()
         df = _TABLE_CACHE[key] = load_table(spark, sf_dir, name)
     return df
 

@@ -72,11 +72,19 @@ def _cfb_streams_inner(data: bytes) -> dict[str, bytes]:
         off = (n + 1) * sector_size
         return data[off : off + sector_size]
 
-    # DIFAT: 109 header entries, then chained DIFAT sectors
+    # DIFAT: 109 header entries, then chained DIFAT sectors. The walk is
+    # cycle-guarded and bounded by the file's actual sector count — a
+    # corrupt header (num_difat=0xFFFFFFFF, self-pointing chain) must not
+    # spin/grow unbounded
     difat = list(struct.unpack_from("<109I", data, 76))
     s = first_difat
     per = sector_size // 4 - 1
-    for _ in range(num_difat):
+    max_sectors = len(data) // sector_size + 1
+    seen_difat: set[int] = set()
+    for _ in range(min(num_difat, max_sectors)):
+        if s in seen_difat:
+            raise ValueError("corrupt CFB: DIFAT chain cycles")
+        seen_difat.add(s)
         chunk = struct.unpack_from(f"<{per + 1}I", sector(s))
         difat.extend(chunk[:-1])
         s = chunk[-1]

@@ -36,6 +36,7 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Callable
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,8 +87,11 @@ def watch_folder(
 
     # basename minus the streaming container's own extension — the
     # equivalent batch input is the bare workbook name (F3 strips only
-    # .xlsx/.xls, reference :941)
+    # .xlsx/.xls, reference :941). input_file_name() is a percent-encoded
+    # URI ('Job B.csv' → 'Job%20B.csv'): protect literal '+' (url_decode
+    # is form-decoding and would turn it into a space), then decode %XX
     basename = F.element_at(F.split(F.col("_source_file"), "/"), -1)
+    basename = F.url_decode(F.regexp_replace(basename, r"\+", "%2B"))
     if file_format == "csv":
         basename = F.regexp_replace(basename, r"\.csv$", "")
     pipeline = transform or (lambda batch: ingest(
@@ -111,7 +115,13 @@ def watch_folder(
         if eager_archive and archive_dir:
             os.makedirs(archive_dir, exist_ok=True)
             for uri in src_files:
-                p = uri.removeprefix("file://").removeprefix("file:")
+                # input_file_name() yields a percent-encoded file URI —
+                # decode properly or 'Job A.csv' ('Job%20A.csv') is
+                # silently never archived
+                if uri.startswith("file:"):
+                    p = unquote(urlparse(uri).path)
+                else:
+                    p = uri
                 if os.path.exists(p):
                     shutil.move(p, os.path.join(archive_dir, os.path.basename(p)))
 

@@ -35,11 +35,10 @@ def interval_join(
     so batch-vs-stream equivalence is testable — the engine's standard
     one-code-path contract (streaming/windows.py does the same).
     """
-    is_streaming = left.isStreaming or right.isStreaming
+    if left.isStreaming or right.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
     lf, rf = left.alias("l"), right.alias("r")
-    if is_streaming:
-        lf = left.withWatermark(left_ts, watermark).alias("l")
-        rf = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))

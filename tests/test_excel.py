@@ -204,6 +204,18 @@ def test_biff_corrupt_container_raises_valueerror():
     with pytest.raises(ValueError):
         # cut mid-FAT: header parses, sector reads come back short
         biff.cfb_streams(good[:600])
+    # self-pointing DIFAT chain + huge num_difat must terminate with
+    # ValueError, not spin for 2^32 iterations
+    import struct as _s
+
+    looped = bytearray(good)
+    sector_size = 1 << _s.unpack_from("<H", looped, 30)[0]
+    _s.pack_into("<I", looped, 68, 0)  # first DIFAT sector = sector 0
+    _s.pack_into("<I", looped, 72, 0xFFFFFFFE)  # absurd num_difat
+    # sector 0's chain pointer (its last uint) points back to sector 0
+    _s.pack_into("<I", looped, (0 + 1) * sector_size + sector_size - 4, 0)
+    with pytest.raises(ValueError):
+        biff.cfb_streams(bytes(looped))
     # corrupt globals: truncated BOUNDSHEET payload
     bad_globals = (
         biff._bof(0x0005)

@@ -357,8 +357,8 @@ def test_no_unlisted_cartesian_or_nested_loop_in_catalog(spark, sf_small):
     suite — a new query can't silently ship an accidental cross join.
     Plans are built, not executed (join strategy is visible pre-AQE)."""
     offenders = {}
-    for name in CATALOG:
-        plan = plan_of(spark, sf_small, name)
+    plans = {name: plan_of(spark, sf_small, name) for name in CATALOG}
+    for name, plan in plans.items():
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
@@ -366,8 +366,7 @@ def test_no_unlisted_cartesian_or_nested_loop_in_catalog(spark, sf_small):
     assert not offenders, offenders
     # the allowlist must not go stale: every listed query still plans a NL
     stale = {
-        n for n in _NESTED_LOOP_ALLOWED
-        if "BroadcastNestedLoopJoin" not in plan_of(spark, sf_small, n)
+        n for n in _NESTED_LOOP_ALLOWED if "BroadcastNestedLoopJoin" not in plans[n]
     }
     assert not stale, f"allowlist entries no longer nested-loop: {stale}"
 

@@ -275,6 +275,22 @@ def test_compact_parquet_reduces_files_preserves_data(spark, sf_small, tmp_path)
     assert not os.path.exists(tbl + "._compact_old")
 
 
+def test_matmul_topk_tolerates_zero_norm_vectors(spark):
+    """A zero embedding normalizes to NaN scores; batch-local pruning must
+    emit short (not misaligned) batches, the NaN row just never ranks."""
+    from shuttlestandalonedbcreator_spark.operators.similarity import matmul_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).selectExpr(
+        "vec_id as qid", "embedding as qv"
+    )
+    out = matmul_topk(df, q, "vec_id", "embedding", "qid", "qv", k=3).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    # the zero vector (id 1) is excluded; the three finite rows rank
+    assert got == [(0, 1), (2, 2), (3, 3)]
+
+
 def test_compact_parquet_recovers_from_crash_states(spark, sf_small, tmp_path):
     """The two-rename swap has a crash window (ADVICE r1): between the
     renames the table lives at ._compact_old with nothing at `path`. A

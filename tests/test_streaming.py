@@ -95,7 +95,9 @@ def test_folder_protocol_eager_archive(spark, tmp_path):
         source / "JobA.csv",
         [_row("/A", "", "10", "success"), _row("/A/f1.pdf", "100", "11", "success")],
     )
-    _write_report_csv(source / "JobB.csv", [_row("/B/f2.pdf", "200", "20", "failed")])
+    # space in the name: input_file_name() percent-encodes the URI, which
+    # the eager move must decode or the file silently stays in source/
+    _write_report_csv(source / "Job B.csv", [_row("/B/f2.pdf", "200", "20", "failed")])
 
     q = watch_folder(
         spark,
@@ -111,11 +113,11 @@ def test_folder_protocol_eager_archive(spark, tmp_path):
         raise q.exception()
 
     # same-poll parity: both files archived, source drained, data landed
-    assert sorted(os.listdir(processed)) == ["JobA.csv", "JobB.csv"]
+    assert sorted(os.listdir(processed)) == ["Job B.csv", "JobA.csv"]
     assert os.listdir(source) == []
     out = read_deduplicated(spark, str(tmp_path / "sink"))
     assert out.count() == 3
-    assert {r["job_name"] for r in out.collect()} == {"JobA", "JobB"}
+    assert {r["job_name"] for r in out.collect()} == {"JobA", "Job B"}
 
 
 @pytest.fixture(scope="module")
