@@ -83,17 +83,35 @@ def write_transfer_table(
     path: str,
     partition_by: tuple[str, ...] = ("job_name",),
     mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
-    """Primary sink: parquet partitioned on the hot filter key(s).
+    """Primary sink: columnar files partitioned on the hot filter key(s).
 
     Partition pruning then serves the reference's indexed lookups
     (`WHERE job_name = ...` README.md:82) without any index structure.
+    ``file_format`` accepts any Spark-native columnar format — parquet
+    (default) or orc; both carry the same pruning/pushdown behavior, orc
+    matters for Hive-ecosystem consumers.
     """
-    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    df.write.mode(mode).partitionBy(*partition_by).format(file_format).save(path)
 
 
-def read_transfer_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_transfer_table(
+    spark: SparkSession,
+    path: str,
+    file_format: str = "parquet",
+    tolerate_corrupt: bool = False,
+) -> DataFrame:
+    """Read the sink back. ``tolerate_corrupt=True`` is the E2 per-FILE
+    tolerance for the columnar sink itself: a truncated/garbage data file
+    (crashed writer, partial copy) is skipped with a warning instead of
+    failing every query over the table — the scan-level analogue of the
+    per-row skip in the sources. Applied per-read via the datasource
+    option, NOT session-wide, so normal reads keep fail-fast semantics."""
+    reader = spark.read.format(file_format)
+    if tolerate_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.load(path)
 
 
 def export_sqlite(df: DataFrame, db_path: str, batch_size: int = SQLITE_BATCH) -> int:

@@ -38,6 +38,48 @@ def test_parquet_partitioned_sink(spark, transfer_df, tmp_path):
     assert "PartitionFilters: [isnotnull(job_name" in plan
 
 
+def test_orc_sink_round_trip_with_pruning(spark, transfer_df, tmp_path):
+    """The same sink contract over ORC: identical data back, and the hot
+    filter key still prunes partitions at the scan (format-agnostic
+    layout: hive directories carry the pruning, not the file format)."""
+    path = str(tmp_path / "transfer_orc")
+    sinks.write_transfer_table(
+        transfer_df, path, partition_by=("job_name",), file_format="orc"
+    )
+    back = sinks.read_transfer_table(spark, path, file_format="orc")
+    assert sorted(r["file_name"] for r in back.collect()) == [
+        "/A/f1.pdf",
+        "/B/f2.pdf",
+        "/B/f3.pdf",
+    ]
+    plan = (
+        back.filter(F.col("job_name") == "JobB")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(job_name" in plan
+
+
+def test_corrupt_data_file_tolerated_per_read(spark, transfer_df, tmp_path):
+    """E2 at the sink layer: one truncated parquet part must fail the
+    default read but be skipped under tolerate_corrupt=True — scoped to
+    the read, not flipped session-wide."""
+    import os
+
+    path = str(tmp_path / "transfer")
+    sinks.write_transfer_table(transfer_df, path, partition_by=("job_name",))
+    # corrupt the JobB partition's data files (may be >1 part file)
+    part_dir = os.path.join(path, "job_name=JobB")
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(part_dir, f), "wb") as fh:
+                fh.write(b"not parquet at all")
+
+    with pytest.raises(Exception):
+        sinks.read_transfer_table(spark, path).collect()
+    survivors = sinks.read_transfer_table(spark, path, tolerate_corrupt=True)
+    assert {r["file_name"] for r in survivors.collect()} == {"/A/f1.pdf"}
+
+
 def test_sqlite_export_parity(spark, transfer_df, tmp_path):
     db = str(tmp_path / "transfer_reports.db")
     n = sinks.export_sqlite(transfer_df, db, batch_size=2)
