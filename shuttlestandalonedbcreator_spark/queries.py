@@ -931,14 +931,59 @@ SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM (
 """
 
 
+def _sql_sign_bucket(vec: str, planes: int, dim: int) -> str:
+    """Concatenated sign-bit bucket expression over a DOUBLE[] column
+    named ``vec`` — mirrors operators/similarity.py sign-LSH: plane p's
+    component for dim d is +1/-1 by md5('{1000+p}|{d}') parity, the
+    projection is a left-to-right sum (list_sum)."""
+    bits = []
+    for p in range(planes):
+        comp = (
+            f"CASE WHEN CAST(('0x' || substr(md5(concat('{1000 + p}|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+        proj = f"list_sum(list_transform(range(0, {dim}), d -> {vec}[d+1] * ({comp})))"
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate per-vector top-5 — the scale path
-    (join keyed on bucket signature; no quadratic pass). Rows-only check:
-    the bucketing is reproducible but heavy to restate in SQL."""
+    (join keyed on bucket signature; no quadratic pass). Oracle-checked:
+    the md5-derived hyperplane buckets restate in generated SQL
+    (`_sql_lsh_topk`, same machinery as the cosine near-dup oracle);
+    recall vs exact is pinned by test_lsh_topk_finds_duplicate_clusters."""
     emb = _t(spark, sf_dir, "embeddings")
     return V.lsh_topk(emb, "vec_id", "embedding", k=5, planes=8, dim=64).withColumn(
         "rank", F.col("rank").cast("int")
     )
+
+
+def _sql_lsh_topk(k: int = 5, planes: int = 8, dim: int = 64) -> str:
+    """DuckDB oracle for lsh_topk: bucket on the RAW vector (the operator
+    folds x.cast(double)*h over the un-normalized column), candidates are
+    same-bucket pairs both directions, score is true cosine, per-query
+    top-k with (score desc, neighbor asc) ties."""
+    bucket = _sql_sign_bucket("e", planes, dim)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), tagged AS (
+  SELECT vec_id, e, {bucket} AS bkt FROM v
+), cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+  FROM tagged a JOIN tagged b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM cand
+) WHERE rk <= {k}
+"""
+
+
+SQL_EMBEDDING_LSH_TOPK = _sql_lsh_topk()
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,20 +1205,10 @@ def q_embedding_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _sql_cosine_lsh(threshold: float = 0.4, planes: int = 6, dim: int = 64) -> str:
-    """DuckDB oracle for the sign-LSH cosine path. Mirrors
-    operators/similarity.py:cosine_neardup_pairs(exact=False): plane p's
-    component for dim d is +1/-1 by md5('{1000+p}|{d}') parity, the
-    projection is a left-to-right sum over the unit vector (list_sum),
-    and the bucket is the concatenated sign bits."""
-    bits = []
-    for p in range(planes):
-        comp = (
-            f"CASE WHEN CAST(('0x' || substr(md5(concat('{1000 + p}|', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0 "
-            "THEN 1.0 ELSE -1.0 END"
-        )
-        proj = f"list_sum(list_transform(range(0, {dim}), d -> ue[d+1] * ({comp})))"
-        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-    bucket = "concat(" + ", ".join(bits) + ")"
+    """DuckDB oracle for the sign-LSH cosine near-dup path
+    (cosine_neardup_pairs(exact=False)): bucket on the UNIT vector, pair
+    within buckets, verify with true cosine."""
+    bucket = _sql_sign_bucket("ue", planes, dim)
     return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -3604,7 +3639,7 @@ CATALOG: dict[str, QueryDef] = {
     "minhash_lsh_dedup": QueryDef(q_minhash_lsh_dedup, SQL_MINHASH_LSH),
     "simhash": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk": QueryDef(q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, None),
+    "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_topk_blas": QueryDef(q_embedding_topk_blas, SQL_EMBEDDING_TOPK_BLAS),
     "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
     "approx_aggregates": QueryDef(q_approx_aggregates, None),
