@@ -183,3 +183,41 @@ def test_chunk_tokens_coverage_invariants(spark, doc_lens, size, stride):
         for a, b in zip(chunks, chunks[1:]):
             if len(a["chunk"]) == size:
                 assert a["chunk"][stride:] == b["chunk"][: size - stride]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc ._%+-@0123456789\n",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scrub_pii_idempotent_and_clean(spark, texts):
+    """Scrubbing is idempotent (replacement tokens never create new
+    matches) and a scrubbed text carries zero detectable PII — on
+    arbitrary '@'/digit/punctuation soup, not just the injected fixtures."""
+    from shuttlestandalonedbcreator_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = scrub_pii(F.col("t"))
+    rows = df.select(
+        once.alias("once"),
+        scrub_pii(once).alias("twice"),
+        pii_count(once, PII_EMAIL_RE).alias("e"),
+        pii_count(once, PII_PHONE_RE).alias("p"),
+        pii_count(once, PII_IPV4_RE).alias("i"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+        assert (r["e"], r["p"], r["i"]) == (0, 0, 0)
