@@ -90,6 +90,7 @@ HEADLINE = (
     "per_source_cap",
     "json_variant_extract",
     "boilerplate_ngrams",
+    "salted_join_revenue",
 )
 
 

@@ -64,3 +64,29 @@ def top_k_per_key_skew_safe(
         .filter(F.col("_r2") <= k)
         .drop("_salt", "_r1", "_r2")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit-salt equi-join on a same-named ``key`` for hot keys AQE
+    can't split (e.g. skew introduced by an upstream explode, or a
+    build side that must stay shuffled).
+
+    Big side gets a random salt per row; small side is replicated once
+    per salt value, so every big row still meets exactly ONE copy of its
+    matching small row — the result is row-identical to the unsalted
+    join (the catalog's `salted_join_revenue` hash-verifies this against
+    a plain-join oracle), while the hot key's rows spread over
+    ``salt_buckets`` reducers. Cost: |small| × salt_buckets build rows.
+    """
+    small_rep = small.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt"),
+    )
+    big_s = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    return big_s.join(small_rep, [key, "_salt"], how).drop("_salt")

@@ -3593,6 +3593,40 @@ FROM gsets LEFT JOIN boiler ON gsets.doc_id = boiler.doc_id
 """
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-salt join (operators/skew.py:salted_join) proving the
+    skew-mitigation machinery is RESULT-neutral: lineitem joins supplier
+    on a salted key (supplier replicated per salt bucket, fact side
+    randomly salted), then per-nation revenue. The oracle is the PLAIN
+    join — salting must change the shuffle layout, never the answer.
+    Revenue goes through the engine's exact scaled-integer accumulation."""
+    from shuttlestandalonedbcreator_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            * 1_000_000
+        ).cast("long").alias("_rev"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, s, "s_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("_rev") / F.lit(1e6)).alias("revenue"),
+    )
+
+
+SQL_SALTED_JOIN_REVENUE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -3711,4 +3745,5 @@ CATALOG: dict[str, QueryDef] = {
     "per_source_cap": QueryDef(q_per_source_cap, SQL_PER_SOURCE_CAP),
     "json_variant_extract": QueryDef(q_json_variant_extract, SQL_JSON_VARIANT_EXTRACT),
     "boilerplate_ngrams": QueryDef(q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "salted_join_revenue": QueryDef(q_salted_join_revenue, SQL_SALTED_JOIN_REVENUE),
 }
