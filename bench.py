@@ -91,6 +91,7 @@ HEADLINE = (
     "json_variant_extract",
     "boilerplate_ngrams",
     "salted_join_revenue",
+    "numeric_correlations",
 )
 
 

@@ -3627,6 +3627,36 @@ GROUP BY s_nationkey
 """
 
 
+def q_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance and both stddevs of (quantity, extendedprice) per return
+    flag — the feature-relationship profiling pass (leakage checks,
+    feature pruning) over a fact table. Single hash aggregate with
+    map-side partials; the moment accumulators are mergeable, so the
+    plan is the same partial+final shape as any sum. Rounded to 6 both
+    engines (both use numerically stable single-pass accumulation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 6).alias("covar_qty_price"),
+        F.round(F.stddev_samp(q), 6).alias("sd_qty"),
+        F.round(F.stddev_samp(p), 6).alias("sd_price"),
+    )
+
+
+SQL_NUMERIC_CORRELATIONS = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 6) AS sd_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -3746,4 +3776,7 @@ CATALOG: dict[str, QueryDef] = {
     "json_variant_extract": QueryDef(q_json_variant_extract, SQL_JSON_VARIANT_EXTRACT),
     "boilerplate_ngrams": QueryDef(q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "salted_join_revenue": QueryDef(q_salted_join_revenue, SQL_SALTED_JOIN_REVENUE),
+    "numeric_correlations": QueryDef(
+        q_numeric_correlations, SQL_NUMERIC_CORRELATIONS
+    ),
 }
