@@ -92,6 +92,17 @@ HEADLINE = (
     "boilerplate_ngrams",
     "salted_join_revenue",
     "numeric_correlations",
+    "order_priority_checks",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "returned_item_customers",
+    "important_parts",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "supplier_part_variety",
+    "small_qty_avg_revenue",
+    "qualified_green_suppliers",
 )
 
 

@@ -3657,6 +3657,481 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation/join-shape batch (Q4/Q7/Q8/Q9/Q10/Q11/Q13/Q15/Q16/
+# Q17/Q20 adapted to the available columns: no partsupp table, no
+# commit/receipt dates — each keeps the query's *plan shape*, which is
+# what matters for the engine surface). Money math is the exact
+# scaled-long formulation (_exact_sum) throughout.
+# ---------------------------------------------------------------------------
+
+
+def _rev_micros() -> F.Column:
+    """Per-row revenue in exact integer micros (portable HALF_UP cast)."""
+    return (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+
+
+_SQL_REV_MICROS = (
+    "CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"
+    " * 1000000 AS BIGINT)"
+)
+
+
+def q_order_priority_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated NON-EQUI predicate
+    (lineitem shipped >60 days after its order's date), decorrelated into
+    a LEFT SEMI join whose condition mixes the equi orderkey with the
+    cross-table date comparison. Catalyst keeps orderkey as the shuffle
+    key (hash semi join) and evaluates the date predicate as a join
+    residual — no window, no double scan of orders."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_ORDER_PRIORITY_CHECKS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flowing between a block of nations by
+    ship year (cross-nation trade only). Join order chosen for scale: the two dimension chains
+    (supplier→nation, customer→nation) BROADCAST onto the fact sides and
+    their nation filters apply before the one real shuffle
+    (lineitem⋈orders on orderkey) — so the shuffled rows are only the
+    pre-filtered trade between the two nations, not the whole fact
+    table."""
+    n_pair = (0, 1, 2, 3, 4)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.year("l_shipdate").cast("int").alias("ship_year"),
+        _rev_micros().alias("_rev"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").filter(
+        F.col("s_nationkey").isin(*n_pair)
+    )
+    li_s = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]).select(
+        "l_orderkey", "ship_year", "_rev", F.col("s_nationkey").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").filter(
+        F.col("c_nationkey").isin(*n_pair)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o_c = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", F.col("c_nationkey").alias("cust_nation")
+    )
+    traded = li_s.join(o_c, li_s["l_orderkey"] == o_c["o_orderkey"]).filter(
+        F.col("supp_nation") != F.col("cust_nation")
+    )
+    return traded.groupBy("supp_nation", "cust_nation", "ship_year").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("_rev") / F.lit(1e6)).alias("revenue"),
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(*) AS n_items,
+       CAST(SUM({_SQL_REV_MICROS}) AS BIGINT) / 1000000.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE s_nationkey IN (0, 1, 2, 3, 4) AND c_nationkey IN (0, 1, 2, 3, 4)
+  AND s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of PROMO-part revenue sold to
+    ASIA-region customers, per order year. The share is a conditional
+    sum over the same rows as the total — ONE aggregate with two
+    branches, not two scans; numerator/denominator stay exact integer
+    micros until the final rounded division."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev_micros().alias("_rev")
+    )
+    li_p = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li_ps = li_p.join(F.broadcast(s), li_p["l_suppkey"] == s["s_suppkey"]).select(
+        "l_orderkey", "_rev", F.col("s_nationkey").alias("supp_nation")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c_asia = c.join(F.broadcast(nat), c["c_nationkey"] == nat["n_nationkey"]).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    o_c = o.join(F.broadcast(c_asia), o["o_custkey"] == c_asia["c_custkey"]).select(
+        "o_orderkey", "order_year"
+    )
+    rows = li_ps.join(o_c, li_ps["l_orderkey"] == o_c["o_orderkey"])
+    agg = rows.groupBy("order_year").agg(
+        F.sum(F.when(F.col("supp_nation") == 7, F.col("_rev")).otherwise(F.lit(0))).alias("_num"),
+        F.sum("_rev").alias("_den"),
+    )
+    return agg.select(
+        "order_year",
+        (F.col("_num") / F.lit(1e6)).alias("nation_revenue"),
+        (F.col("_den") / F.lit(1e6)).alias("total_revenue"),
+        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6).alias("mkt_share"),
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH rows_ AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS order_year, s_nationkey,
+         {_SQL_REV_MICROS} AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey AND n_regionkey = 2
+)
+SELECT CAST(order_year AS INTEGER) AS order_year,
+       CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev ELSE 0 END) AS BIGINT) / 1000000.0 AS nation_revenue,
+       CAST(SUM(rev) AS BIGINT) / 1000000.0 AS total_revenue,
+       round(CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+FROM rows_
+GROUP BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
+    order year. No partsupp in this corpus, so supply cost is modeled as
+    half the part's retail price — the POINT is the plan: two broadcast
+    dims (part-filtered, supplier) folded onto lineitem before the single
+    orderkey shuffle, profit accumulated as exact integer micros
+    (revenue micros minus qty × retail-half-cents × 10^4)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").alias("_retail_cents"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _rev_micros().alias("_rev"),
+        F.col("l_quantity").cast("long").alias("_qty"),
+    )
+    li_p = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("_rev") - F.col("_qty") * F.col("_retail_cents") * 5000).alias("_profit"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li_ps = li_p.join(F.broadcast(s), li_p["l_suppkey"] == s["s_suppkey"])
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year")
+    )
+    rows = li_ps.join(o, li_ps["l_orderkey"] == o["o_orderkey"])
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rows.groupBy("s_nationkey", "order_year")
+        .agg((F.sum("_profit") / F.lit(1e6)).alias("profit"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "order_year", "profit")
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM({_SQL_REV_MICROS}
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 5000)
+            AS BIGINT) / 1000000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Aggregate down to custkey FIRST (the only wide shuffle),
+    then broadcast-join the customer/nation payload onto just the
+    aggregated rows, then TakeOrderedAndProject for the global top-k —
+    never a full sort. Deterministic ties: (revenue desc, custkey)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _rev_micros().alias("_rev")
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("_rev").alias("_rev_sum"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nat), c["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            (F.col("_rev_sum") / F.lit(1e6)).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM({_SQL_REV_MICROS}) AS BIGINT) / 1000000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the GLOBAL total — the scalar-subquery-in-HAVING pattern. The global
+    total rides along as a broadcast 1-row aggregate crossJoin (no
+    driver-side collect, one plan), and the threshold comparison is pure
+    integer math (value·10000 > total) so no epsilon can disagree
+    between engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("_cents").alias("_value"))
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") * 10000 > F.col("_total"))
+        .select("l_partkey", (F.col("_value") / F.lit(100.0)).alias("part_value"))
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value_ / 100.0 AS part_value
+FROM per_part
+WHERE value_ * 10000 > (SELECT SUM(value_) FROM per_part)
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer INCLUDING
+    zero-order customers — a LEFT OUTER join whose filter lives in the
+    JOIN CONDITION (not WHERE, which would turn it inner), then two
+    stacked aggregations. count(o_orderkey) counts only matched rows,
+    exactly the outer-join-aware count the shape exists to test."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAX quarterly revenue —
+    scalar-max subquery kept tie-faithful (every supplier at the max is
+    returned). Revenue stays integer micros end-to-end so the equality
+    against the max is exact; the max rides as a broadcast 1-row agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", _rev_micros().alias("_rev"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("_rev").alias("_rev_sum"))
+    mx = per_supp.agg(F.max("_rev_sum").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev_sum") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", (F.col("_rev_sum") / F.lit(1e6)).alias("total_revenue"))
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_SQL_REV_MICROS}) AS BIGINT) AS rev_sum
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_sum / 1000000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_sum = (SELECT MAX(rev_sum) FROM rev)
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, EXCLUDING a blacklist via anti-join (the NOT IN subquery).
+    The fact table collapses to distinct (attrs, suppkey) in the same
+    shuffle that feeds the count-distinct — no second wide exchange; the
+    blacklist (suppliers in arrears) broadcasts to the anti join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rows = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    )
+    return rows.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_SUPPLIER_PART_VARIETY = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half their part's average quantity — the correlated scalar-AVG
+    subquery, decorrelated into a per-part pre-aggregate joined back to
+    the (brand-filtered) fact rows. The threshold test is cross-
+    multiplied into pure integers (2·qty·cnt < sum) so the 'average'
+    never materializes as a float; the per-part agg is broadcast (one
+    row per part ≪ fact)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("_qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
+    )
+    li_b = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_partkey", "_qty", "_cents"
+    )
+    per_part = li_b.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qty").alias("_qty_sum"), F.count(F.lit(1)).alias("_cnt")
+    )
+    picked = li_b.join(
+        F.broadcast(per_part), li_b["l_partkey"] == per_part["_pk"]
+    ).filter(F.lit(2) * F.col("_qty") * F.col("_cnt") < F.col("_qty_sum"))
+    return picked.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("_cents") / F.lit(700.0), 6).alias("avg_yearly"),
+    )
+
+
+SQL_SMALL_QTY_AVG_REVENUE = """
+WITH li_b AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+), per_part AS (
+  SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS qty_sum, COUNT(*) AS cnt
+  FROM li_b GROUP BY 1
+)
+SELECT COUNT(*) AS n_items,
+       round(CAST(SUM(cents) AS BIGINT) / 700.0, 6) AS avg_yearly
+FROM li_b JOIN per_part ON l_partkey = pk
+WHERE 2 * qty * cnt < qty_sum
+"""
+
+
+def q_qualified_green_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested double-semi-join chain — suppliers
+    having shipped a 'red' part in bulk (per-(supp,part) total quantity
+    over a threshold). Inner aggregate HAVING feeds a LEFT SEMI join on
+    the supplier key; part filter broadcasts onto the fact before the
+    grouping shuffle. Output joins supplier→nation names (broadcast)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("_qty")
+    )
+    bulk = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("_qty").alias("_tot"))
+        .filter(F.col("_tot") > 100)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(bulk, s["s_suppkey"] == bulk["l_suppkey"], "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+SQL_QUALIFIED_GREEN_SUPPLIERS = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 100
+)
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -3778,5 +4253,31 @@ CATALOG: dict[str, QueryDef] = {
     "salted_join_revenue": QueryDef(q_salted_join_revenue, SQL_SALTED_JOIN_REVENUE),
     "numeric_correlations": QueryDef(
         q_numeric_correlations, SQL_NUMERIC_CORRELATIONS
+    ),
+    # TPC-H decorrelation/join-shape batch
+    "order_priority_checks": QueryDef(
+        q_order_priority_checks, SQL_ORDER_PRIORITY_CHECKS
+    ),
+    "volume_shipping": QueryDef(q_volume_shipping, SQL_VOLUME_SHIPPING),
+    "market_share": QueryDef(q_market_share, SQL_MARKET_SHARE),
+    "product_profit": QueryDef(q_product_profit, SQL_PRODUCT_PROFIT),
+    "returned_item_customers": QueryDef(
+        q_returned_item_customers, SQL_RETURNED_ITEM_CUSTOMERS
+    ),
+    "important_parts": QueryDef(q_important_parts, SQL_IMPORTANT_PARTS),
+    "customer_order_distribution": QueryDef(
+        q_customer_order_distribution, SQL_CUSTOMER_ORDER_DISTRIBUTION
+    ),
+    "top_revenue_supplier": QueryDef(
+        q_top_revenue_supplier, SQL_TOP_REVENUE_SUPPLIER
+    ),
+    "supplier_part_variety": QueryDef(
+        q_supplier_part_variety, SQL_SUPPLIER_PART_VARIETY
+    ),
+    "small_qty_avg_revenue": QueryDef(
+        q_small_qty_avg_revenue, SQL_SMALL_QTY_AVG_REVENUE
+    ),
+    "qualified_green_suppliers": QueryDef(
+        q_qualified_green_suppliers, SQL_QUALIFIED_GREEN_SUPPLIERS
     ),
 }

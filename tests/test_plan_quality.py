@@ -336,7 +336,13 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   vocab_build             — broadcast 1-row corpus-total aggregate
 #   mixture_sample          — broadcast 1-row weight-sum aggregate
 #   dormant_rich_customers  — broadcast 1-row scalar threshold (Q22 shape)
+#   important_parts         — broadcast 1-row global-total aggregate (Q11;
+#                             inequality filter, so it stays nested-loop —
+#                             the Q15 scalar-max equality by contrast is
+#                             EXTRACTED into a BroadcastHashJoin key and
+#                             needs no allowlisting)
 _NESTED_LOOP_ALLOWED = {
+    "important_parts",
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
