@@ -103,6 +103,10 @@ HEADLINE = (
     "supplier_part_variety",
     "small_qty_avg_revenue",
     "qualified_green_suppliers",
+    "containment_neardup",
+    "unigram_surprisal",
+    "cross_source_canonical",
+    "shuffle_shards",
 )
 
 

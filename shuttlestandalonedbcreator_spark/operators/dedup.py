@@ -145,26 +145,13 @@ def word_ngram_hashes(col: Column, n: int) -> Column:
     return F.array_distinct(bound)
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
+def _ngram_pair_intersections(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """All unordered doc pairs with n-gram-set Jaccard >= threshold.
-
-    Plan shape (scale-safe, exact): build an inverted index keyed on a
-    64-bit shingle hash (8-byte shuffle keys, not 30-byte strings), group
-    into posting lists, and expand pairs WITHIN each posting list — one
-    shuffle of the index instead of a two-sided self-join, and shingles
-    unique to one doc (the vast majority in real corpora) produce no pairs
-    at all. Intersection = pair count across shingles; Jaccard =
-    inter/(|A|+|B|-inter). A hot shingle (stop-phrase) still expands
-    quadratically — that is inherent to exact Jaccard; use minhash_lsh for
-    the sub-quadratic approximate path. Returns (id_a, id_b, jaccard),
-    id_a < id_b.
-    """
+    """Shared inverted-index core for the exact set-overlap detectors:
+    (id_a, id_b, _inter, _sza, _szb) for every doc pair sharing at least
+    one n-gram, id_a < id_b. One shuffle of the index instead of a
+    two-sided self-join; shingles unique to one doc produce no pairs."""
     shingled = fan_out(df).select(
         F.col(id_col).alias("_id"),
         word_ngram_hashes(F.col(text_col), n).alias("_grams"),
@@ -193,14 +180,34 @@ def ngram_jaccard_pairs(
             )
         ).alias("_p")
     )
-    inter = (
-        pairs.groupBy(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("_inter"),
-            F.first("_p.sza").alias("_sza"),
-            F.first("_p.szb").alias("_szb"),
-        )
+    return pairs.groupBy(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b")).agg(
+        F.count(F.lit(1)).alias("_inter"),
+        F.first("_p.sza").alias("_sza"),
+        F.first("_p.szb").alias("_szb"),
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All unordered doc pairs with n-gram-set Jaccard >= threshold.
+
+    Plan shape (scale-safe, exact): build an inverted index keyed on a
+    64-bit shingle hash (8-byte shuffle keys, not 30-byte strings), group
+    into posting lists, and expand pairs WITHIN each posting list — one
+    shuffle of the index instead of a two-sided self-join, and shingles
+    unique to one doc (the vast majority in real corpora) produce no pairs
+    at all. Intersection = pair count across shingles; Jaccard =
+    inter/(|A|+|B|-inter). A hot shingle (stop-phrase) still expands
+    quadratically — that is inherent to exact Jaccard; use minhash_lsh for
+    the sub-quadratic approximate path. Returns (id_a, id_b, jaccard),
+    id_a < id_b.
+    """
+    inter = _ngram_pair_intersections(df, id_col, text_col, n)
     return (
         inter.withColumn(
             "jaccard",
@@ -209,6 +216,41 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup: doc pairs where the SMALLER n-gram set is
+    mostly contained in the larger — containment = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses quote/excerpt relationships (a 100-gram doc fully
+    inside a 10,000-gram doc has Jaccard ≈ 0.01 but containment 1.0);
+    this is the detector for "document X is substantially a subset of
+    document Y" in training-data curation. Same single-shuffle inverted-
+    index core as ngram_jaccard_pairs. Returns (contained_id,
+    container_id, containment); on equal set sizes the lower id is
+    reported as contained (deterministic).
+    """
+    inter = _ngram_pair_intersections(df, id_col, text_col, n)
+    small_first = F.col("_sza") <= F.col("_szb")  # tie → a (lower id)
+    return (
+        inter.withColumn(
+            "containment",
+            F.col("_inter").cast("double")
+            / F.least("_sza", "_szb").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(small_first, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+            F.when(small_first, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+            F.round("containment", 6).alias("containment"),
+        )
     )
 
 

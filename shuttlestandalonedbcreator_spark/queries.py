@@ -4132,6 +4132,198 @@ WHERE s_suppkey IN (
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions round 2: containment near-dup, unigram LM
+# surprisal scoring, cross-source canonical dedup, deterministic shard
+# export.
+# ---------------------------------------------------------------------------
+
+
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/dedup.py:
+    containment_pairs): pairs where the smaller 3-gram set is >=50%
+    inside the larger — the quote/excerpt detector Jaccard misses (a
+    short doc fully inside a long one has tiny Jaccard but containment
+    1.0). Same single-shuffle inverted-index core as ngram_jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+SQL_CONTAINMENT_NEARDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+)
+SELECT CASE WHEN sa.s <= sb.s THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN sa.s <= sb.s THEN id_b ELSE id_a END AS container_id,
+       round(c * 1.0 / least(sa.s, sb.s), 6) AS containment
+FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+WHERE c * 1.0 / least(sa.s, sb.s) >= 0.5
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean token surprisal
+    ln(N/count(token)) against the corpus's own unigram distribution —
+    the cheap stand-in for an LM-based quality filter (gibberish and
+    rare-token soup score high, templated text scores low). Plan: token
+    counts aggregate once (token-keyed shuffle with map-side partials),
+    join back onto per-doc tf rows on the SAME key (AQE reuses the
+    exchange), corpus total rides as a broadcast 1-row aggregate.
+    Determinism: per-token surprisal is rounded to integer micro-nats
+    BEFORE the per-doc sum, so accumulation is exact integer math on
+    both engines (a double sum would be order-dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    scored = (
+        tf.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_sm",
+            F.round(
+                F.log(F.col("_total").cast("double") / F.col("cnt").cast("double"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("_sm")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_s") / F.col("n_tokens") / F.lit(1e6), 6).alias("avg_surprisal"),
+        )
+    )
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), counts AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_ FROM counts
+), scored AS (
+  SELECT doc_id, tf,
+         CAST(round(ln(CAST(total_ AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS sm
+  FROM tf JOIN counts USING (token) CROSS JOIN total
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(tf * sm) AS BIGINT) / CAST(SUM(tf) AS BIGINT) / 1000000.0, 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_cross_source_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-dup canonicalization: when the same content
+    arrives from multiple sources, keep one copy chosen by source
+    priority (real crawl beats mirror), then lowest id. The corpus has
+    no cross-source exact dups, so a deterministic 'mirror' replica of
+    every 5th doc is injected in-query (the pii_scrub fixture pattern) —
+    the operator under test is the group-canonicalize-map-back pipeline:
+    one groupBy on md5(content) computing the winner via min_by over an
+    encoded (priority, id) rank (priority·2^62+id — id is far below 2^62
+    at any real scale), then a join back keyed on the same hash to emit
+    the dup→canonical mapping."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    all_ = docs.unionByName(mirror).select(
+        "doc_id", "source", F.md5("text").alias("_h"),
+        F.when(F.col("source") == "mirror", F.lit(1)).otherwise(F.lit(0)).alias("_prio"),
+    )
+    rank = F.col("_prio") * F.lit(1 << 62) + F.col("doc_id")
+    groups = (
+        all_.groupBy("_h")
+        .agg(F.min_by(F.col("doc_id"), rank).alias("canonical_id"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    return (
+        all_.join(groups, "_h")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias("dup_id"), "canonical_id", "source")
+    )
+
+
+SQL_CROSS_SOURCE_CANONICAL = """
+WITH all_ AS (
+  SELECT doc_id, source, md5(text) AS h,
+         0 AS prio
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, 'mirror', md5(text), 1
+  FROM documents WHERE doc_id % 5 = 0
+), groups AS (
+  SELECT h, arg_min(doc_id, prio * 4611686018427387904 + doc_id) AS canonical_id,
+         COUNT(*) AS n
+  FROM all_ GROUP BY h
+  HAVING COUNT(*) >= 2
+)
+SELECT a.doc_id AS dup_id, g.canonical_id, a.source
+FROM all_ a JOIN groups g USING (h)
+WHERE a.doc_id <> g.canonical_id
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle: assign every doc a shard
+    (md5-derived 60-bit hash mod 16) and a position within its shard
+    (rank by hash, id tiebreak) — the 'global shuffle' a training run
+    needs, WITHOUT a global sort: the plan is one hash partition + a
+    within-shard sort (window per shard). At real scale the shard count
+    is set >= cluster parallelism (each shard becomes one output file
+    read sequentially by a data loader); the hash makes the permutation
+    reproducible across engines and runs."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", h.alias("_h"))
+        .withColumn("shard", (F.col("_h") % 16).cast("int"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "position")
+    )
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 16 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 16 ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS position
+FROM h
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4280,4 +4472,11 @@ CATALOG: dict[str, QueryDef] = {
     "qualified_green_suppliers": QueryDef(
         q_qualified_green_suppliers, SQL_QUALIFIED_GREEN_SUPPLIERS
     ),
+    # training-pipeline extensions round 2
+    "containment_neardup": QueryDef(q_containment_neardup, SQL_CONTAINMENT_NEARDUP),
+    "unigram_surprisal": QueryDef(q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "cross_source_canonical": QueryDef(
+        q_cross_source_canonical, SQL_CROSS_SOURCE_CANONICAL
+    ),
+    "shuffle_shards": QueryDef(q_shuffle_shards, SQL_SHUFFLE_SHARDS),
 }

@@ -341,8 +341,10 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             the Q15 scalar-max equality by contrast is
 #                             EXTRACTED into a BroadcastHashJoin key and
 #                             needs no allowlisting)
+#   unigram_surprisal       — broadcast 1-row corpus-total aggregate
 _NESTED_LOOP_ALLOWED = {
     "important_parts",
+    "unigram_surprisal",
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
