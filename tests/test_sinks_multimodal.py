@@ -229,3 +229,66 @@ def test_write_curated_observed_metrics(spark, sf_small, tmp_path):
     assert metrics["n_val"] == by_split.get("val", 0)
     assert metrics["n_test"] == by_split.get("test", 0)
     assert metrics["n_kept"] == metrics["n_train"] + metrics["n_val"] + metrics["n_test"]
+
+
+def test_sqlite_source_round_trip(spark, transfer_df, tmp_path):
+    """Export to the reference-shaped SQLite artifact, read it back via
+    spark.read.format("sqlite"): same rows, typed columns (BIGINT size →
+    bigint with junk→NULL preserved), and rowid-range partitioning."""
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    db = str(tmp_path / "transfer_reports.db")
+    assert sinks.export_sqlite(transfer_df, db) == 3
+    register_sqlite_source(spark)
+    back = (
+        spark.read.format("sqlite")
+        .option("table", "transfer_data")
+        .option("numPartitions", "2")
+        .load(db)
+    )
+    assert dict(back.dtypes)["source_file_size"] == "bigint"
+    rows = {r["file_name"]: r for r in back.collect()}
+    assert set(rows) == {"/A/f1.pdf", "/B/f2.pdf", "/B/f3.pdf"}
+    assert rows["/B/f2.pdf"]["source_file_size"] == 200
+    assert rows["/B/f3.pdf"]["source_file_size"] is None  # junk → NULL (E1)
+    assert back.rdd.getNumPartitions() == 2
+
+
+def test_sqlite_source_datetime_and_errors(spark, tmp_path):
+    """DATETIME text round-trips to timestamp; missing table/db raise a
+    clean ValueError at planning time (not an executor stack)."""
+    import sqlite3 as s3
+
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    db = str(tmp_path / "t.db")
+    conn = s3.connect(db)
+    conn.execute("CREATE TABLE ev (ts DATETIME, val REAL, note TEXT)")
+    conn.executemany(
+        "INSERT INTO ev VALUES (?, ?, ?)",
+        [
+            ("2024-03-01 10:00:00", 1.5, "a"),
+            ("not a date", "junk", None),  # dynamic typing: junk cells
+        ],
+    )
+    conn.commit()
+    conn.close()
+    register_sqlite_source(spark)
+    back = spark.read.format("sqlite").option("table", "ev").load(db)
+    assert dict(back.dtypes) == {"ts": "timestamp", "val": "double", "note": "string"}
+    got = sorted(back.collect(), key=lambda r: (r["note"] is None, r["note"] or ""))
+    assert got[0]["ts"].year == 2024 and got[0]["val"] == 1.5
+    assert got[1]["ts"] is None and got[1]["val"] is None  # junk → NULL
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="table not found"):
+        spark.read.format("sqlite").option("table", "nope").load(db).collect()
+    with _pytest.raises(Exception, match="not found"):
+        spark.read.format("sqlite").option("table", "ev").load(
+            str(tmp_path / "missing.db")
+        ).collect()
