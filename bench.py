@@ -107,6 +107,8 @@ HEADLINE = (
     "unigram_surprisal",
     "cross_source_canonical",
     "shuffle_shards",
+    "neardup_prune",
+    "embedding_quantization",
 )
 
 

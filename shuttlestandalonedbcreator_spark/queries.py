@@ -4324,6 +4324,129 @@ FROM h
 """
 
 
+def q_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL (the operator users actually run):
+    exact-Jaccard pairs → connected components → keep one representative
+    per cluster → anti-filter the corpus. Composition of
+    ngram_jaccard_pairs + graph.cluster_keep_list; the component table is
+    tiny (only docs with a near-dup) so the keep-decision join
+    broadcasts — the corpus itself is never shuffled."""
+    from shuttlestandalonedbcreator_spark.operators.graph import cluster_keep_list
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return (
+        cluster_keep_list(docs.select("doc_id", "source", "n_chars"), pairs, "doc_id")
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# survivors = docs minus non-representative cluster members; reuses the
+# recursive-CTE reachability of SQL_NEARDUP_CLUSTERS
+SQL_NEARDUP_PRUNE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+), pruned AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> MIN(r)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN pruned p ON d.doc_id = p.doc_id
+WHERE p.doc_id IS NULL
+"""
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit — the 4× storage-shrink pass a
+    100 TB embedding corpus takes before ANN serving. Per vector:
+    scale = max|x|/127, q_i = round(x_i/scale), and the reconstruction
+    error stats. Entirely higher-order-function column math (zero
+    shuffle, zero Python); per-row doubles follow identical expression
+    trees on both engines, rounded on output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    # FLOAT[] parquet arrives as float; promote once so both engines do
+    # double math throughout
+    dv = F.transform(v, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.transform(dv, lambda x: F.round(x / scale).cast("long"))
+    err = F.zip_with(dv, q, lambda x, qq: F.abs(x - qq.cast("double") * scale))
+    return (
+        emb.select(
+            "vec_id",
+            scale.alias("_scale"),
+            q.alias("_q"),
+            err.alias("_err"),
+        )
+        .select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale"),
+            F.aggregate("_q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("l1_quant"),
+            F.round(F.array_max("_err"), 6).alias("max_abs_err"),
+            F.round(
+                F.aggregate("_err", F.lit(0.0), lambda a, x: a + x)
+                / F.size("_err"),
+                6,
+            ).alias("mean_abs_err"),
+        )
+    )
+
+
+SQL_EMBEDDING_QUANTIZATION = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, dv,
+         list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+  FROM base
+), quant AS (
+  SELECT vec_id, dv, scale,
+         list_transform(dv, x -> CAST(round(x / scale) AS BIGINT)) AS q
+  FROM scaled
+), err AS (
+  SELECT vec_id, scale, q,
+         list_transform(list_zip(dv, q), p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale)) AS e
+  FROM quant
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_quant,
+       round(list_max(e), 6) AS max_abs_err,
+       round(list_sum(e) / len(e), 6) AS mean_abs_err
+FROM err
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4479,4 +4602,8 @@ CATALOG: dict[str, QueryDef] = {
         q_cross_source_canonical, SQL_CROSS_SOURCE_CANONICAL
     ),
     "shuffle_shards": QueryDef(q_shuffle_shards, SQL_SHUFFLE_SHARDS),
+    "neardup_prune": QueryDef(q_neardup_prune, SQL_NEARDUP_PRUNE),
+    "embedding_quantization": QueryDef(
+        q_embedding_quantization, SQL_EMBEDDING_QUANTIZATION
+    ),
 }
