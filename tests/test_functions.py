@@ -104,3 +104,46 @@ def test_excel_serial(spark):
     assert got[0] is None and got[1] is None and got[2] is None and got[3] is None
     assert str(got[4]) == "2023-07-16 12:00:00"
     assert str(got[5]) == "1902-09-26 00:00:00"
+
+
+def test_pii_udtf_lateral_findings(spark):
+    """UDTF surface (§2.10): pii_findings yields one row per span with
+    byte offsets that slice back to exactly the matched text, and its
+    per-kind totals agree with the JVM-side pii_count columns."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_count,
+    )
+    from shuttlestandalonedbcreator_spark.functions.udtf_pii import register_pii_udtf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co then ping 10.0.0.1 or a@b.co again"),
+            (2, "call +1 555-123-4567; no other pii"),
+            (3, "clean text"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("pii_docs")
+    register_pii_udtf(spark)
+    found = spark.sql(
+        "SELECT d.doc_id, p.* FROM pii_docs d, LATERAL pii_findings(d.text) p"
+    ).collect()
+    rows = {(r["doc_id"], r["kind"], r["start"]) for r in found}
+    assert (1, "email", 5) in rows and (2, "phone", 5) in rows
+    # offsets slice back to the reported span
+    texts = {r["doc_id"]: r["text"] for r in docs.collect() if r["text"]}
+    for r in found:
+        assert texts[r["doc_id"]][r["start"]:r["end"]] == r["span"]
+    # totals agree with the JVM-regex counting path
+    want = docs.na.drop(subset=["text"]).select(
+        F.sum(pii_count(F.col("text"), PII_EMAIL_RE))
+        + F.sum(pii_count(F.col("text"), PII_PHONE_RE))
+        + F.sum(pii_count(F.col("text"), PII_IPV4_RE))
+    ).first()[0]
+    assert len(found) == want == 4

@@ -221,3 +221,49 @@ def test_scrub_pii_idempotent_and_clean(spark, texts):
     for r in rows:
         assert r["once"] == r["twice"]
         assert (r["e"], r["p"], r["i"]) == (0, 0, 0)
+
+
+def test_quantization_error_bound(spark, sf_small):
+    """Semantic pin for embedding_quantization (cross-engine parity can't
+    catch a symmetrically wrong formula): symmetric int8 rounding error
+    is bounded by scale/2 per component, and the max quantized magnitude
+    is exactly 127 (the scale is derived from the max-abs component)."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.queries import CATALOG
+
+    rows = CATALOG["embedding_quantization"].spark(spark, sf_small).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6, r
+        assert r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+def test_containment_dominates_jaccard(spark, sf_small):
+    """For every pair, containment >= jaccard (|A∩B|/min >= |A∩B|/|A∪B|)
+    and containment <= 1 — the semantic relationship between the two
+    detectors, pinned independently of the oracle."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    con = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    joined = jac.join(
+        con,
+        (
+            (jac["id_a"] == con["contained_id"]) & (jac["id_b"] == con["container_id"])
+        )
+        | (
+            (jac["id_a"] == con["container_id"]) & (jac["id_b"] == con["contained_id"])
+        ),
+    ).select("jaccard", "containment")
+    got = joined.collect()
+    assert len(got) == jac.count()  # every jaccard pair has a containment row
+    for r in got:
+        assert r["jaccard"] - 1e-9 <= r["containment"] <= 1.0 + 1e-9, r
