@@ -109,6 +109,7 @@ HEADLINE = (
     "shuffle_shards",
     "neardup_prune",
     "embedding_quantization",
+    "event_type_islands",
 )
 
 

@@ -4447,6 +4447,41 @@ FROM err
 """
 
 
+def q_event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD2 shape: collapse each user's event stream
+    into RUNS of consecutive identical event_type (validity intervals of
+    a changing attribute — the change-tracking view a slowly-changing
+    dimension needs). The classic two-row_number difference trick: both
+    windows share the (user_id → ts) partitioning, so Catalyst plans ONE
+    shuffle and two window passes over the same sort order. Ties broken
+    by event_id for full determinism."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("_island"),
+    )
+    return runs.groupBy("user_id", "event_type", "_island").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("ended_at"),
+    ).drop("_island")
+
+
+SQL_EVENT_TYPE_ISLANDS = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island
+  FROM events
+)
+SELECT user_id, event_type, COUNT(*) AS n_events,
+       MIN(ts) AS started_at, MAX(ts) AS ended_at
+FROM runs GROUP BY user_id, event_type, island
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4606,4 +4641,5 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_quantization": QueryDef(
         q_embedding_quantization, SQL_EMBEDDING_QUANTIZATION
     ),
+    "event_type_islands": QueryDef(q_event_type_islands, SQL_EVENT_TYPE_ISLANDS),
 }

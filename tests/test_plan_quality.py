@@ -387,3 +387,12 @@ def test_nation_share_window_after_aggregate(spark, sf_small):
     win_pos = plan.index("Window")
     assert win_pos < agg_pos  # physical plan prints top-down
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_event_type_islands_single_exchange(spark, sf_small):
+    """Gaps-and-islands: both row_number windows AND the final run
+    aggregate must ride ONE user_id exchange (the windows share the
+    partitioning prefix; the groupBy key contains it)."""
+    plan = plan_of(spark, sf_small, "event_type_islands")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2
