@@ -396,3 +396,18 @@ def test_event_type_islands_single_exchange(spark, sf_small):
     plan = plan_of(spark, sf_small, "event_type_islands")
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 2
+
+
+def test_metrics_report_walks_final_adaptive_plan(spark, sf_small):
+    """tools/metrics_report.py must traverse THROUGH adaptive/query-stage
+    shells down to the scans, with populated row metrics (the runtime
+    complement of these static plan gates)."""
+    from tools.metrics_report import walk
+
+    df = CATALOG["join_agg_revenue"].spark(spark, sf_small)
+    df.collect()
+    rows = walk(df._jdf.queryExecution().executedPlan())
+    names = [n for _, n, _ in rows]
+    assert any("Scan parquet" in n for n in names), names
+    scans = [m for _, n, m in rows if "Scan parquet" in n]
+    assert all(m.get("numOutputRows", 0) > 0 for m in scans)

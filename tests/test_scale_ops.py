@@ -372,3 +372,54 @@ def test_matmul_topk_matches_brute_force(spark, sf_small):
     for (qid, rank), (nid, score) in b.items():
         if rank == 1:
             assert nid == qid and score == 1.0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER half of the skew story (salted_join is the explicit
+    path): AQE's runtime skew-join handling must split a hot key's
+    shuffle partition without any query rewrite. Thresholds are lowered
+    to make a 95%-hot-key join skewed at test scale; the executed plan
+    must show SortMergeJoin(skew=true) fed by a skewed AQEShuffleRead,
+    and results stay identical to the unsplit join."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {}
+    for k in keys:
+        try:
+            old[k] = conf.get(k)
+        except Exception:
+            old[k] = None
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    # force a shuffle join (both static and adaptive broadcast off) so the
+    # skew machinery, not a broadcast conversion, handles the hot key
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("p"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000  # every left row matches exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
