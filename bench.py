@@ -110,6 +110,7 @@ HEADLINE = (
     "neardup_prune",
     "embedding_quantization",
     "event_type_islands",
+    "dq_audit",
 )
 
 

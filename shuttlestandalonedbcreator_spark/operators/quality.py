@@ -1,0 +1,70 @@
+"""Data-quality constraint auditing (deequ/dbt-test shape): declarative
+rules evaluated in as few passes as the rule class allows.
+
+Extension surface (no reference counterpart — the reference's only
+quality machinery is the per-row cast tolerance, E1). At 100 TB the
+design constraint is PASS COUNT, not rule count:
+
+- ROW rules (not-null, domain, range, regex...) all fold into ONE
+  aggregate scan — each rule is a `sum(case when violated)` branch of the
+  same partial+final agg, so 50 rules cost the same scan as one.
+- UNIQUENESS is `count(*) - count(distinct keys)` — one extra shuffle on
+  the key (Catalyst plans the distinct as a two-stage partial agg).
+- REFERENTIAL integrity is a LEFT ANTI join counting orphans — the
+  parent side ships only its key column and broadcasts when small.
+
+Every audit returns the same (rule, checked, violations) contract so the
+three classes union into one report DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_rule_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One aggregate pass over ``df``: for each named rule (a boolean
+    Column that is True when the row PASSES), count rows and violations.
+    NULL rule results count as violations (SQL three-valued logic would
+    silently pass them otherwise)."""
+    aggs = [F.count(F.lit(1)).alias("_checked")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    # unpivot the single wide row into the (rule, checked, violations)
+    # contract — stack() is a driver-free transpose of N constant columns
+    pairs = ", ".join(f"'{n}', _v_{n}" for n in rules)
+    return one.selectExpr(
+        f"stack({len(rules)}, {pairs}) AS (rule, violations)", "_checked AS checked"
+    ).select("rule", "checked", F.col("violations").cast("long").alias("violations"))
+
+
+def uniqueness_audit(df: DataFrame, keys: list[str], rule: str) -> DataFrame:
+    """Duplicate-extras count for a key set: total − distinct(keys)."""
+    return df.agg(
+        F.lit(rule).alias("rule"),
+        F.count(F.lit(1)).alias("checked"),
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+        .cast("long")
+        .alias("violations"),
+    ).select("rule", "checked", "violations")
+
+
+def referential_audit(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, rule: str
+) -> DataFrame:
+    """Orphan count: child rows (with a non-null fk) whose key is absent
+    from the parent. Anti join on the key only; broadcastable parent."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    non_null = child.filter(F.col(fk).isNotNull())
+    orphans = non_null.join(keys, fk, "left_anti")
+    return (
+        non_null.agg(F.count(F.lit(1)).alias("checked"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")))
+        .select(F.lit(rule).alias("rule"), "checked", "violations")
+    )

@@ -4482,6 +4482,63 @@ FROM runs GROUP BY user_id, event_type, island
 """
 
 
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py): five row
+    rules over orders in ONE aggregate scan, key uniqueness, and
+    orders→customer referential integrity — the deequ/dbt-test shape a
+    pipeline gates on before publishing a dataset. Three passes total
+    regardless of row-rule count."""
+    from shuttlestandalonedbcreator_spark.operators.quality import (
+        referential_audit,
+        row_rule_audit,
+        uniqueness_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rows = row_rule_audit(
+        o,
+        {
+            "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "status_in_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+            "orderdate_in_range": (
+                (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2030-01-01").cast("timestamp"))
+            ),
+            "priority_format": F.col("o_orderpriority").rlike("^[0-9]-[A-Z ]+$"),
+        },
+    )
+    uniq = uniqueness_audit(o, ["o_orderkey"], "orderkey_unique")
+    fk = referential_audit(o, "o_custkey", c, "c_custkey", "custkey_references_customer")
+    return rows.unionByName(uniq).unionByName(fk)
+
+
+SQL_DQ_AUDIT = """
+WITH row_rules AS (
+  SELECT COUNT(*) AS checked,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_tp,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_orderdate >= TIMESTAMP '1990-01-01' AND o_orderdate < TIMESTAMP '2030-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dt,
+         CAST(SUM(CASE WHEN NOT COALESCE(regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_pf
+  FROM orders
+)
+SELECT 'orderkey_not_null' AS rule, checked, v_nn AS violations FROM row_rules
+UNION ALL SELECT 'totalprice_positive', checked, v_tp FROM row_rules
+UNION ALL SELECT 'status_in_domain', checked, v_st FROM row_rules
+UNION ALL SELECT 'orderdate_in_range', checked, v_dt FROM row_rules
+UNION ALL SELECT 'priority_format', checked, v_pf FROM row_rules
+UNION ALL
+SELECT 'orderkey_unique', COUNT(*), CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'custkey_references_customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4642,4 +4699,5 @@ CATALOG: dict[str, QueryDef] = {
         q_embedding_quantization, SQL_EMBEDDING_QUANTIZATION
     ),
     "event_type_islands": QueryDef(q_event_type_islands, SQL_EVENT_TYPE_ISLANDS),
+    "dq_audit": QueryDef(q_dq_audit, SQL_DQ_AUDIT),
 }

@@ -140,3 +140,48 @@ def test_word_ngram_hashes_cardinality_matches_string_grams(spark):
         assert r["nh"] == r["ns"], r
     by_id = {r["id"]: r["nh"] for r in got}
     assert by_id[1] == 4 and by_id[2] == 0 and by_id[3] == 0 and by_id[4] == 3
+
+
+def test_quality_audit_counts_injected_violations(spark):
+    """Each audit class must count EXACTLY its injected violations: null
+    rule results count as violations (three-valued logic), duplicate
+    extras = total - distinct, orphans exclude null fks."""
+    from shuttlestandalonedbcreator_spark.operators.quality import (
+        referential_audit,
+        row_rule_audit,
+        uniqueness_audit,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (2, -5.0, "ok"),      # range violation
+            (3, None, "ok"),      # NULL → violation (not silent pass)
+            (3, 20.0, "bad"),     # dup key + domain violation
+            (4, 30.0, None),      # NULL domain → violation
+        ],
+        "k long, price double, status string",
+    )
+    audit = {
+        r["rule"]: (r["checked"], r["violations"])
+        for r in row_rule_audit(
+            rows,
+            {
+                "price_positive": F.col("price") > 0,
+                "status_in_domain": F.col("status").isin("ok"),
+            },
+        ).collect()
+    }
+    assert audit == {
+        "price_positive": (5, 2),
+        "status_in_domain": (5, 2),
+    }
+    uniq = uniqueness_audit(rows, ["k"], "k_unique").collect()[0]
+    assert (uniq["checked"], uniq["violations"]) == (5, 1)
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (9,), (None,), (2,)], "fk long"
+    )
+    ref = referential_audit(child, "fk", parent, "pk", "fk_ok").collect()[0]
+    assert (ref["checked"], ref["violations"]) == (3, 1)  # null fk unchecked
