@@ -111,6 +111,7 @@ HEADLINE = (
     "embedding_quantization",
     "event_type_islands",
     "dq_audit",
+    "mad_outliers",
 )
 
 

@@ -4539,6 +4539,44 @@ SELECT 'custkey_references_customer',
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    z-score alternative that a single corrupt value cannot poison (the
+    mean AND stddev of zscore_outliers both move with every outlier; the
+    median moves with none). Two grouped percentile passes: per-type
+    median, broadcast back, then median of |value − med| in one final
+    aggregate (outlier flagging is then a trivial downstream filter
+    against k·1.4826·mad). The median is ROUNDED to 6
+    before deviations so both engines anchor deviations to the identical
+    constant (raw interpolated medians can differ in the last ulp)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_dev", F.abs(F.col("value") - F.col("_med"))
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.first("_med").alias("median"),
+        F.round(F.expr("percentile(_dev, 0.5)"), 6).alias("mad"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, med, abs(value - med) AS d
+  FROM events e JOIN med USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_events, ANY_VALUE(med) AS median,
+       round(quantile_cont(d, 0.5), 6) AS mad
+FROM dev GROUP BY event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4700,4 +4738,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "event_type_islands": QueryDef(q_event_type_islands, SQL_EVENT_TYPE_ISLANDS),
     "dq_audit": QueryDef(q_dq_audit, SQL_DQ_AUDIT),
+    "mad_outliers": QueryDef(q_mad_outliers, SQL_MAD_OUTLIERS),
 }

@@ -383,3 +383,37 @@ def test_stream_static_broadcast_enrichment(spark, event_stream):
     got = _canon(spark.table(name), ["day", "segment", "n_events"])
     want = _canon(enriched_counts(ev), ["day", "segment", "n_events"])
     assert got == want and len(want) > 0
+
+
+def test_streaming_quality_monitor(spark, event_stream, tmp_path):
+    """Per-micro-batch rule audit: every batch contributes one row per
+    rule, per-batch checked counts sum to the table size, and the
+    violation totals equal the batch-free audit of the whole table."""
+    from shuttlestandalonedbcreator_spark.operators.quality import row_rule_audit
+    from shuttlestandalonedbcreator_spark.streaming.dq_monitor import monitor_quality
+
+    ev, stream = event_stream
+    rules = {
+        "value_not_null": F.col("value").isNotNull(),
+        "value_in_range": F.col("value").between(-1e6, 1e6),
+        "type_not_empty": F.col("event_type") != "",
+    }
+    out = str(tmp_path / "dq_results")
+    q = monitor_quality(stream, rules, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = spark.read.parquet(out).dropDuplicates(["batch_id", "rule"])
+    per_rule = {
+        r["rule"]: (r["checked"], r["violations"])
+        for r in got.groupBy("rule")
+        .agg(
+            F.sum("checked").alias("checked"), F.sum("violations").alias("violations")
+        )
+        .collect()
+    }
+    whole = {
+        r["rule"]: (r["checked"], r["violations"])
+        for r in row_rule_audit(ev, rules).collect()
+    }
+    assert per_rule == whole
+    assert got.select("batch_id").distinct().count() == 3  # one file per batch
