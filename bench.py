@@ -112,6 +112,8 @@ HEADLINE = (
     "event_type_islands",
     "dq_audit",
     "mad_outliers",
+    "lang_entropy_by_source",
+    "chi_square_independence",
 )
 
 

@@ -4577,6 +4577,120 @@ FROM dev GROUP BY event_type
 """
 
 
+def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the diversity
+    profile a corpus-balance dashboard tracks (0 = monolingual source).
+    entropy = ln(N) − (Σ c·ln c)/N over the per-(source,lang) counts:
+    one grouped count, one tiny re-aggregate. Each ln is rounded to
+    integer micro-nats BEFORE the weighted sum (exact long math), so the
+    only float ops are one division and one subtraction — deterministic
+    on both engines (a raw double Σ c·ln c would be order-dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lnc_micro = F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast("long")
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("c") * lnc_micro).alias("_wsum"),
+    )
+    ln_n_micro = F.round(F.log(F.col("n_docs").cast("double")) * 1_000_000).cast("long")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(
+            (
+                ln_n_micro.cast("double")
+                - F.col("_wsum").cast("double") / F.col("n_docs").cast("double")
+            )
+            / F.lit(1e6),
+            6,
+        ).alias("lang_entropy"),
+    )
+
+
+SQL_LANG_ENTROPY_BY_SOURCE = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), per_src AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_langs,
+         CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS wsum
+  FROM counts GROUP BY 1
+)
+SELECT source, n_docs, n_langs,
+       round((CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE)
+              - CAST(wsum AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1000000.0, 6) AS lang_entropy
+FROM per_src
+"""
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of customer market segment ×
+    order priority — the feature-correlation screen over two categorical
+    columns. Observed cell counts come from ONE shuffle (orders ⋈
+    broadcast customer → grouped count); margins re-aggregate the tiny
+    cell table and broadcast back. Each cell's (obs−exp)²/exp is rounded
+    to integer micro-units before the final sum, so the statistic is
+    exact integer math over ~35 cells (a raw double sum would be
+    order-dependent across engines)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rowt = obs.groupBy("c_mktsegment").agg(F.sum("obs").alias("_rt"))
+    colt = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("_ct"))
+    tot = obs.agg(F.sum("obs").alias("_n"))
+    cells = (
+        obs.join(F.broadcast(rowt), "c_mktsegment")
+        .join(F.broadcast(colt), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("_rt").cast("double") * F.col("_ct").cast("double") / F.col("_n").cast("double")
+    contrib_micro = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp)
+        / exp
+        * 1_000_000
+    ).cast("long")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("c_mktsegment") - 1)
+            * (F.count_distinct("o_orderpriority") - 1)
+        ).alias("dof"),
+        F.round(F.sum(contrib_micro) / F.lit(1e6), 6).alias("chi2"),
+    )
+
+
+SQL_CHI_SQUARE_INDEPENDENCE = """
+WITH obs AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS obs
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), rowt AS (
+  SELECT c_mktsegment, CAST(SUM(obs) AS BIGINT) AS rt FROM obs GROUP BY 1
+), colt AS (
+  SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS ct FROM obs GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n FROM obs
+), cells AS (
+  SELECT obs.*, rt, ct, n,
+         CAST(round((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS contrib
+  FROM obs JOIN rowt USING (c_mktsegment) JOIN colt USING (o_orderpriority) CROSS JOIN tot
+)
+SELECT COUNT(*) AS n_cells,
+       (COUNT(DISTINCT c_mktsegment) - 1) * (COUNT(DISTINCT o_orderpriority) - 1) AS dof,
+       round(CAST(SUM(contrib) AS BIGINT) / 1000000.0, 6) AS chi2
+FROM cells
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4739,4 +4853,10 @@ CATALOG: dict[str, QueryDef] = {
     "event_type_islands": QueryDef(q_event_type_islands, SQL_EVENT_TYPE_ISLANDS),
     "dq_audit": QueryDef(q_dq_audit, SQL_DQ_AUDIT),
     "mad_outliers": QueryDef(q_mad_outliers, SQL_MAD_OUTLIERS),
+    "lang_entropy_by_source": QueryDef(
+        q_lang_entropy_by_source, SQL_LANG_ENTROPY_BY_SOURCE
+    ),
+    "chi_square_independence": QueryDef(
+        q_chi_square_independence, SQL_CHI_SQUARE_INDEPENDENCE
+    ),
 }

@@ -423,3 +423,26 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_hll_sketch_rollup_merges_losslessly(spark, sf_small):
+    """Persisted-sketch rollup pattern (the incremental analytics shape
+    at 100 TB: per-partition Datasketches HLL written once, merged at
+    query time — never re-scanning history): the union of per-day user
+    sketches must estimate the SAME value as one sketch over all rows,
+    and land within 5% of the exact distinct count."""
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    # per-day sketches — what a daily job would persist as BINARY
+    daily = ev.groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct_est = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged_est == direct_est  # merge is lossless for HLL
+    assert abs(merged_est - exact) / exact < 0.05
