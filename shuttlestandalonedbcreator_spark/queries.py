@@ -381,7 +381,11 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile deciles, percent_rank,
     cume_dist — over account balances within each nation. Rank-based
     (ratios of counts), so cross-engine deterministic given the unique
-    (balance, custkey) ordering; one shuffle keyed on the partition col."""
+    (balance, custkey) ordering; one shuffle keyed on the partition col.
+    Deliberately UNROUNDED: each value is ONE IEEE division of exact
+    integers, bit-identical on both engines — whereas round(x, 6) breaks
+    parity when the exact ratio lands on a .xxxxxx5 boundary (e.g.
+    333/640: Spark rounds half-up, DuckDB half-to-even; hit at sf0.1)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return c.select(
@@ -389,16 +393,16 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_acctbal",
         F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
 SQL_WINDOW_DISTRIBUTION = """
 SELECT c_custkey, c_nationkey, c_acctbal,
        CAST(NTILE(10) OVER w AS INTEGER) AS decile,
-       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       round(CUME_DIST() OVER w, 6) AS cume
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
 """
