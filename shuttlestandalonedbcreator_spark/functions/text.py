@@ -139,7 +139,8 @@ def top_ngram_frac(toks: Column, n: int = 2) -> Column:
     grams = word_ngrams_all(toks, n)
     total = F.size(grams)
     frac = _max_run(F.array_sort(grams)).cast("double") / total.cast("double")
-    return F.round(F.when(total > 0, frac).otherwise(F.lit(0.0)), 6)
+    # single exact-integer division: unrounded is bit-identical cross-engine
+    return F.when(total > 0, frac).otherwise(F.lit(0.0))
 
 
 def dup_ngram_frac(toks: Column, n: int = 3) -> Column:
@@ -149,7 +150,7 @@ def dup_ngram_frac(toks: Column, n: int = 3) -> Column:
     grams = word_ngrams_all(toks, n)
     total = F.size(grams)
     frac = (total - F.size(F.array_distinct(grams))).cast("double") / total.cast("double")
-    return F.round(F.when(total > 0, frac).otherwise(F.lit(0.0)), 6)
+    return F.when(total > 0, frac).otherwise(F.lit(0.0))
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -215,7 +215,7 @@ def ngram_jaccard_pairs(
             / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -249,7 +249,7 @@ def containment_pairs(
         .select(
             F.when(small_first, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
             F.when(small_first, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
-            F.round("containment", 6).alias("containment"),
+            "containment",
         )
     )
 

@@ -835,7 +835,7 @@ WITH toks AS (
 ), sz AS (
   SELECT doc_id, len(g) AS s FROM grams
 )
-SELECT id_a, id_b, round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+SELECT id_a, id_b, c * 1.0 / (sa.s + sb.s - c) AS jaccard
 FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
 WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.8
 """
@@ -1035,7 +1035,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.quality_score(F.col("text"), F.col("_toks")).alias("quality"),
         T.lang_id(F.col("text"), F.col("_toks")).alias("lang_guess"),
-        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
     )
 
 
@@ -1070,7 +1070,7 @@ SELECT m.doc_id,
               + CASE WHEN m.mean_wl >= 3.0 AND m.mean_wl <= 10.0 THEN 1.0 ELSE 0.5 END
               + (1.0 - least(m.pr * 5.0, 1.0))) / 3.0, 6) AS quality,
        CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_guess,
-       round(m.pr, 6) AS punct_ratio
+       m.pr AS punct_ratio
 FROM m JOIN best ON m.doc_id = best.doc_id
 """
 
@@ -1373,7 +1373,7 @@ WITH toks AS (
 ), sz AS (
   SELECT doc_id, len(g) AS s FROM grams
 ), pairs AS (
-  SELECT id_a, id_b, round(c * 1.0 / (sa.s + sb.s - c), 6) AS jaccard
+  SELECT id_a, id_b, c * 1.0 / (sa.s + sb.s - c) AS jaccard
   FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
   WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
 ), sp AS (
@@ -1428,7 +1428,7 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shared_grams",
         "n_grams",
-        F.round(F.col("n_shared_grams") * F.lit(1.0) / F.col("n_grams"), 6).alias(
+        (F.col("n_shared_grams") * F.lit(1.0) / F.col("n_grams")).alias(
             "shared_frac"
         ),
     )
@@ -1464,7 +1464,7 @@ WITH sp AS (
   GROUP BY t.doc_id
 )
 SELECT h.doc_id, h.n_shared_grams, s.n_grams,
-       round(h.n_shared_grams * 1.0 / s.n_grams, 6) AS shared_frac
+       h.n_shared_grams * 1.0 / s.n_grams AS shared_frac
 FROM hits h JOIN sz s ON h.doc_id = s.doc_id
 """
 
@@ -1544,7 +1544,7 @@ def q_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "n_kept",
         "kept_chars",
-        F.round(F.col("n_kept") * F.lit(1.0) / F.col("n_total"), 6).alias("kept_frac"),
+        (F.col("n_kept") * F.lit(1.0) / F.col("n_total")).alias("kept_frac"),
     )
 
 
@@ -1561,7 +1561,7 @@ WITH bounds AS (
 )
 SELECT b.lang, round(b.lo, 6) AS lo_chars, round(b.hi, 6) AS hi_chars,
        b.n_total, k.n_kept, k.kept_chars,
-       round(k.n_kept * 1.0 / b.n_total, 6) AS kept_frac
+       k.n_kept * 1.0 / b.n_total AS kept_frac
 FROM bounds b JOIN kept k ON b.lang = k.lang
 """
 
@@ -1707,10 +1707,10 @@ WITH toks AS (
 )
 SELECT g.doc_id,
   CASE WHEN len(g2) > 0
-    THEN round(CAST(t.maxc AS DOUBLE) / CAST(len(g2) AS DOUBLE), 6)
+    THEN CAST(t.maxc AS DOUBLE) / CAST(len(g2) AS DOUBLE)
     ELSE 0.0 END AS top_bigram_frac,
   CASE WHEN len(g3) > 0
-    THEN round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6)
+    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
     ELSE 0.0 END AS dup_trigram_frac
 FROM grams g LEFT JOIN top2 t ON g.doc_id = t.doc_id
 """
@@ -1787,9 +1787,9 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_k").alias("sum_k"),
             F.min("_k").alias("min_k"),
             F.max("_k").alias("max_k"),
-            F.round(
-                F.sum("_k").cast("double") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("avg_k"),
+            (F.sum("_k").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_k"
+            ),
         )
     )
 
@@ -1801,7 +1801,7 @@ WITH x AS (
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k, MAX(k) AS max_k,
-       round(CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
+       CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
 FROM x GROUP BY event_type
 """
 
@@ -2211,9 +2211,7 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("token_id", F.row_number().over(w).cast("int"))
         .withColumn(
             "cum_coverage",
-            F.round(
-                F.sum("n_occurrences").over(w).cast("double") / F.col("_total"), 6
-            ),
+            F.sum("n_occurrences").over(w).cast("double") / F.col("_total"),
         )
         .select("token", "n_occurrences", "token_id", "cum_coverage")
     )
@@ -2234,8 +2232,8 @@ WITH toks AS (
 )
 SELECT token, n_occurrences,
        CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INTEGER) AS token_id,
-       round(CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / _total, 6) AS cum_coverage
+       CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / _total AS cum_coverage
 FROM top CROSS JOIN total
 """
 
@@ -2339,10 +2337,9 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed_up"),
         F.count(F.when(converted, 1)).alias("n_converted"),
-        F.round(
+        (
             F.count(F.when(converted, 1)).cast("double")
-            / F.count(F.when(F.col("first_signup").isNotNull(), 1)).cast("double"),
-            6,
+            / F.count(F.when(F.col("first_signup").isNotNull(), 1)).cast("double")
         ).alias("conversion_rate"),
     )
 
@@ -2357,8 +2354,8 @@ WITH per_user AS (
 SELECT COUNT(*) AS n_users,
        COUNT(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS n_signed_up,
        COUNT(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup THEN 1 END) AS n_converted,
-       round(CAST(COUNT(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup THEN 1 END) AS DOUBLE)
-             / CAST(COUNT(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS DOUBLE), 6) AS conversion_rate
+       CAST(COUNT(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS DOUBLE) AS conversion_rate
 FROM per_user
 """
 
@@ -2741,9 +2738,7 @@ def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
     j = a.join(F.broadcast(cand), "id_a").join(b, "id_b")
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
-    ratio = F.round(
-        1 - dist / F.greatest(F.length("_ta"), F.length("_tb")), 6
-    )
+    ratio = 1 - dist / F.greatest(F.length("_ta"), F.length("_tb"))
     return (
         j.select(
             "id_a",
@@ -2791,11 +2786,11 @@ WITH toks AS (
 )
 SELECT id_a, id_b,
        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
-       round(1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.text)), 6) AS sim_ratio
+       1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.text)) AS sim_ratio
 FROM cand
 JOIN documents da ON id_a = da.doc_id
 JOIN documents db ON id_b = db.doc_id
-WHERE round(1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.text)), 6) >= 0.4
+WHERE 1 - levenshtein(da.text, db.text) / greatest(len(da.text), len(db.text)) >= 0.4
 """
 
 
@@ -3040,9 +3035,9 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev_scaled).alias("_total_rev"),
         )
         .select(
-            F.round(
-                (100.0 * F.col("_promo_rev")) / F.col("_total_rev"), 6
-            ).alias("promo_revenue_pct"),
+            ((100.0 * F.col("_promo_rev")) / F.col("_total_rev")).alias(
+                "promo_revenue_pct"
+            ),
             (F.col("_total_rev") / F.lit(1e6)).alias("total_revenue"),
         )
     )
@@ -3055,7 +3050,7 @@ WITH j AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
 )
-SELECT round((100.0 * CAST(SUM(CASE WHEN promo THEN rs END) AS BIGINT)) / CAST(SUM(rs) AS BIGINT), 6) AS promo_revenue_pct,
+SELECT (100.0 * CAST(SUM(CASE WHEN promo THEN rs END) AS BIGINT)) / CAST(SUM(rs) AS BIGINT) AS promo_revenue_pct,
        CAST(SUM(rs) AS BIGINT) / 1000000.0 AS total_revenue
 FROM j
 """
@@ -3283,7 +3278,7 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.select(
         F.col("n_name").alias("nation"),
         (F.col("_rev") / F.lit(100.0)).alias("revenue"),
-        F.round(F.col("_rev") / F.sum("_rev").over(w) * 100.0, 6).alias("revenue_pct"),
+        (F.col("_rev") / F.sum("_rev").over(w) * 100.0).alias("revenue_pct"),
     )
 
 
@@ -3298,7 +3293,7 @@ WITH per_nation AS (
 )
 SELECT n_name AS nation,
        rev / 100.0 AS revenue,
-       round(rev / CAST(SUM(rev) OVER () AS BIGINT) * 100.0, 6) AS revenue_pct
+       rev / CAST(SUM(rev) OVER () AS BIGINT) * 100.0 AS revenue_pct
 FROM per_nation
 """
 
@@ -3564,10 +3559,9 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_boilerplate"),
-        F.round(
+        (
             F.coalesce(F.col("_nb"), F.lit(0)).cast("double")
-            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
-            6,
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
         ).alias("boilerplate_frac"),
     )
 
@@ -3592,7 +3586,7 @@ WITH toks AS (
 SELECT gsets.doc_id,
        CAST(len(g) AS BIGINT) AS n_grams,
        CAST(COALESCE(nb, 0) AS BIGINT) AS n_boilerplate,
-       round(CAST(COALESCE(nb, 0) AS DOUBLE) / CAST(greatest(len(g), 1) AS DOUBLE), 6) AS boilerplate_frac
+       CAST(COALESCE(nb, 0) AS DOUBLE) / CAST(greatest(len(g), 1) AS DOUBLE) AS boilerplate_frac
 FROM gsets LEFT JOIN boiler ON gsets.doc_id = boiler.doc_id
 """
 
@@ -3802,7 +3796,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         (F.col("_num") / F.lit(1e6)).alias("nation_revenue"),
         (F.col("_den") / F.lit(1e6)).alias("total_revenue"),
-        F.round(F.col("_num").cast("double") / F.col("_den").cast("double"), 6).alias("mkt_share"),
+        (F.col("_num").cast("double") / F.col("_den").cast("double")).alias("mkt_share"),
     )
 
 
@@ -3820,8 +3814,8 @@ WITH rows_ AS (
 SELECT CAST(order_year AS INTEGER) AS order_year,
        CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev ELSE 0 END) AS BIGINT) / 1000000.0 AS nation_revenue,
        CAST(SUM(rev) AS BIGINT) / 1000000.0 AS total_revenue,
-       round(CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+       CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
 FROM rows_
 GROUP BY 1
 """
@@ -4078,7 +4072,7 @@ def q_small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.lit(2) * F.col("_qty") * F.col("_cnt") < F.col("_qty_sum"))
     return picked.agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("_cents") / F.lit(700.0), 6).alias("avg_yearly"),
+        (F.sum("_cents") / F.lit(700.0)).alias("avg_yearly"),
     )
 
 
@@ -4092,7 +4086,7 @@ WITH li_b AS (
   FROM li_b GROUP BY 1
 )
 SELECT COUNT(*) AS n_items,
-       round(CAST(SUM(cents) AS BIGINT) / 700.0, 6) AS avg_yearly
+       CAST(SUM(cents) AS BIGINT) / 700.0 AS avg_yearly
 FROM li_b JOIN per_part ON l_partkey = pk
 WHERE 2 * qty * cnt < qty_sum
 """
@@ -4174,7 +4168,7 @@ WITH toks AS (
 )
 SELECT CASE WHEN sa.s <= sb.s THEN id_a ELSE id_b END AS contained_id,
        CASE WHEN sa.s <= sb.s THEN id_b ELSE id_a END AS container_id,
-       round(c * 1.0 / least(sa.s, sb.s), 6) AS containment
+       c * 1.0 / least(sa.s, sb.s) AS containment
 FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
 WHERE c * 1.0 / least(sa.s, sb.s) >= 0.5
 """
@@ -4216,7 +4210,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("_s") / F.col("n_tokens") / F.lit(1e6), 6).alias("avg_surprisal"),
+            (F.col("_s") / F.col("n_tokens") / F.lit(1e6)).alias("avg_surprisal"),
         )
     )
 
@@ -4237,7 +4231,7 @@ WITH toks AS (
   FROM tf JOIN counts USING (token) CROSS JOIN total
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       round(CAST(SUM(tf * sm) AS BIGINT) / CAST(SUM(tf) AS BIGINT) / 1000000.0, 6) AS avg_surprisal
+       CAST(SUM(tf * sm) AS BIGINT) / CAST(SUM(tf) AS BIGINT) / 1000000.0 AS avg_surprisal
 FROM scored GROUP BY doc_id
 """
 
@@ -4602,13 +4596,12 @@ def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_langs",
-        F.round(
+        (
             (
                 ln_n_micro.cast("double")
                 - F.col("_wsum").cast("double") / F.col("n_docs").cast("double")
             )
-            / F.lit(1e6),
-            6,
+            / F.lit(1e6)
         ).alias("lang_entropy"),
     )
 
@@ -4624,8 +4617,8 @@ WITH counts AS (
   FROM counts GROUP BY 1
 )
 SELECT source, n_docs, n_langs,
-       round((CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE)
-              - CAST(wsum AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1000000.0, 6) AS lang_entropy
+       (CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE)
+              - CAST(wsum AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1000000.0 AS lang_entropy
 FROM per_src
 """
 
