@@ -114,6 +114,8 @@ HEADLINE = (
     "mad_outliers",
     "lang_entropy_by_source",
     "chi_square_independence",
+    "set_ops_all",
+    "null_safe_join",
 )
 
 

@@ -4688,6 +4688,73 @@ FROM cells
 """
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (U2 completion): INTERSECT ALL keeps
+    min(multiplicity), EXCEPT ALL subtracts multiplicities — the variants
+    `set_ops` (distinct semantics) doesn't cover. Operands: customer
+    nation keys vs supplier nation keys, both with duplicates. Spark
+    plans both as aggregate+join on the value (no Expand); the summary
+    collapses the multisets to verifiable counts per nation."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersectAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n_common"))
+    only_c = c.exceptAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n_cust_only"))
+    return both.join(only_c, "nk", "full").select(
+        "nk",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.coalesce("n_cust_only", F.lit(0)).alias("n_cust_only"),
+    )
+
+
+SQL_SET_OPS_ALL = """
+WITH c AS (SELECT c_nationkey AS nk FROM customer),
+s AS (SELECT s_nationkey AS nk FROM supplier),
+both_ AS (
+  SELECT nk, COUNT(*) AS n_common FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s) GROUP BY nk
+), only_c AS (
+  SELECT nk, COUNT(*) AS n_cust_only FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s) GROUP BY nk
+)
+SELECT COALESCE(both_.nk, only_c.nk) AS nk,
+       COALESCE(n_common, 0) AS n_common,
+       COALESCE(n_cust_only, 0) AS n_cust_only
+FROM both_ FULL OUTER JOIN only_c ON both_.nk = only_c.nk
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantic a plain equi
+    join silently drops (the reference's parent_id joins carry NULLs,
+    J1). Key: priority with '1-URGENT' nulled out; the dim is the
+    distinct key set, so every fact row (including NULL-keyed) must
+    survive the inner join — count parity proves the NULL group joins."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_key")
+    )
+    # re-alias the dim's key column: it derives from `o`, so without the
+    # rename both sides of eqNullSafe resolve to the same attribute
+    # (Spark warns "trivially true equals predicate")
+    dim = o.distinct().select(
+        F.col("prio_key").alias("_dim_key"),
+        F.coalesce(F.col("prio_key"), F.lit("URGENT_RECLASSED")).alias("label"),
+    )
+    joined = o.join(dim, F.col("prio_key").eqNullSafe(F.col("_dim_key")))
+    return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH o AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio_key FROM orders
+), dim AS (
+  SELECT prio_key, COALESCE(prio_key, 'URGENT_RECLASSED') AS label
+  FROM (SELECT DISTINCT prio_key FROM o)
+)
+SELECT label, COUNT(*) AS n_orders
+FROM o JOIN dim ON o.prio_key IS NOT DISTINCT FROM dim.prio_key
+GROUP BY label
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4856,4 +4923,6 @@ CATALOG: dict[str, QueryDef] = {
     "chi_square_independence": QueryDef(
         q_chi_square_independence, SQL_CHI_SQUARE_INDEPENDENCE
     ),
+    "set_ops_all": QueryDef(q_set_ops_all, SQL_SET_OPS_ALL),
+    "null_safe_join": QueryDef(q_null_safe_join, SQL_NULL_SAFE_JOIN),
 }

@@ -292,3 +292,30 @@ def test_sqlite_source_datetime_and_errors(spark, tmp_path):
         spark.read.format("sqlite").option("table", "ev").load(
             str(tmp_path / "missing.db")
         ).collect()
+
+
+def test_sqlite_source_without_rowid_fallback(spark, tmp_path):
+    """WITHOUT ROWID tables can't range-partition on rowid — the source
+    must fall back to one sequential partition and still read all rows."""
+    import sqlite3 as s3
+
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    db = str(tmp_path / "wr.db")
+    conn = s3.connect(db)
+    conn.execute("CREATE TABLE kv (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID")
+    conn.executemany("INSERT INTO kv VALUES (?, ?)", [(f"k{i}", i) for i in range(50)])
+    conn.commit()
+    conn.close()
+    register_sqlite_source(spark)
+    back = (
+        spark.read.format("sqlite")
+        .option("table", "kv")
+        .option("numPartitions", "4")
+        .load(db)
+    )
+    assert back.rdd.getNumPartitions() == 1  # fallback, not a failure
+    assert back.count() == 50
+    assert back.agg({"v": "sum"}).first()[0] == sum(range(50))
