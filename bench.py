@@ -116,6 +116,7 @@ HEADLINE = (
     "chi_square_independence",
     "set_ops_all",
     "null_safe_join",
+    "shipmode_priority_counts",
 )
 
 

@@ -4755,6 +4755,38 @@ GROUP BY label
 """
 
 
+def q_shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (completes the 22-query set; no l_shipmode column,
+    so l_linestatus stands in as the mode): per mode, how many high- vs
+    low-priority orders shipped in a year window. Conditional aggregation
+    over the one orderkey join; only the 3 needed columns leave either
+    scan, and the date range pushes down to parquet."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY_COUNTS = """
+SELECT l_linestatus AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4925,4 +4957,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "set_ops_all": QueryDef(q_set_ops_all, SQL_SET_OPS_ALL),
     "null_safe_join": QueryDef(q_null_safe_join, SQL_NULL_SAFE_JOIN),
+    "shipmode_priority_counts": QueryDef(
+        q_shipmode_priority_counts, SQL_SHIPMODE_PRIORITY_COUNTS
+    ),
 }
