@@ -28,6 +28,8 @@ def row_rule_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     Column that is True when the row PASSES), count rows and violations.
     NULL rule results count as violations (SQL three-valued logic would
     silently pass them otherwise)."""
+    if not rules:
+        raise ValueError("row_rule_audit needs at least one rule")
     aggs = [F.count(F.lit(1)).alias("_checked")]
     for name, cond in rules.items():
         aggs.append(

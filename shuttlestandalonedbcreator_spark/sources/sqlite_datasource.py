@@ -81,7 +81,14 @@ def _coerce(spark_type: str, v):
                 continue
         return None
     if spark_type == "binary":
-        return bytes(v) if not isinstance(v, bytes) else v
+        if isinstance(v, bytes):
+            return v
+        if isinstance(v, str):  # TEXT storage in a BLOB-declared column
+            return v.encode("utf-8")
+        try:
+            return bytes(v)
+        except (TypeError, ValueError):
+            return None
     return str(v)
 
 

@@ -319,3 +319,28 @@ def test_sqlite_source_without_rowid_fallback(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 1  # fallback, not a failure
     assert back.count() == 50
     assert back.agg({"v": "sum"}).first()[0] == sum(range(50))
+
+
+def test_sqlite_source_blob_with_mixed_storage(spark, tmp_path):
+    """SQLite dynamic typing: a BLOB-declared column can hold TEXT cells;
+    the source must coerce (utf-8) instead of erroring per row."""
+    import sqlite3 as s3
+
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    db = str(tmp_path / "b.db")
+    conn = s3.connect(db)
+    conn.execute("CREATE TABLE blobs (payload BLOB)")
+    conn.execute("INSERT INTO blobs VALUES (?)", (b"\x00\x01real bytes",))
+    conn.execute("INSERT INTO blobs VALUES ('text in a blob column')")
+    conn.execute("INSERT INTO blobs VALUES (NULL)")
+    conn.commit()
+    conn.close()
+    register_sqlite_source(spark)
+    got = sorted(
+        (r["payload"] for r in spark.read.format("sqlite").option("table", "blobs").load(db).collect()),
+        key=lambda v: (v is None, v or b""),
+    )
+    assert got == [b"\x00\x01real bytes", b"text in a blob column", None]
