@@ -3928,8 +3928,9 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GLOBAL total — the scalar-subquery-in-HAVING pattern. The global
     total rides along as a broadcast 1-row aggregate crossJoin (no
     driver-side collect, one plan), and the threshold comparison is pure
-    integer math (value·10000 > total) so no epsilon can disagree
-    between engines."""
+    integer math — value > total div 10⁴, exactly equivalent to
+    value·10⁴ > total for positive ints but immune to int64 overflow on
+    a 100 TB fact table — so no epsilon can disagree between engines."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
@@ -3938,7 +3939,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_part.agg(F.sum("_value").alias("_total"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_value") * 10000 > F.col("_total"))
+        .filter(F.col("_value") > F.expr("_total div 10000"))
         .select("l_partkey", (F.col("_value") / F.lit(100.0)).alias("part_value"))
     )
 
@@ -3951,7 +3952,7 @@ WITH per_part AS (
 )
 SELECT l_partkey, value_ / 100.0 AS part_value
 FROM per_part
-WHERE value_ * 10000 > (SELECT SUM(value_) FROM per_part)
+WHERE value_ > (SELECT CAST(SUM(value_) AS BIGINT) // 10000 FROM per_part)
 """
 
 
@@ -4249,7 +4250,9 @@ def q_cross_source_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup→canonical mapping."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     mirror = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        # offset above any plausible real id (2^40) so injected mirrors can
+        # never collide with corpus ids at any scale factor
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
         "text",
         F.lit("mirror").alias("source"),
     )
@@ -4276,7 +4279,7 @@ WITH all_ AS (
          0 AS prio
   FROM documents
   UNION ALL
-  SELECT doc_id + 100000, 'mirror', md5(text), 1
+  SELECT doc_id + 1099511627776, 'mirror', md5(text), 1
   FROM documents WHERE doc_id % 5 = 0
 ), groups AS (
   SELECT h, arg_min(doc_id, prio * 4611686018427387904 + doc_id) AS canonical_id,
