@@ -3936,10 +3936,15 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("_cents").alias("_value"))
-    total = per_part.agg(F.sum("_value").alias("_total"))
+    total = per_part.agg(
+        F.sum("_value").alias("_total"), F.count(F.lit(1)).alias("_nparts")
+    )
+    # adaptive threshold (above the mean part value): a FIXED fraction
+    # degenerates as the part count grows — all parts qualify at small SF,
+    # none at large. total div nparts is overflow-free exact math.
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_value") > F.expr("_total div 10000"))
+        .filter(F.col("_value") > F.expr("_total div _nparts"))
         .select("l_partkey", (F.col("_value") / F.lit(100.0)).alias("part_value"))
     )
 
@@ -3952,7 +3957,7 @@ WITH per_part AS (
 )
 SELECT l_partkey, value_ / 100.0 AS part_value
 FROM per_part
-WHERE value_ > (SELECT CAST(SUM(value_) AS BIGINT) // 10000 FROM per_part)
+WHERE value_ > (SELECT CAST(SUM(value_) AS BIGINT) // COUNT(*) FROM per_part)
 """
 
 
