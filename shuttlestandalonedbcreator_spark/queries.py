@@ -3300,24 +3300,32 @@ FROM per_nation
 
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data governance: k-anonymity audit over the
-    quasi-identifier (lang, source) — groups with fewer than k=5 members
-    are re-identification risks a release pipeline must flag (HAVING
-    shape: one hash aggregate, filter on the aggregate). Output is the
-    offending groups plus their sizes; an empty result means the corpus
-    partition is k-anonymous at k=5."""
+    quasi-identifier (lang, source) at k=5 — a release pipeline must
+    flag any group small enough to re-identify. Reported as a per-lang
+    AUDIT (group count, risky-group count, smallest group), not just the
+    offender list, so the result is informative at every corpus size
+    (at large SF every group clears k and a bare offender list is
+    empty). Two stacked aggregates; the second input is tiny."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("group_size"))
-        .filter(F.col("group_size") < 5)
+    groups = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("_gs")
+    )
+    return groups.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("_gs") < 5, 1).otherwise(0)).alias("n_risky_groups"),
+        F.min("_gs").alias("min_group_size"),
     )
 
 
 SQL_K_ANONYMITY_AUDIT = """
-SELECT lang, source, COUNT(*) AS group_size
-FROM documents
-GROUP BY lang, source
-HAVING COUNT(*) < 5
+WITH groups AS (
+  SELECT lang, source, COUNT(*) AS gs
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(MIN(gs) AS BIGINT) AS min_group_size
+FROM groups GROUP BY lang
 """
 
 
@@ -4100,19 +4108,28 @@ WHERE 2 * qty * cnt < qty_sum
 
 def q_qualified_green_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: the nested double-semi-join chain — suppliers
-    having shipped a 'red' part in bulk (per-(supp,part) total quantity
-    over a threshold). Inner aggregate HAVING feeds a LEFT SEMI join on
-    the supplier key; part filter broadcasts onto the fact before the
+    having shipped a 'red' part in bulk (>20% of that part's total
+    flow; the share test scales where a fixed quantity threshold
+    degenerates). Inner aggregates feed a LEFT SEMI join on the
+    supplier key; part filter broadcasts onto the fact before the
     grouping shuffle. Output joins supplier→nation names (broadcast)."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("_qty")
     )
+    red = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    per_pair = red.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("_qty").alias("_pair_qty")
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum("_pair_qty").alias("_part_qty")
+    )
+    # adaptive bulk test: the supplier moved >20% of that part's total
+    # flow (5·pair > part, exact ints) — a fixed quantity threshold
+    # degenerates as supplier/part counts grow with scale
     bulk = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("_qty").alias("_tot"))
-        .filter(F.col("_tot") > 100)
+        per_pair.join(per_part, "l_partkey")
+        .filter(F.col("_pair_qty") * 5 > F.col("_part_qty"))
         .select("l_suppkey")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
@@ -4128,10 +4145,17 @@ SQL_QUALIFIED_GREEN_SUPPLIERS = """
 SELECT s_suppkey, s_name, n_name AS nation
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (
-  SELECT l_suppkey
-  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-  GROUP BY l_suppkey, l_partkey
-  HAVING CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 100
+  WITH per_pair AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    GROUP BY l_suppkey, l_partkey
+  ), per_part AS (
+    SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS part_qty
+    FROM per_pair GROUP BY l_partkey
+  )
+  SELECT l_suppkey FROM per_pair JOIN per_part USING (l_partkey)
+  WHERE pair_qty * 5 > part_qty
 )
 """
 
