@@ -117,6 +117,7 @@ HEADLINE = (
     "set_ops_all",
     "null_safe_join",
     "shipmode_priority_counts",
+    "subtree_rollup",
 )
 
 

@@ -110,3 +110,49 @@ def hierarchy_closure_sql(
         SELECT * FROM tree ORDER BY path
         """
     )
+
+
+def ancestor_closure(
+    nodes: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_depth: int = 64,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node_id, ancestor_id, distance) for every ancestor INCLUDING the
+    node itself at distance 0 — the join fabric for subtree rollups
+    (aggregate a measure over every node's whole subtree in ONE grouped
+    aggregation instead of a per-node walk).
+
+    Iterative frontier climb: level k holds (node, k-th ancestor); each
+    step joins the frontier's current ancestor against the edge list
+    (O(N) rows per level, so the closure is O(N·depth) total — linear,
+    not quadratic, because trees have one parent per node). Same
+    lineage-truncation and cycle-guard story as hierarchy_closure."""
+    edges = nodes.select(
+        F.col(id_col).alias("_c"), F.col(parent_col).alias("_p")
+    ).filter(F.col("_p").isNotNull())
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    self_rows = nodes.select(
+        F.col(id_col).alias("node_id"),
+        F.col(id_col).alias("ancestor_id"),
+        F.lit(0).alias("distance"),
+    )
+    out = self_rows
+    frontier = self_rows
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(edges, frontier["ancestor_id"] == edges["_c"])
+            .select(
+                "node_id",
+                F.col("_p").alias("ancestor_id"),
+                F.lit(depth).alias("distance"),
+            )
+        )
+        if checkpoint:
+            frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            return out
+        out = out.unionByName(frontier)
+    raise RuntimeError(f"ancestor_closure exceeded max_depth={max_depth} (cycle?)")

@@ -4819,6 +4819,68 @@ GROUP BY 1
 """
 
 
+def q_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtree aggregation (the natural next question after
+    the reference's hierarchy view: 'how much is UNDER each folder?'):
+    per node of the region→nation→customer tree, the descendant count
+    and total customer balance in its whole subtree. One ancestor
+    closure (operators/hierarchy.py:ancestor_closure — O(N·depth) rows)
+    then ONE grouped aggregate keyed on the ancestor; never a per-node
+    walk. Balance in exact cents end-to-end."""
+    from shuttlestandalonedbcreator_spark.operators.hierarchy import ancestor_closure
+
+    region = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit(0).cast("long").alias("_cents"),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("node_id"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent_id"),
+        F.lit(0).cast("long").alias("_cents"),
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("node_id"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("parent_id"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
+    )
+    nodes = region.unionByName(nation).unionByName(customer)
+    anc = ancestor_closure(nodes, "node_id", "parent_id")
+    measures = nodes.select(F.col("node_id"), "_cents")
+    return (
+        anc.join(measures, "node_id")
+        .groupBy(F.col("ancestor_id").alias("node_id"))
+        .agg(
+            F.sum(F.when(F.col("distance") > 0, 1).otherwise(0)).alias("n_descendants"),
+            (F.sum("_cents") / F.lit(100.0)).alias("subtree_balance"),
+        )
+    )
+
+
+SQL_SUBTREE_ROLLUP = """
+WITH RECURSIVE nodes AS (
+  SELECT concat('R', r_regionkey) AS node_id, CAST(NULL AS VARCHAR) AS parent_id,
+         CAST(0 AS BIGINT) AS cents FROM region
+  UNION ALL
+  SELECT concat('N', n_nationkey), concat('R', n_regionkey), CAST(0 AS BIGINT) FROM nation
+  UNION ALL
+  SELECT concat('C', c_custkey), concat('N', c_nationkey),
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) FROM customer
+), anc(node_id, ancestor_id, distance) AS (
+  SELECT node_id, node_id, 0 FROM nodes
+  UNION ALL
+  SELECT a.node_id, n.parent_id, a.distance + 1
+  FROM anc a JOIN nodes n ON a.ancestor_id = n.node_id
+  WHERE n.parent_id IS NOT NULL
+)
+SELECT a.ancestor_id AS node_id,
+       CAST(SUM(CASE WHEN a.distance > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_descendants,
+       CAST(SUM(m.cents) AS BIGINT) / 100.0 AS subtree_balance
+FROM anc a JOIN nodes m ON a.node_id = m.node_id
+GROUP BY a.ancestor_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -4992,4 +5054,5 @@ CATALOG: dict[str, QueryDef] = {
     "shipmode_priority_counts": QueryDef(
         q_shipmode_priority_counts, SQL_SHIPMODE_PRIORITY_COUNTS
     ),
+    "subtree_rollup": QueryDef(q_subtree_rollup, SQL_SUBTREE_ROLLUP),
 }
