@@ -118,6 +118,7 @@ HEADLINE = (
     "null_safe_join",
     "shipmode_priority_counts",
     "subtree_rollup",
+    "asof_forward_tolerance",
 )
 
 

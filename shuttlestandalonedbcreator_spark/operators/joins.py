@@ -62,13 +62,28 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """As-of (backward) join: latest right row with right_ts <= left_ts per key.
+    """As-of join: per key, the nearest right row at-or-before
+    (``direction="backward"``, the default) or at-or-after
+    (``"forward"``) each left row's timestamp, optionally only within
+    ``tolerance_seconds`` (matches further away null out — the pandas
+    merge_asof contract).
 
     Implementation: tag and union both sides, sort by (key, ts, side) and
     carry the last right payload forward with a running `last(..., ignorenulls)`
-    window. One shuffle on the key — linear, scale-safe, no range explosion.
+    window; forward is the same construction over a descending sort. One
+    shuffle on the key — linear, scale-safe, no range explosion at any
+    tolerance (tolerance is a post-filter on the carried match timestamp,
+    not a range-join condition).
+
+    Determinism contract: right rows should be unique per (key, ts) —
+    equal-timestamp duplicates are picked arbitrarily (the same contract
+    as pandas merge_asof).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = list(left.columns)
     left_types = dict(left.dtypes)
     right_types = dict(right.dtypes)
@@ -90,15 +105,31 @@ def asof_join(
         *[F.col(c) for c in payload],
     )
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at equal timestamps → "at or before"
+    # right rows sort before left rows at equal timestamps, in BOTH
+    # directions ("at or before" / "at or after" are inclusive)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = [
+        F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c)
+        for c in payload
+    ]
+    match_ts = F.last(
+        F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+    ).over(w).alias("_mts")
     filled = unioned.select(
-        *[F.col(c) for c in left_cols],
-        F.col("_side"),
-        *[F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c) for c in payload],
+        *[F.col(c) for c in left_cols], F.col("_ts"), F.col("_side"), *carried, match_ts
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col("_ts").cast("long") - F.col("_mts").cast("long"))
+        within = F.col("_mts").isNotNull() & (gap <= tolerance_seconds)
+        out = out.select(
+            *[F.col(c) for c in left_cols],
+            "_side",
+            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c) for c in payload],
+        )
+    return out.select(*left_cols, *payload)

@@ -4881,6 +4881,58 @@ GROUP BY a.ancestor_id
 """
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, forward direction with a tolerance horizon: for each
+    user's 'click' event, the value of their NEXT 'purchase' within 2
+    hours (NULL if none) — attribution windows, exactly pandas
+    merge_asof(direction='forward', tolerance=...). Same union+window
+    construction as the backward join (operators/joins.py:asof_join):
+    one key shuffle, tolerance as a post-filter on the carried match
+    timestamp — never a range join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.round("value", 6).alias("purchase_value")
+    )
+    return J.asof_join(
+        clicks, purchases, "user_id", "ts", "p_ts", ["purchase_value"],
+        direction="forward", tolerance_seconds=7200,
+    )
+
+
+# the oracle replays the identical union+window construction (DuckDB has
+# native ASOF JOIN but only backward and without tolerance)
+SQL_ASOF_FORWARD_TOLERANCE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS p_ts, round(value, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), unioned AS (
+  SELECT event_id, user_id, ts AS _ts, 1 AS side, CAST(NULL AS DOUBLE) AS pv
+  FROM clicks
+  UNION ALL
+  SELECT NULL, user_id, p_ts, 0, purchase_value FROM purchases
+), filled AS (
+  SELECT event_id, user_id, _ts, side,
+         last_value(CASE WHEN side = 0 THEN pv END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY _ts DESC, side ASC
+                 ROWS UNBOUNDED PRECEDING) AS pv_carried,
+         last_value(CASE WHEN side = 0 THEN _ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY _ts DESC, side ASC
+                 ROWS UNBOUNDED PRECEDING) AS mts
+  FROM unioned
+)
+SELECT event_id, user_id, _ts AS ts,
+       CASE WHEN mts IS NOT NULL
+             AND abs(epoch(_ts) - epoch(mts)) <= 7200
+            THEN pv_carried END AS purchase_value
+FROM filled WHERE side = 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5055,4 +5107,7 @@ CATALOG: dict[str, QueryDef] = {
         q_shipmode_priority_counts, SQL_SHIPMODE_PRIORITY_COUNTS
     ),
     "subtree_rollup": QueryDef(q_subtree_rollup, SQL_SUBTREE_ROLLUP),
+    "asof_forward_tolerance": QueryDef(
+        q_asof_forward_tolerance, SQL_ASOF_FORWARD_TOLERANCE
+    ),
 }
