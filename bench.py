@@ -119,6 +119,7 @@ HEADLINE = (
     "shipmode_priority_counts",
     "subtree_rollup",
     "asof_forward_tolerance",
+    "id_gap_audit",
 )
 
 

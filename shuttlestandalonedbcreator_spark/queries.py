@@ -4933,6 +4933,72 @@ FROM filled WHERE side = 1
 """
 
 
+def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit: every gap in the event_id space (lost
+    records, broken ingestion). The naive form is a lead() over a GLOBAL
+    ordering — one task at any scale. Scale-safe form used here: ids
+    bucket into fixed blocks (1024 ids), the lead() runs WITHIN each
+    block (parallel, one hash exchange), and gaps that straddle a block
+    boundary are stitched from the per-block (min, max) aggregate —
+    a single-task lead over id-space/block_size rows, so the block size
+    is the knob: 1024 here so test data exercises the stitch; at a
+    10^12-id space you set ~10^6 so the stitch table stays ~10^6 rows
+    (one comfortable task). Emits (gap_start,
+    gap_end) inclusive ranges of missing ids. The corpus has contiguous
+    ids, so deterministic holes are carved in-query (the pii_scrub
+    fixture pattern: drop ids where id % 97 ∈ {3, 4})."""
+    ev = _t(spark, sf_dir, "events").select("event_id").filter(
+        ~(F.col("event_id") % 97).isin(3, 4)
+    )
+    blk = (F.col("event_id") / 1024).cast("long")
+    w_in = Window.partitionBy("_blk").orderBy("event_id")
+    within = (
+        ev.withColumn("_blk", blk)
+        .withColumn("_next", F.lead("event_id").over(w_in))
+        .filter(F.col("_next") > F.col("event_id") + 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("_next") - 1).alias("gap_end"),
+        )
+    )
+    # boundary stitch: per-block extremes are a tiny table; lead() over
+    # it exposes holes between one block's max and the next block's min
+    blocks = ev.groupBy(blk.alias("_blk")).agg(
+        F.min("event_id").alias("_mn"), F.max("event_id").alias("_mx")
+    )
+    w_blk = Window.orderBy("_blk")
+    across = (
+        blocks.withColumn("_next_mn", F.lead("_mn").over(w_blk))
+        .filter(F.col("_next_mn") > F.col("_mx") + 1)
+        .select(
+            (F.col("_mx") + 1).alias("gap_start"),
+            (F.col("_next_mn") - 1).alias("gap_end"),
+        )
+    )
+    return within.unionByName(across)
+
+
+SQL_ID_GAP_AUDIT = """
+WITH ev AS (
+  SELECT event_id FROM events WHERE (event_id % 97) NOT IN (3, 4)
+), within AS (
+  SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end FROM (
+    SELECT event_id, event_id // 1024 AS blk,
+           LEAD(event_id) OVER (PARTITION BY event_id // 1024 ORDER BY event_id) AS nxt
+    FROM ev
+  ) WHERE nxt > event_id + 1
+), blocks AS (
+  SELECT event_id // 1024 AS blk, MIN(event_id) AS mn, MAX(event_id) AS mx
+  FROM ev GROUP BY 1
+), across AS (
+  SELECT mx + 1 AS gap_start, next_mn - 1 AS gap_end FROM (
+    SELECT blk, mx, LEAD(mn) OVER (ORDER BY blk) AS next_mn FROM blocks
+  ) WHERE next_mn > mx + 1
+)
+SELECT * FROM within UNION ALL SELECT * FROM across
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5110,4 +5176,5 @@ CATALOG: dict[str, QueryDef] = {
     "asof_forward_tolerance": QueryDef(
         q_asof_forward_tolerance, SQL_ASOF_FORWARD_TOLERANCE
     ),
+    "id_gap_audit": QueryDef(q_id_gap_audit, SQL_ID_GAP_AUDIT),
 }

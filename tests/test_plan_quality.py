@@ -416,3 +416,50 @@ def test_metrics_report_walks_final_adaptive_plan(spark, sf_small):
     assert any("Scan parquet" in n for n in names), names
     scans = [m for _, n, m in rows if "Scan parquet" in n]
     assert all(m.get("numOutputRows", 0) > 0 for m in scans)
+
+
+def test_q4_semi_join_with_date_residual(spark, sf_small):
+    """Q4: the correlated non-equi EXISTS must plan as ONE LeftSemi hash
+    join keyed on orderkey with the date comparison as a join residual —
+    no window, no second orders scan."""
+    plan = plan_of(spark, sf_small, "order_priority_checks")
+    assert "LeftSemi" in plan
+    assert plan.count("FileScan parquet") == 2  # orders + lineitem, once each
+    # the orders date range still pushes to its scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q13_outer_join_preserved(spark, sf_small):
+    """Q13: the priority filter lives in the JOIN CONDITION — the plan
+    must keep LeftOuter (a WHERE placement would turn it inner and drop
+    zero-order customers)."""
+    plan = plan_of(spark, sf_small, "customer_order_distribution")
+    assert "LeftOuter" in plan
+    assert "Inner" not in plan
+
+
+def test_q17_per_part_aggregate_broadcasts(spark, sf_small):
+    """Q17: the decorrelated per-part pre-aggregate (one row per part)
+    must broadcast back onto the fact rows — the fact side shuffles only
+    for its own aggregation, never for the threshold join."""
+    plan = plan_of(spark, sf_small, "small_qty_avg_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_aggregates_before_decorating(spark, sf_small):
+    """Q10: top-k by revenue must aggregate DOWN to custkey before the
+    customer/nation payload joins (both broadcast), ending in
+    TakeOrderedAndProject — never a full sort."""
+    plan = plan_of(spark, sf_small, "returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_anti_join_and_single_distinct_shuffle(spark, sf_small):
+    """Q16: the NOT-IN blacklist is a broadcast anti join, and the
+    count-distinct collapses in the same keyed shuffle chain (no extra
+    exchange beyond the two-phase distinct)."""
+    plan = plan_of(spark, sf_small, "supplier_part_variety")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
