@@ -120,6 +120,7 @@ HEADLINE = (
     "subtree_rollup",
     "asof_forward_tolerance",
     "id_gap_audit",
+    "change_feed",
 )
 
 

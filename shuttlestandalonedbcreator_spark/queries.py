@@ -4999,6 +4999,71 @@ SELECT * FROM within UNION ALL SELECT * FROM across
 """
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC feed between two corpus snapshots — snapshot_diff's
+    summary answers 'did it change?'; this emits the actual change rows
+    a downstream incremental consumer applies: one op row per delta
+    (insert with new content hash, delete, update with both hashes).
+    Unchanged rows — the overwhelming majority at scale — are filtered
+    INSIDE the same full-outer-join pass, so the feed's size is
+    O(changes), never O(corpus). Same deterministic snapshot derivation
+    as snapshot_diff (md5-hash 10% removed / 20% rewritten / 10% new)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = D.md5_long(F.col("doc_id"), seed=11) % 10
+    surviving = docs.filter(h != 0).select(
+        "doc_id",
+        F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(h == 9).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new = surviving.unionByName(added)
+    old_k = docs.select(F.col("doc_id").alias("k"), F.md5("text").alias("_oh"))
+    new_k = new.select(F.col("doc_id").alias("k"), F.md5("text").alias("_nh"))
+    op = (
+        F.when(F.col("_oh").isNull(), F.lit("insert"))
+        .when(F.col("_nh").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        old_k.join(new_k, "k", "full_outer")
+        .filter(
+            F.col("_oh").isNull() | F.col("_nh").isNull() | (F.col("_oh") != F.col("_nh"))
+        )
+        .select(
+            F.col("k").alias("doc_id"),
+            op.alias("op"),
+            F.col("_oh").alias("old_hash"),
+            F.col("_nh").alias("new_hash"),
+        )
+    )
+
+
+SQL_CHANGE_FEED = """
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(concat('11|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10 AS h
+  FROM documents
+), new AS (
+  SELECT doc_id, CASE WHEN h <= 2 THEN concat(text, ' v2') ELSE text END AS text
+  FROM base WHERE h <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE h = 9
+), o AS (
+  SELECT doc_id AS k, md5(text) AS oh FROM base
+), n AS (
+  SELECT doc_id AS k, md5(text) AS nh FROM new
+)
+SELECT COALESCE(o.k, n.k) AS doc_id,
+       CASE WHEN oh IS NULL THEN 'insert'
+            WHEN nh IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       oh AS old_hash, nh AS new_hash
+FROM o FULL OUTER JOIN n ON o.k = n.k
+WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5177,4 +5242,5 @@ CATALOG: dict[str, QueryDef] = {
         q_asof_forward_tolerance, SQL_ASOF_FORWARD_TOLERANCE
     ),
     "id_gap_audit": QueryDef(q_id_gap_audit, SQL_ID_GAP_AUDIT),
+    "change_feed": QueryDef(q_change_feed, SQL_CHANGE_FEED),
 }
