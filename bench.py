@@ -121,6 +121,7 @@ HEADLINE = (
     "asof_forward_tolerance",
     "id_gap_audit",
     "change_feed",
+    "token_id_encode",
 )
 
 

@@ -5064,6 +5064,64 @@ WHERE oh IS NULL OR nh IS NULL OR oh <> nh
 """
 
 
+def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → token-id encoding against a built vocabulary (the
+    tokenize-to-ids step before training): top-100 tokens by frequency
+    become ids 1..100 (count-desc, token-asc ties), everything else OOV
+    (-1). Encoding is a pure HOF transform against a broadcast map
+    LITERAL (the vocab is bounded by construction — collecting it to the
+    driver is the same pattern as the reference's distinct→views loop,
+    and the per-row path stays JVM codegen, zero joins per token).
+    Output fingerprints the ORDERED id sequence (md5) plus token/OOV
+    counts — array-free so the cross-engine compare is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("token"))
+    vocab_rows = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+        .collect()
+    )
+    pairs: list = []
+    for i, r in enumerate(vocab_rows):
+        pairs.extend([F.lit(r["token"]), F.lit(i + 1)])
+    vmap = F.create_map(*pairs)
+    w = D.tokens(F.col("text"))
+    ids = F.transform(w, lambda t: F.coalesce(vmap[t], F.lit(-1)))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == -1)).alias("n_oov"),
+        F.md5(F.concat_ws(" ", ids)).alias("ids_fingerprint"),
+    )
+
+
+SQL_TOKEN_ID_ENCODE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS tid
+  FROM toks GROUP BY token
+  ORDER BY COUNT(*) DESC, token ASC LIMIT 100
+), vm AS (
+  SELECT MAP(list(token ORDER BY tid), list(tid ORDER BY tid)) AS m FROM vocab
+), docw AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), enc AS (
+  SELECT doc_id, w,
+         list_transform(w, t -> COALESCE(m[t][1], -1)) AS ids
+  FROM docw CROSS JOIN vm
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(ids, i -> i = -1)) AS INTEGER) AS n_oov,
+       md5(array_to_string(ids, ' ')) AS ids_fingerprint
+FROM enc
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5243,4 +5301,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "id_gap_audit": QueryDef(q_id_gap_audit, SQL_ID_GAP_AUDIT),
     "change_feed": QueryDef(q_change_feed, SQL_CHANGE_FEED),
+    "token_id_encode": QueryDef(q_token_id_encode, SQL_TOKEN_ID_ENCODE),
 }
