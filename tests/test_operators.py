@@ -185,3 +185,54 @@ def test_quality_audit_counts_injected_violations(spark):
     )
     ref = referential_audit(child, "fk", parent, "pk", "fk_ok").collect()[0]
     assert (ref["checked"], ref["violations"]) == (3, 1)  # null fk unchecked
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join vs pandas.merge_asof — the reference implementation —
+    across all four (direction × tolerance) configurations on a fixture
+    with every edge: equal timestamps (inclusive both directions), keys
+    with no match, matches outside tolerance, multiple lefts sharing one
+    right."""
+    import pandas as pd
+
+    from shuttlestandalonedbcreator_spark.operators.joins import asof_join
+
+    left_pd = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "lts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:30",
+            "2024-01-01 10:30", "2024-01-01 23:00", "2024-01-01 09:00",
+        ]),
+        "lid": [1, 2, 3, 4, 5, 6],
+    })
+    right_pd = pd.DataFrame({
+        "k": [1, 1, 2, 4],
+        "rts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 12:00",
+            "2024-01-01 11:00", "2024-01-01 10:00",
+        ]),
+        "v": [10.0, 12.0, 21.0, 40.0],
+    })
+    left = spark.createDataFrame(left_pd.rename(columns={"lts": "ts"}))
+    right = spark.createDataFrame(right_pd.rename(columns={"rts": "ts2"}))
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 3600):
+            got = (
+                asof_join(
+                    left, right.select("k", "ts2", "v"), "k", "ts", "ts2", ["v"],
+                    direction=direction, tolerance_seconds=tol,
+                )
+                .toPandas()
+                .sort_values("lid")
+                .reset_index(drop=True)
+            )
+            want = pd.merge_asof(
+                left_pd.sort_values("lts"),
+                right_pd.sort_values("rts"),
+                by="k", left_on="lts", right_on="rts",
+                direction=direction,
+                tolerance=(pd.Timedelta(seconds=tol) if tol else None),
+            ).sort_values("lid").reset_index(drop=True)
+            assert list(got["v"].fillna(-1)) == list(want["v"].fillna(-1)), (
+                direction, tol, got, want)
