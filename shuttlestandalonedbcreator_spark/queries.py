@@ -2860,7 +2860,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
     )
     added = docs.filter(h == 9).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
     )
     new = surviving.unionByName(added)
     old_k = docs.select(F.col("doc_id").alias("k"), F.col("text").alias("_old"))
@@ -2888,7 +2888,7 @@ WITH base AS (
   SELECT doc_id, CASE WHEN h <= 2 THEN concat(text, ' v2') ELSE text END AS text
   FROM base WHERE h <> 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE h = 9
+  SELECT doc_id + 1099511627776 AS doc_id, text FROM base WHERE h = 9
 ), d AS (
   SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
               WHEN n.doc_id IS NULL THEN 'removed'
@@ -5015,7 +5015,7 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
     )
     added = docs.filter(h == 9).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
     )
     new = surviving.unionByName(added)
     old_k = docs.select(F.col("doc_id").alias("k"), F.md5("text").alias("_oh"))
@@ -5048,7 +5048,7 @@ WITH base AS (
   SELECT doc_id, CASE WHEN h <= 2 THEN concat(text, ' v2') ELSE text END AS text
   FROM base WHERE h <> 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE h = 9
+  SELECT doc_id + 1099511627776 AS doc_id, text FROM base WHERE h = 9
 ), o AS (
   SELECT doc_id AS k, md5(text) AS oh FROM base
 ), n AS (
