@@ -141,3 +141,57 @@ def test_idempotent_reingest(spark, ingested):
     # property (§5): re-ingesting the same data changes nothing
     again = dedup_last_wins(ingested.unionByName(ingested))
     assert again.count() == ingested.count()
+
+
+def test_full_reference_workflow_round_trip(spark, tmp_path):
+    """The complete reference loop in one test: workbook → scan →
+    pipeline → SQLite export (the reference's artifact) → PARALLEL
+    read-back via spark.read.format("sqlite") → equality with the
+    pipeline output on the exported columns. A reference user's whole
+    workflow, end to end, through this engine."""
+    from shuttlestandalonedbcreator_spark.sources.excel import (
+        read_transfer_reports,
+        write_workbook,
+    )
+    from shuttlestandalonedbcreator_spark.plans import sinks
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    rows = [list(RAW_COLUMNS)]
+    for i in range(25):
+        r = ["" for _ in RAW_COLUMNS]
+        r[0] = f"/root/sub{i % 3}/f{i}.dat"        # file_name
+        r[1] = str(100 + i)                        # source_file_size
+        r[3] = str(1000 + i)                       # target_file_id
+        r[15] = "success" if i % 2 else "failed"   # file_status
+        rows.append(r)
+    src = tmp_path / "source"
+    src.mkdir()
+    write_workbook({"Transfer Report": rows}, str(src / "JobX.xlsx"))
+
+    out = ingest(read_transfer_reports(spark, str(src)), materialize=True)
+    db = str(tmp_path / "transfer_reports.db")
+    assert sinks.export_sqlite(out, db) == 25
+
+    register_sqlite_source(spark)
+    back = (
+        spark.read.format("sqlite")
+        .option("table", "transfer_data")
+        .option("numPartitions", "3")
+        .load(db)
+    )
+    cols = ["file_name", "source_file_size", "target_file_id", "file_status", "job_name"]
+    got = sorted(tuple(r[c] for c in cols) for r in back.select(*cols).collect())
+    want = sorted(
+        tuple(
+            str(r[c]) if c == "target_file_id" else r[c]
+            for c in cols
+        )
+        for r in out.select(*cols).collect()
+    )
+    # sqlite BIGINT column comes back as int; normalize for compare
+    got = [(f, int(s), str(t), st, j) for f, s, t, st, j in got]
+    want = [(f, int(s), str(t), st, j) for f, s, t, st, j in want]
+    assert got == want
+    assert back.rdd.getNumPartitions() == 3

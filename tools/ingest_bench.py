@@ -39,24 +39,28 @@ def make_rows(n: int, file_idx: int) -> list[list[str]]:
     rows = [header]
     for i in range(n):
         path = f"/jobs/batch{file_idx}/dir{i % 97}/file_{i}.dat"
-        rows.append([
-            path,                       # file_name
-            "acct-src", "acct-tgt",     # accounts
-            f"user{i % 13}",            # last_modified_by
-            str(44000 + (i % 900)),     # creation_time (excel serial)
-            str(44100 + (i % 900)),     # source_last_modification_time
-            str((i * 37) % 5_000_000),  # source_file_size
-            "45000.5",                  # target_last_modification_time
-            str((i * 37) % 5_000_000),  # target_file_size
-            "44500.25",                 # last_access_time
-            "md5", f"cafe{i:08x}",      # checksum_method, checksum
-            str(1_000_000 * file_idx + i),  # target_file_id
-            "44600", "44601",           # start_time, transfer_time
-            "success" if i % 7 else "failed",  # file_status
-            "" if i % 7 else "timeout", # errors
-            "done",                     # status
-            path.rsplit("/", 1)[-1],    # translated_file_name
-        ])
+        cells = {
+            "file_name": path,
+            "source_file_size": str((i * 37) % 5_000_000),
+            "target_file_size": str((i * 37) % 5_000_000),
+            "target_file_id": str(1_000_000 * file_idx + i),
+            "source_account": "acct-src",
+            "target_account": "acct-tgt",
+            "creation_time": str(44000 + (i % 900)),  # excel serial
+            "source_last_modified_by": f"user{i % 13}",
+            "source_last_modification_time": str(44100 + (i % 900)),
+            "target_last_modification_time": "45000.5",
+            "last_access_time": "44500.25",
+            "start_time": "44600",
+            "transfer_time": "44601",
+            "checksum_method": "md5",
+            "checksum": f"cafe{i:08x}",
+            "file_status": "success" if i % 7 else "failed",
+            "errors": "" if i % 7 else "timeout",
+            "status": "done",
+            "translated_file_name": path.rsplit("/", 1)[-1],
+        }
+        rows.append([cells[c] for c in RAW_COLUMNS])
     return rows
 
 
