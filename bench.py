@@ -122,6 +122,7 @@ HEADLINE = (
     "id_gap_audit",
     "change_feed",
     "token_id_encode",
+    "sentence_boilerplate",
 )
 
 

@@ -5122,6 +5122,96 @@ FROM enc
 """
 
 
+def q_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity boilerplate detection (the cleaner real
+    curation pipelines run alongside the n-gram one: repeated FULL
+    sentences across documents are navigation/footer/template text).
+    Sentences = [.!?]-delimited spans, normalized (lower, squeezed
+    whitespace) and keyed by md5; a sentence in >= 3 DISTINCT docs is
+    boilerplate. Same inverted-index shape as boilerplate_ngrams: one
+    corpus-scale explode+aggregate keyed on the sentence hash, hot set
+    semi-joined back. Fraction is an unrounded count ratio (exact).
+    The synthetic docs are single sentences with no cross-doc repeats,
+    so deterministic template footers are appended in-query (the
+    pii_scrub fixture pattern) — the detector must find exactly those."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(". Subscribe to our newsletter now."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" Click here to unsubscribe!"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sent_arr = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda x: F.trim(F.regexp_replace(F.lower(x), r"\s+", " ")),
+        ),
+        lambda x: x != "",
+    )
+    sents = docs.select(
+        "doc_id", F.explode(sent_arr).alias("_s")
+    ).select("doc_id", F.md5("_s").alias("_h"))
+    hot = (
+        sents.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 3)
+        .select("_h")
+    )
+    per_doc = sents.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sentences"))
+    boiler = (
+        sents.join(hot, "_h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    return (
+        per_doc.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sentences",
+            F.coalesce("_nb", F.lit(0)).cast("long").alias("n_boilerplate"),
+            (
+                F.coalesce("_nb", F.lit(0)).cast("double")
+                / F.col("n_sentences").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+SQL_SENTENCE_BOILERPLATE = """
+WITH sents AS (
+  SELECT doc_id,
+         md5(s) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(string_split_regex(t, '[.!?]+'),
+                            x -> trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))),
+             x -> x <> '')) AS s
+    FROM (
+      SELECT doc_id,
+             concat(text,
+                    CASE WHEN doc_id % 4 = 0 THEN '. Subscribe to our newsletter now.' ELSE '' END,
+                    CASE WHEN doc_id % 7 = 0 THEN ' Click here to unsubscribe!' ELSE '' END) AS t
+      FROM documents
+    )
+  )
+), hot AS (
+  SELECT h FROM sents GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_sentences FROM sents GROUP BY doc_id
+), boiler AS (
+  SELECT doc_id, COUNT(*) AS nb FROM sents WHERE h IN (SELECT h FROM hot) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_sentences,
+       CAST(COALESCE(b.nb, 0) AS BIGINT) AS n_boilerplate,
+       CAST(COALESCE(b.nb, 0) AS DOUBLE) / CAST(p.n_sentences AS DOUBLE) AS boiler_frac
+FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5302,4 +5392,7 @@ CATALOG: dict[str, QueryDef] = {
     "id_gap_audit": QueryDef(q_id_gap_audit, SQL_ID_GAP_AUDIT),
     "change_feed": QueryDef(q_change_feed, SQL_CHANGE_FEED),
     "token_id_encode": QueryDef(q_token_id_encode, SQL_TOKEN_ID_ENCODE),
+    "sentence_boilerplate": QueryDef(
+        q_sentence_boilerplate, SQL_SENTENCE_BOILERPLATE
+    ),
 }
