@@ -123,6 +123,7 @@ HEADLINE = (
     "change_feed",
     "token_id_encode",
     "sentence_boilerplate",
+    "groupwise_minmax_norm",
 )
 
 

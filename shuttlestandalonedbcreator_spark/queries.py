@@ -5212,6 +5212,42 @@ FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
 """
 
 
+def q_groupwise_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the §2.10 Python surface this catalog
+    didn't yet exercise — grouped AGG, mapInPandas, UDTF and DataSource
+    all are): per event_type, min-max normalize the value column. The
+    pandas function sees each whole group as one Arrow batch
+    (FlatMapGroupsInPandas — one shuffle on the group key); this exact
+    semantics IS expressible with window functions, which is what the
+    oracle uses — so the Python path is hash-verified against pure SQL,
+    proving the Arrow transport mangles nothing. Per-row float ops are
+    single IEEE subtract/divide (numpy and JVM agree bit-for-bit)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        rng = mx - mn
+        pdf = pdf.copy()
+        pdf["value_norm"] = (pdf["value"] - mn) / rng if rng > 0 else 0.0
+        return pdf[["event_id", "event_type", "value_norm"]]
+
+    return ev.groupBy("event_type").applyInPandas(
+        norm, "event_id long, event_type string, value_norm double"
+    )
+
+
+SQL_GROUPWISE_MINMAX_NORM = """
+SELECT event_id, event_type,
+       CASE WHEN MAX(value) OVER w > MIN(value) OVER w
+            THEN (value - MIN(value) OVER w) / (MAX(value) OVER w - MIN(value) OVER w)
+            ELSE 0.0 END AS value_norm
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5394,5 +5430,8 @@ CATALOG: dict[str, QueryDef] = {
     "token_id_encode": QueryDef(q_token_id_encode, SQL_TOKEN_ID_ENCODE),
     "sentence_boilerplate": QueryDef(
         q_sentence_boilerplate, SQL_SENTENCE_BOILERPLATE
+    ),
+    "groupwise_minmax_norm": QueryDef(
+        q_groupwise_minmax_norm, SQL_GROUPWISE_MINMAX_NORM
     ),
 }

@@ -463,3 +463,12 @@ def test_q16_anti_join_and_single_distinct_shuffle(spark, sf_small):
     plan = plan_of(spark, sf_small, "supplier_part_variety")
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_groupwise_minmax_is_grouped_map_arrow(spark, sf_small):
+    """The grouped-map query must plan FlatMapGroupsInPandas over ONE
+    group-key exchange — whole groups cross to Python as Arrow batches,
+    not per-row pickling."""
+    plan = plan_of(spark, sf_small, "groupwise_minmax_norm")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
