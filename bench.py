@@ -124,6 +124,7 @@ HEADLINE = (
     "token_id_encode",
     "sentence_boilerplate",
     "groupwise_minmax_norm",
+    "langid_confusion",
 )
 
 

@@ -5248,6 +5248,57 @@ WINDOW w AS (PARTITION BY event_type)
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: confusion matrix of the lang-ID
+    heuristic against the labeled lang column, plus per-label recall —
+    the eval pass any pipeline model (quality classifier, language
+    detector) gets before its threshold is trusted. One grouped count
+    over (label, guess); recall = per-cell count over the label's
+    marginal via a window on the tiny matrix (unrounded count ratio)."""
+    docs = _t(spark, sf_dir, "documents")
+    guessed = docs.select(
+        F.col("lang").alias("label"),
+        T.lang_id(F.col("text")).alias("guess"),
+    )
+    cells = guessed.groupBy("label", "guess").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("label")
+    return cells.select(
+        "label",
+        "guess",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("label_frac"),
+    )
+
+
+SQL_LANGID_CONFUSION = """
+WITH toks AS (
+  SELECT lang AS label,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), langs AS (
+  SELECT label,
+         [struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS BIGINT), lang := 'en'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['der','die','und','nicht','ist'], t))) AS BIGINT), lang := 'de'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['le','la','et','les','est'], t))) AS BIGINT), lang := 'fr'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['el','la','que','de','es'], t))) AS BIGINT), lang := 'es'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['de5','shi4','bu4','le5','zai4'], t))) AS BIGINT), lang := 'zh')] AS pairs
+  FROM toks
+), best AS (
+  SELECT label, list_aggregate(pairs, 'max') AS b FROM langs
+), guessed AS (
+  SELECT label, CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS guess FROM best
+), cells AS (
+  SELECT label, guess, COUNT(*) AS n_docs FROM guessed GROUP BY 1, 2
+)
+SELECT label, guess, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY label) AS DOUBLE) AS label_frac
+FROM cells
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5434,4 +5485,5 @@ CATALOG: dict[str, QueryDef] = {
     "groupwise_minmax_norm": QueryDef(
         q_groupwise_minmax_norm, SQL_GROUPWISE_MINMAX_NORM
     ),
+    "langid_confusion": QueryDef(q_langid_confusion, SQL_LANGID_CONFUSION),
 }
