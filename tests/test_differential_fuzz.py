@@ -89,7 +89,42 @@ def _query(rng: random.Random) -> str:
     return f"SELECT {', '.join(aggs)} FROM {table} WHERE {where}"
 
 
-_QUERIES = [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
+_JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+]
+_JOIN_GROUPS = {
+    ("orders", "customer"): ["o_orderstatus", "c_mktsegment"],
+    ("lineitem", "orders"): ["l_returnflag", "o_orderpriority"],
+    ("lineitem", "part"): ["l_linestatus", "p_brand"],
+    ("customer", "nation"): ["c_mktsegment", "n_name"],
+}
+
+
+def _join_query(rng: random.Random) -> str:
+    fact, dim, cond = rng.choice(_JOINS)
+    jt = rng.choice(["JOIN", "LEFT JOIN"])
+    preds = []
+    if fact in _TABLES and rng.random() < 0.8:
+        preds.append(_predicate(rng, _TABLES[fact]))
+    where = " AND ".join(preds) or "TRUE"
+    keys = ", ".join(
+        rng.sample(_JOIN_GROUPS[(fact, dim)], rng.randint(1, 2))
+    )
+    # COUNT(dim-side column) differs between JOIN and LEFT JOIN — the
+    # outer-join-aware count is exactly what this exercises
+    dim_col = cond.split("= ")[1]
+    return (
+        f"SELECT {keys}, COUNT(*) AS n, COUNT({dim_col}) AS n_matched "
+        f"FROM {fact} {jt} {dim} ON {cond} WHERE {where} GROUP BY {keys}"
+    )
+
+
+_QUERIES = [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)] + [
+    _join_query(random.Random(_SEED + 1000 + i)) for i in range(10)
+]
 
 
 @pytest.fixture(scope="module")
@@ -102,7 +137,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 10))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]
