@@ -85,7 +85,15 @@ def _query(rng: random.Random) -> str:
         keys = ", ".join(
             rng.sample(cols["group"], rng.randint(1, len(cols["group"])))
         )
-        return f"SELECT {keys}, {', '.join(aggs)} FROM {table} WHERE {where} GROUP BY {keys}"
+        having = (
+            f" HAVING COUNT(*) > {rng.randint(0, 50)}"
+            if rng.random() < 0.4
+            else ""
+        )
+        return (
+            f"SELECT {keys}, {', '.join(aggs)} FROM {table} "
+            f"WHERE {where} GROUP BY {keys}{having}"
+        )
     return f"SELECT {', '.join(aggs)} FROM {table} WHERE {where}"
 
 
