@@ -125,8 +125,13 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        gap = F.abs(F.col("_ts").cast("long") - F.col("_mts").cast("long"))
-        within = F.col("_mts").isNotNull() & (gap <= tolerance_seconds)
+        # microsecond-exact integer gap: cast-to-long TRUNCATES fractional
+        # seconds (DuckDB/pandas keep them), so a second-granularity gap
+        # silently disagrees near the boundary for sub-second timestamps
+        gap = F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_mts")))
+        within = F.col("_mts").isNotNull() & (
+            gap <= int(tolerance_seconds) * 1_000_000
+        )
         out = out.select(
             *[F.col(c) for c in left_cols],
             "_side",

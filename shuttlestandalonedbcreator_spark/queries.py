@@ -4927,7 +4927,7 @@ WITH clicks AS (
 )
 SELECT event_id, user_id, _ts AS ts,
        CASE WHEN mts IS NOT NULL
-             AND abs(epoch(_ts) - epoch(mts)) <= 7200
+             AND abs(epoch_us(_ts) - epoch_us(mts)) <= CAST(7200 AS BIGINT) * 1000000
             THEN pv_carried END AS purchase_value
 FROM filled WHERE side = 1
 """
