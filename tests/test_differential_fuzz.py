@@ -130,9 +130,30 @@ def _join_query(rng: random.Random) -> str:
     )
 
 
-_QUERIES = [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)] + [
-    _join_query(random.Random(_SEED + 1000 + i)) for i in range(10)
-]
+_UNIQUE_KEYS = {"orders": "o_orderkey", "customer": "c_custkey"}
+
+
+def _topk_query(rng: random.Random) -> str:
+    """Deterministic top-k: ORDER BY (value, unique key) LIMIT n — the
+    unique tiebreaker makes the selected row set engine-independent even
+    though the comparison itself is order-insensitive."""
+    table = rng.choice(list(_UNIQUE_KEYS))
+    cols = _TABLES[table]
+    key = _UNIQUE_KEYS[table]
+    val = rng.choice([c for c in cols["num"] if c != key])
+    where = _predicate(rng, cols) if rng.random() < 0.5 else "TRUE"
+    direction = rng.choice(["ASC", "DESC"])
+    return (
+        f"SELECT {key}, {val} FROM {table} WHERE {where} "
+        f"ORDER BY {val} {direction}, {key} ASC LIMIT {rng.randint(1, 50)}"
+    )
+
+
+_QUERIES = (
+    [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
+    + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
+    + [_topk_query(random.Random(_SEED + 2000 + i)) for i in range(5)]
+)
 
 
 @pytest.fixture(scope="module")
@@ -145,7 +166,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 10))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 15))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]
