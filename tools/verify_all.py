@@ -1,0 +1,78 @@
+"""One-shot release gate: every check the driver and the verify recipe
+run, in one command.
+
+    python tools/verify_all.py [sf_dir]
+
+1. entry() on a VANILLA session (no engine session profile) — catches
+   any config the code path fails to set at runtime.
+2. queries()/oracle_sql() contract shape (oracle keys ⊆ query keys).
+3. Full catalog parity sweep vs DuckDB at sf_dir (default sf0.01).
+4. bench.py emits exactly one valid JSON line (run at sf0.001 here for
+   speed — the driver runs sf0.1).
+
+Exit code 0 = shippable.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures = []
+
+    # 1+2: vanilla-session driver contract
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.entry(spark).collect()
+    if not rows:
+        failures.append("entry() returned 0 rows")
+    qs, osql = mod.queries(), mod.oracle_sql()
+    if not set(osql) <= set(qs):
+        failures.append("oracle_sql keys not a subset of queries")
+    print(f"entry: {len(rows)} rows; catalog {len(qs)} / {len(osql)} oracle-backed")
+
+    # 3: full parity sweep (separate process: check_parity owns its session)
+    spark.stop()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_parity.py"), sf_dir],
+        capture_output=True, text=True, timeout=3600,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"parity @ {sf_dir}: {last}")
+    if r.returncode != 0:
+        failures.append(f"parity sweep failed: {last}")
+
+    # 4: bench emits one JSON line
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    try:
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert {"metric", "value", "unit", "queries", "sf"} <= set(payload)
+        print(f"bench: {payload['value']}s over {len(payload['queries'])} queries")
+    except Exception as e:  # noqa: BLE001
+        failures.append(f"bench output invalid: {e}")
+
+    print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
