@@ -149,10 +149,36 @@ def _topk_query(rng: random.Random) -> str:
     )
 
 
+def _scalar_query(rng: random.Random) -> str:
+    """Scalar string/conditional expressions in projections — verbatim
+    on both engines; keyed by the table's unique id so the row set is
+    deterministic."""
+    table = rng.choice(list(_UNIQUE_KEYS))
+    cols = _TABLES[table]
+    key = _UNIQUE_KEYS[table]
+    c = rng.choice(cols["str"])
+    exprs = rng.sample(
+        [
+            f"LENGTH({c}) AS e1",
+            f"UPPER({c}) AS e2",
+            f"LOWER({c}) AS e3",
+            f"SUBSTR({c}, 1, {rng.randint(1, 5)}) AS e4",
+            f"CONCAT({c}, '_{rng.randint(0, 9)}') AS e5",
+            f"CASE WHEN LENGTH({c}) > {rng.randint(0, 10)} THEN 'long' ELSE 'short' END AS e6",
+            f"REPLACE({c}, 'A', '@') AS e7",
+            f"TRIM({c}) AS e8",
+        ],
+        rng.randint(2, 4),
+    )
+    where = _predicate(rng, cols) if rng.random() < 0.5 else "TRUE"
+    return f"SELECT {key}, {', '.join(exprs)} FROM {table} WHERE {where}"
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
     + [_topk_query(random.Random(_SEED + 2000 + i)) for i in range(5)]
+    + [_scalar_query(random.Random(_SEED + 3000 + i)) for i in range(10)]
 )
 
 
@@ -166,7 +192,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 15))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 25))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]
