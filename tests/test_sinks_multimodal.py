@@ -344,3 +344,35 @@ def test_sqlite_source_blob_with_mixed_storage(spark, tmp_path):
         key=lambda v: (v is None, v or b""),
     )
     assert got == [b"\x00\x01real bytes", b"text in a blob column", None]
+
+
+def test_sqlite_source_partition_distribution(spark, tmp_path):
+    """Rowid-range partitioning at moderate volume: 100k rows over 8
+    partitions must come back complete, deduplicated, and reasonably
+    balanced (contiguous rowids → near-even ranges)."""
+    import sqlite3 as s3
+
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    db = str(tmp_path / "big.db")
+    conn = s3.connect(db)
+    conn.execute("CREATE TABLE t (v INTEGER)")
+    conn.executemany("INSERT INTO t VALUES (?)", ((i,) for i in range(100_000)))
+    conn.commit()
+    conn.close()
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("table", "t")
+        .option("numPartitions", "8")
+        .load(db)
+    )
+    assert df.rdd.getNumPartitions() == 8
+    sizes = [len(p) for p in df.rdd.glom().collect()]
+    assert sum(sizes) == 100_000
+    assert min(sizes) > 0 and max(sizes) <= 100_000 // 8 + 1
+    assert df.agg(F.count_distinct("v")).first()[0] == 100_000  # no overlap
