@@ -68,12 +68,11 @@ def _predicate(rng: random.Random, cols: dict) -> str:
 def _query(rng: random.Random) -> str:
     table = rng.choice(list(_TABLES))
     cols = _TABLES[table]
-    where = " AND ".join(
-        _predicate(rng, cols) for _ in range(rng.randint(0, 3))
-    ) or "TRUE"
-    if rng.random() < 0.3:
-        parts = where.split(" AND ")
-        where = " OR ".join(parts)
+    preds = [_predicate(rng, cols) for _ in range(rng.randint(0, 3))]
+    # join on the predicate LIST — a textual split-on-" AND " rewrite
+    # would mangle BETWEEN x AND y
+    conj = " OR " if rng.random() < 0.3 else " AND "
+    where = conj.join(f"({p})" for p in preds) or "TRUE"
     aggs = ["COUNT(*) AS n"]
     for i in range(rng.randint(0, 3)):
         c = rng.choice(cols["num"])
