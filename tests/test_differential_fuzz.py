@@ -173,11 +173,30 @@ def _scalar_query(rng: random.Random) -> str:
     return f"SELECT {key}, {', '.join(exprs)} FROM {table} WHERE {where}"
 
 
+def _window_query(rng: random.Random) -> str:
+    """Ranking windows with a unique-key tiebreaker — the total order
+    makes ROW_NUMBER/RANK/DENSE_RANK engine-deterministic."""
+    table = rng.choice(list(_UNIQUE_KEYS))
+    cols = _TABLES[table]
+    key = _UNIQUE_KEYS[table]
+    val = rng.choice([c for c in cols["num"] if c != key])
+    part = rng.choice(cols["group"])
+    fn = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"])
+    direction = rng.choice(["ASC", "DESC"])
+    where = _predicate(rng, cols) if rng.random() < 0.5 else "TRUE"
+    return (
+        f"SELECT {key}, {part}, "
+        f"{fn} OVER (PARTITION BY {part} ORDER BY {val} {direction}, {key} ASC) AS rk "
+        f"FROM {table} WHERE {where}"
+    )
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
     + [_topk_query(random.Random(_SEED + 2000 + i)) for i in range(5)]
     + [_scalar_query(random.Random(_SEED + 3000 + i)) for i in range(10)]
+    + [_window_query(random.Random(_SEED + 4000 + i)) for i in range(5)]
 )
 
 
@@ -191,7 +210,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 25))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 30))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]

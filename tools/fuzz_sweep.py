@@ -34,6 +34,7 @@ def main() -> int:
         _query,
         _scalar_query,
         _topk_query,
+        _window_query,
     )
     from tools.check_parity import TABLES, compare
 
@@ -43,7 +44,7 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    gens = [_query, _join_query, _topk_query, _scalar_query]
+    gens = [_query, _join_query, _topk_query, _scalar_query, _window_query]
     divergences = errors = 0
     for seed in range(base, base + n_seeds):
         sql = random.Random(seed).choice(gens)(random.Random(seed))
