@@ -19,17 +19,29 @@ three classes union into one report DataFrame.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_RULE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def row_rule_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """One aggregate pass over ``df``: for each named rule (a boolean
     Column that is True when the row PASSES), count rows and violations.
     NULL rule results count as violations (SQL three-valued logic would
-    silently pass them otherwise)."""
+    silently pass them otherwise). Rule names must be SQL identifiers
+    (``[A-Za-z_][A-Za-z0-9_]*``) — they are interpolated into the
+    stack() transpose below, so anything else raises loudly here instead
+    of mis-parsing there."""
     if not rules:
         raise ValueError("row_rule_audit needs at least one rule")
+    bad = [n for n in rules if not _RULE_NAME.match(n)]
+    if bad:
+        raise ValueError(
+            f"rule names must match [A-Za-z_][A-Za-z0-9_]*: {bad!r}"
+        )
     aggs = [F.count(F.lit(1)).alias("_checked")]
     for name, cond in rules.items():
         aggs.append(

@@ -3932,13 +3932,14 @@ LIMIT 20
 
 
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
-    the GLOBAL total — the scalar-subquery-in-HAVING pattern. The global
-    total rides along as a broadcast 1-row aggregate crossJoin (no
-    driver-side collect, one plan), and the threshold comparison is pure
-    integer math — value > total div 10⁴, exactly equivalent to
-    value·10⁴ > total for positive ints but immune to int64 overflow on
-    a 100 TB fact table — so no epsilon can disagree between engines."""
+    """TPC-H Q11 shape: parts whose traded value exceeds the ADAPTIVE
+    above-mean threshold (global total ÷ part count) — the
+    scalar-subquery-in-HAVING pattern, with a threshold that stays
+    meaningful at every SF (a fixed fraction selects everything at small
+    SF and nothing at large). The global total and part count ride along
+    as a broadcast 1-row aggregate crossJoin (no driver-side collect, one
+    plan), and the comparison is pure integer math — value > total div
+    nparts — so no epsilon can disagree between engines."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
@@ -5308,7 +5309,9 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets finite. Per-bucket terms are rounded to integer micro-units
     BEFORE the final sum (exact; a raw double Σ is order-dependent).
     PSI < 0.1 ≈ stable, > 0.25 ≈ action — emitted as-is for the
-    consumer's thresholds."""
+    consumer's thresholds. Buckets present in only one period use the
+    smoothing floor (0+1)/(N+21) for the missing side — appear/disappear
+    drift, the strongest PSI signal, contributes fully."""
     ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
     mid = F.lit("2024-01-16").cast("timestamp")
     bucket = F.least(
@@ -5333,19 +5336,46 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("_n").over(w) + 21).cast("double")
         ).alias("_prob"),
     )
+    # per-(type, period) totals so a bucket MISSING from one period can
+    # substitute its smoothing floor (0+1)/(N+21) — the same formula
+    # probs uses with n=0, so the two sides stay bit-identical
+    floors = (
+        counts.groupBy("event_type", "_p")
+        .agg(F.sum("_n").alias("_N"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("_p") == "ref", F.col("_N")).otherwise(0)).alias("_Nref"),
+            F.sum(F.when(F.col("_p") == "cur", F.col("_N")).otherwise(0)).alias("_Ncur"),
+        )
+    )
     ref = probs.filter(F.col("_p") == "ref").select(
         "event_type", "_b", F.col("_prob").alias("_pr")
     )
     cur = probs.filter(F.col("_p") == "cur").select(
         "event_type", "_b", F.col("_prob").alias("_pc")
     )
-    # full outer on bucket: a bucket present in only one period still
-    # contributes (its other-side probability is the smoothing floor,
-    # approximated here by dropping — both engines drop identically)
-    joined = ref.join(cur, ["event_type", "_b"])
+    # full outer on bucket: appear/disappear buckets contribute with the
+    # smoothing floor on the missing side (floors is per-event-type —
+    # bounded domain, AQE broadcasts it unhinted)
+    joined = (
+        ref.join(cur, ["event_type", "_b"], "full_outer")
+        .join(floors, "event_type")
+        .select(
+            "event_type",
+            "_b",
+            F.coalesce(
+                F.col("_pr"),
+                F.lit(1).cast("double") / (F.col("_Nref") + 21).cast("double"),
+            ).alias("_pr2"),
+            F.coalesce(
+                F.col("_pc"),
+                F.lit(1).cast("double") / (F.col("_Ncur") + 21).cast("double"),
+            ).alias("_pc2"),
+        )
+    )
     term_micro = F.round(
-        (F.col("_pr") - F.col("_pc"))
-        * F.log(F.col("_pr") / F.col("_pc"))
+        (F.col("_pr2") - F.col("_pc2"))
+        * F.log(F.col("_pr2") / F.col("_pc2"))
         * 1_000_000
     ).cast("long")
     return joined.groupBy("event_type").agg(
@@ -5366,12 +5396,27 @@ WITH counts AS (
          CAST(n + 1 AS DOUBLE)
          / CAST(SUM(n) OVER (PARTITION BY event_type, p) + 21 AS DOUBLE) AS prob
   FROM counts
+), floors AS (
+  SELECT event_type,
+         SUM(CASE WHEN p = 'ref' THEN N ELSE 0 END) AS nref,
+         SUM(CASE WHEN p = 'cur' THEN N ELSE 0 END) AS ncur
+  FROM (SELECT event_type, p, SUM(n) AS N FROM counts GROUP BY 1, 2)
+  GROUP BY 1
 ), ref AS (SELECT event_type, b, prob AS pr FROM probs WHERE p = 'ref'),
-cur AS (SELECT event_type, b, prob AS pc FROM probs WHERE p = 'cur')
-SELECT r.event_type, COUNT(*) AS n_buckets,
-       CAST(SUM(CAST(round((pr - pc) * ln(pr / pc) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS psi
-FROM ref r JOIN cur c ON r.event_type = c.event_type AND r.b = c.b
-GROUP BY r.event_type
+cur AS (SELECT event_type, b, prob AS pc FROM probs WHERE p = 'cur'),
+j AS (
+  SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+         COALESCE(r.b, c.b) AS b, r.pr, c.pc
+  FROM ref r FULL JOIN cur c ON r.event_type = c.event_type AND r.b = c.b
+), terms AS (
+  SELECT j.event_type,
+         COALESCE(pr, CAST(1 AS DOUBLE) / CAST(f.nref + 21 AS DOUBLE)) AS pr2,
+         COALESCE(pc, CAST(1 AS DOUBLE) / CAST(f.ncur + 21 AS DOUBLE)) AS pc2
+  FROM j JOIN floors f ON j.event_type = f.event_type
+)
+SELECT event_type, COUNT(*) AS n_buckets,
+       CAST(SUM(CAST(round((pr2 - pc2) * ln(pr2 / pc2) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS psi
+FROM terms GROUP BY event_type
 """
 
 

@@ -33,8 +33,11 @@ from __future__ import annotations
 
 import datetime
 import os
+import re
 import sqlite3
 from typing import Iterator
+
+_INT_TEXT = re.compile(r"^[+-]?[0-9]+$")
 
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -63,16 +66,29 @@ def _coerce(spark_type: str, v):
     if v is None:
         return None
     if spark_type == "bigint":
-        try:
-            return int(str(v).strip())
-        except ValueError:
-            return None
+        # Branch on storage class first (SQLite INTEGER affinity): INTEGER
+        # passes through, REAL converts only when lossless, TEXT parses
+        # under a strict integer grammar (no Python '1_0' underscores).
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return int(v) if v.is_integer() else None
+        s = str(v).strip()
+        return int(s) if _INT_TEXT.match(s) else None
     if spark_type == "double":
         try:
             return float(v)
         except (TypeError, ValueError):
             return None
     if spark_type == "timestamp":
+        if isinstance(v, (int, float)):
+            # epoch-seconds storage in a DATETIME column (unixepoch())
+            try:
+                return datetime.datetime.fromtimestamp(
+                    v, datetime.timezone.utc
+                ).replace(tzinfo=None)
+            except (OverflowError, OSError, ValueError):
+                return None
         s = str(v).strip()
         for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d"):
             try:

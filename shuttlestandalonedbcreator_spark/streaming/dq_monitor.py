@@ -8,10 +8,11 @@ micro-batch pays exactly one aggregate scan regardless of rule count
 (the row_rule_audit contract); the results table stays tiny (rules ×
 batches) so downstream alerting can read it wholesale.
 
-Exactly-once: the audit write participates in foreachBatch's checkpoint
-re-delivery — a replayed batch re-writes the same batch_id rows, and the
-reader dedups on (batch_id, rule) last-wins if the sink is at-least-once
-(the test reads with dropDuplicates for exactly that reason).
+Idempotent under replay: foreachBatch is at-least-once, so the audit
+write partitions by batch_id and DYNAMIC-OVERWRITES only that batch's
+partition — a replayed batch replaces its own rows instead of appending
+duplicates, making the results table effectively exactly-once without
+any reader-side dedup.
 """
 
 from __future__ import annotations
@@ -35,7 +36,9 @@ def monitor_quality(
         (
             row_rule_audit(batch, rules)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(results_path)
         )
 

@@ -187,6 +187,23 @@ def test_quality_audit_counts_injected_violations(spark):
     assert (ref["checked"], ref["violations"]) == (3, 1)  # null fk unchecked
 
 
+def test_row_rule_audit_rejects_non_identifier_names(spark):
+    """Rule names are interpolated into the stack() transpose — anything
+    that is not a SQL identifier must raise ValueError at call time, not
+    mis-parse inside selectExpr."""
+    import pytest
+
+    from shuttlestandalonedbcreator_spark.operators.quality import row_rule_audit
+
+    rows = spark.createDataFrame([(1,)], "k long")
+    for bad in ("has space", "quote'inject", "semi;colon", "1starts_digit", ""):
+        with pytest.raises(ValueError, match="rule names"):
+            row_rule_audit(rows, {bad: F.col("k") > 0})
+    # a valid name alongside an invalid one still raises (all-or-nothing)
+    with pytest.raises(ValueError, match="rule names"):
+        row_rule_audit(rows, {"ok_rule": F.col("k") > 0, "not ok": F.col("k") > 0})
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """asof_join vs pandas.merge_asof — the reference implementation —
     across all four (direction × tolerance) configurations on a fixture

@@ -321,6 +321,50 @@ def test_sqlite_source_without_rowid_fallback(spark, tmp_path):
     assert back.agg({"v": "sum"}).first()[0] == sum(range(50))
 
 
+def test_sqlite_source_integer_affinity_semantics(spark, tmp_path):
+    """INTEGER-affinity coercion follows SQLite storage-class rules, not
+    Python int() quirks: INTEGER passes through, REAL converts only when
+    lossless (3.0 → 3, 3.5 → NULL), TEXT parses under a strict grammar
+    ('1_0' is junk, not 10), and epoch integers in a DATETIME column
+    decode as UTC timestamps."""
+    import datetime as dt
+    import sqlite3 as s3
+
+    from shuttlestandalonedbcreator_spark.sources.sqlite_datasource import (
+        register_sqlite_source,
+    )
+
+    db = str(tmp_path / "aff.db")
+    conn = s3.connect(db)
+    conn.execute("CREATE TABLE t (tag TEXT, n INTEGER, ts DATETIME)")
+    conn.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [
+            ("int", 42, "2024-03-01 10:00:00"),
+            ("real_integral", 3.0, 1709287200),          # epoch int DATETIME
+            ("real_fractional", 3.5, 1709287200.0),      # epoch float DATETIME
+            ("text_int", " 7 ", "2024-03-01"),
+            ("text_underscore", "1_0", "junk"),          # Python-only literal → NULL
+            ("text_junk", "x9", None),
+        ],
+    )
+    conn.commit()
+    conn.close()
+    register_sqlite_source(spark)
+    back = spark.read.format("sqlite").option("table", "t").load(db)
+    got = {r["tag"]: r for r in back.collect()}
+    assert got["int"]["n"] == 42
+    assert got["real_integral"]["n"] == 3        # lossless REAL → INTEGER
+    assert got["real_fractional"]["n"] is None   # lossy REAL → NULL
+    assert got["text_int"]["n"] == 7
+    assert got["text_underscore"]["n"] is None   # '1_0' is not SQLite-integer
+    assert got["text_junk"]["n"] is None
+    epoch = dt.datetime(2024, 3, 1, 10, 0, 0)
+    assert got["real_integral"]["ts"] == epoch   # unixepoch() storage
+    assert got["real_fractional"]["ts"] == epoch
+    assert got["text_underscore"]["ts"] is None
+
+
 def test_sqlite_source_blob_with_mixed_storage(spark, tmp_path):
     """SQLite dynamic typing: a BLOB-declared column can hold TEXT cells;
     the source must coerce (utf-8) instead of erroring per row."""

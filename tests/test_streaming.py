@@ -417,3 +417,21 @@ def test_streaming_quality_monitor(spark, event_stream, tmp_path):
     }
     assert per_rule == whole
     assert got.select("batch_id").distinct().count() == 3  # one file per batch
+
+    # Replay idempotency: re-processing the same batches (fresh
+    # checkpoint → same batch_ids) dynamic-overwrites each batch's own
+    # partition instead of appending — NO reader-side dedup needed.
+    q2 = monitor_quality(stream, rules, out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == replayed.dropDuplicates(["batch_id", "rule"]).count()
+    per_rule2 = {
+        r["rule"]: (r["checked"], r["violations"])
+        for r in replayed.groupBy("rule")
+        .agg(
+            F.sum("checked").alias("checked"), F.sum("violations").alias("violations")
+        )
+        .collect()
+    }
+    assert per_rule2 == whole
