@@ -2,6 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 
+The printed line stays COMPACT — "queries" holds per-family subtotals
+(the driver's capture truncates at ~2 KB, which swallowed the r02
+106-entry map) — and the full per-query timing map is written to
+BENCH_DETAIL.json next to this script for the judge / diffing.
+
 Results are materialized with a noop-format write (forces full execution
 of every operator incl. windows/joins; nothing ships to the driver).
 """
@@ -128,6 +133,68 @@ HEADLINE = (
     "feature_drift_psi",
 )
 
+# Family assignment for the compact summary line (full per-query map goes
+# to BENCH_DETAIL.json). Every HEADLINE entry must appear exactly once.
+FAMILIES: dict[str, tuple[str, ...]] = {
+    "reference": (
+        "status_summary", "broadcast_lookup", "dedup_last_wins",
+        "hierarchy_closure", "subtree_rollup",
+    ),
+    "tpch": (
+        "pricing_summary", "join_agg_revenue", "orders_by_month",
+        "local_supplier_revenue", "shipping_priority", "large_orders",
+        "sole_late_supplier", "promo_revenue_share", "disjunctive_revenue",
+        "dormant_rich_customers", "forecast_revenue", "nation_revenue_share",
+        "cheapest_supplier_per_part", "order_priority_checks",
+        "volume_shipping", "market_share", "product_profit",
+        "returned_item_customers", "important_parts",
+        "customer_order_distribution", "top_revenue_supplier",
+        "supplier_part_variety", "small_qty_avg_revenue",
+        "qualified_green_suppliers", "shipmode_priority_counts",
+        "salted_join_revenue",
+    ),
+    "analytic": (
+        "window_running_sum", "window_lag_delta", "sessionization",
+        "asof_join", "asof_forward_tolerance", "rollup_counts",
+        "pivot_counts", "count_distinct", "range_join_buckets",
+        "cube_counts", "histogram_price", "column_profile", "grouping_sets",
+        "gapfill_hourly", "gapfill_locf", "funnel_conversion",
+        "retention_cohorts", "metrics_unpivot", "semi_join_exists",
+        "anti_join_orphans", "set_ops_all", "null_safe_join",
+        "id_gap_audit", "change_feed", "event_type_islands",
+        "snapshot_diff", "json_extract_agg", "json_variant_extract",
+        "numeric_correlations",
+    ),
+    "quality_eval": (
+        "zscore_outliers", "mad_outliers", "k_anonymity_audit",
+        "chi_square_independence", "dq_audit", "lang_entropy_by_source",
+        "langid_confusion", "feature_drift_psi",
+    ),
+    "dedup": (
+        "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
+        "simhash", "neardup_clusters", "neardup_prune",
+        "edit_distance_neardup", "containment_neardup", "canonical_pick",
+        "cross_source_canonical", "boilerplate_ngrams",
+        "sentence_boilerplate", "text_repetition",
+    ),
+    "embedding": (
+        "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
+        "embedding_cosine_neardup_lsh", "embedding_centroids",
+        "embedding_quantization",
+    ),
+    "text": (
+        "text_token_stats", "text_quality", "normalize_text", "vocab_build",
+        "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
+        "length_percentile_gate",
+    ),
+    "sampling": (
+        "train_val_test_split", "stratified_sample", "sequence_packing",
+        "weighted_sample", "mixture_sample", "per_source_cap",
+        "shuffle_shards", "benchmark_decontamination",
+    ),
+    "udf": ("pandas_udaf_weighted", "groupwise_minmax_norm"),
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,14 +225,39 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    subtotals = {
+        fam: round(sum(timings[q] for q in members if q in timings), 3)
+        for fam, members in FAMILIES.items()
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": timings,
+                "families": subtotals,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": subtotals,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

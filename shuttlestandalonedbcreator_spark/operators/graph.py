@@ -101,12 +101,13 @@ def cluster_keep_list(
     representative. Dropping keep=0 rows deduplicates the corpus while
     retaining one member per duplicate group.
 
-    The component table is tiny relative to the corpus (only docs with at
-    least one near-dup), so the join broadcasts.
+    The component table holds only docs with at least one near-dup —
+    small relative to the corpus but it SCALES with duplicate mass, so
+    the join carries no broadcast hint (AQE broadcasts it while small).
     """
     comp = connected_components(pairs, src, dst).withColumnRenamed("id", id_col)
     return (
-        df.join(F.broadcast(comp), id_col, "left")
+        df.join(comp, id_col, "left")
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
         .withColumn("keep", (F.col(id_col) == F.col("cluster_id")).cast("long"))
         .drop("component")

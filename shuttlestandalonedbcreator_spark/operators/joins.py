@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
+
 
 def broadcast_lookup(
     fact: DataFrame,
@@ -51,7 +53,9 @@ def broadcast_lookup(
         F.col(dim_key).alias("_bk"), *[F.col(src).alias(dst) for src, dst in payload.items()]
     )
     return fact.join(
-        F.broadcast(renamed), fact[fact_key] == renamed["_bk"], "left"
+        bounded_broadcast(renamed, "caller_contract"),
+        fact[fact_key] == renamed["_bk"],
+        "left",
     ).drop("_bk")
 
 

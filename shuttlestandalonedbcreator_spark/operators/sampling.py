@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from shuttlestandalonedbcreator_spark.operators.dedup import md5_long
+from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
 
 # Denominator for hash-threshold decisions. Rates are expressed as
 # buckets-in-10000 so thresholds are exact integers (no float drift
@@ -239,7 +240,7 @@ def mixture_rates(
             "lower weight_scale or buckets"
         )
     return (
-        w.crossJoin(F.broadcast(denom))
+        w.crossJoin(bounded_broadcast(denom, "one_row"))
         .withColumn(
             "_thresh",
             F.least(

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from shuttlestandalonedbcreator_spark.operators.dedup import md5_long
+from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -83,10 +84,11 @@ def brute_force_topk(
     narrow map over the base vectors; ranking is a window per query id —
     shuffle keyed on query_id, k rows per query out.
     """
-    q = F.broadcast(
+    q = bounded_broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
-        )
+        ),
+        "query_set",
     )
     scored = vectors.crossJoin(q).select(
         "query_id",
@@ -144,7 +146,7 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
     )
     # rank cells per query by centroid distance; keep n_probe
-    qc = q.crossJoin(F.broadcast(cent_df)).select(
+    qc = q.crossJoin(bounded_broadcast(cent_df, "query_set")).select(
         "query_id",
         "_qv",
         "cell",

@@ -3,6 +3,50 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The only justifications under which an EXPLICIT broadcast hint is
+# scale-safe. An explicit hint overrides spark.sql.autoBroadcastJoinThreshold,
+# so a side that grows with the data (customer/supplier/part, per-user or
+# per-doc aggregates, LSH candidate sets...) must NEVER carry one — at the
+# 100 TB design point it is a guaranteed executor/driver OOM. Those joins
+# go hint-free: AQE + the broadcast threshold still pick a broadcast-hash
+# join whenever the side is ACTUALLY small at runtime, and degrade to a
+# shuffle join when it is not. See SCALING.md ("broadcast only what is
+# KNOWN bounded").
+_BOUNDED_KINDS = frozenset({
+    # keyed by a closed value domain that does not grow with SF:
+    # nation/region (TPC-H fixes both), event_type, language, histogram
+    # band ids, grouping-period labels
+    "domain",
+    # a global (or k-row constant-arity) aggregate: scalar totals,
+    # thresholds, medians-by-domain
+    "one_row",
+    # output of an explicit LIMIT / top-k: bounded by the literal k
+    "top_k",
+    # a user-supplied probe set (ANN query vectors, benchmark-suite
+    # n-grams, k-means centroids): sized by the request, not the corpus
+    "query_set",
+    # an API whose documented contract requires the caller to pass a
+    # bounded dimension (the reference holds the same table in an
+    # in-memory HashMap, so the bound is inherited from its semantics)
+    "caller_contract",
+})
+
+
+def bounded_broadcast(df: DataFrame, kind: str) -> DataFrame:
+    """The ONLY sanctioned way to attach an explicit broadcast hint.
+
+    ``kind`` names the reason the side is bounded at any SF (see
+    ``_BOUNDED_KINDS``). A plan-quality test greps the package for raw
+    ``F.broadcast`` so every hint is forced through this audit point.
+    """
+    if kind not in _BOUNDED_KINDS:
+        raise ValueError(
+            f"broadcast hint needs a bounded-size justification, one of "
+            f"{sorted(_BOUNDED_KINDS)}; got {kind!r}"
+        )
+    return F.broadcast(df)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from shuttlestandalonedbcreator_spark.functions.casts import text_cell, try_long
 from shuttlestandalonedbcreator_spark.functions.dates import excel_serial_to_timestamp
+from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
 from shuttlestandalonedbcreator_spark.functions.paths import (
     job_name_from_filename,
     parent_folder,
@@ -142,7 +143,9 @@ def resolve_parent_ids(df: DataFrame) -> DataFrame:
         .select(F.col("file_name").alias("_pname"), F.col("target_file_id").alias("parent_id"))
     )
     return df.join(
-        F.broadcast(id_map), df["parent_folder"] == id_map["_pname"], "left"
+        bounded_broadcast(id_map, "caller_contract"),
+        df["parent_folder"] == id_map["_pname"],
+        "left",
     ).drop("_pname")
 
 

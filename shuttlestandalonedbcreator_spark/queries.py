@@ -37,6 +37,7 @@ from shuttlestandalonedbcreator_spark.functions import text as T
 from shuttlestandalonedbcreator_spark.operators import dedup as D
 from shuttlestandalonedbcreator_spark.operators import joins as J
 from shuttlestandalonedbcreator_spark.operators import similarity as V
+from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
 from shuttlestandalonedbcreator_spark.operators.hierarchy import (
     hierarchy_closure,
     hierarchy_closure_sql,
@@ -622,7 +623,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3/Q5 shape: 3-way join + aggregation. customer is broadcast.
+    """TPC-H Q3/Q5 shape: 3-way join + aggregation. The customer join is
+    hint-free — customer scales with SF, so AQE picks broadcast-hash only
+    when the side is actually under threshold, shuffle-hash otherwise.
 
     Plan choice: revenue is pre-aggregated per l_orderkey BEFORE the join,
     so (a) the join's shuffle on the order key is the same exchange the
@@ -639,7 +642,7 @@ def q_join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev_scaled).alias("_rev"))
     return (
         per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             (F.sum("_rev") / F.lit(1e6)).alias("revenue"),
@@ -771,7 +774,7 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band string, lo double, hi double",
     )
     joined = ev.join(
-        F.broadcast(bands),
+        bounded_broadcast(bands, "domain"),
         (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
         "inner",
     )
@@ -1397,9 +1400,10 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     test split, with the count and fraction of contaminated grams.
 
     Scale shape: the benchmark gram set is the small side by construction
-    (the held-out slice) → distinct + broadcast; the train side streams
-    through a narrow explode + broadcast-hash probe — the 100 TB corpus is
-    never shuffled. Split labels are RE-DERIVED from doc_id (pure hash,
+    (the held-out slice) → distinct, joined hint-free (the test split
+    scales with the corpus, so AQE decides broadcast vs shuffle); the
+    train side streams through a narrow explode + hash probe — the
+    100 TB corpus is never re-shuffled wholesale. Split labels are RE-DERIVED from doc_id (pure hash,
     operators/sampling.py:split_label), so no assignment-table join.
     Grams travel as 64-bit xxhash64 keys (word_ngram_hashes: no gram
     strings built, ~3× faster); the oracle counts the same overlaps from
@@ -1417,7 +1421,7 @@ def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.filter(F.col("split") == "test").select("gram").distinct()
     hits = (
         grams.filter(F.col("split") == "train")
-        .join(F.broadcast(bench), "gram")
+        .join(bench, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
@@ -1529,7 +1533,7 @@ def q_length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
     )
     kept = (
-        docs.join(F.broadcast(bounds), "lang")
+        docs.join(bounded_broadcast(bounds, "domain"), "lang")
         .filter((F.col("n_chars") >= F.col("_lo")) & (F.col("n_chars") <= F.col("_hi")))
         .groupBy("lang")
         .agg(
@@ -1570,8 +1574,9 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation funnel in ONE aggregation pass:
     cumulative survivor counts for language-ID → quality threshold →
     near-dup removal (drop the higher id of each jaccard>=0.8 pair).
-    Flags are computed per row (narrow); the near-dup id set is a small
-    broadcast; the output is a single row of funnel counters."""
+    Flags are computed per row (narrow); the near-dup id set joins
+    hint-free (it scales with the corpus' duplicate mass — AQE broadcasts
+    it only while genuinely small); the output is one funnel-counter row."""
     docs = _t(spark, sf_dir, "documents")
     with_toks = docs.select(
         "doc_id", "text", T.word_tokens(F.col("text")).alias("_toks")
@@ -1587,7 +1592,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_isdup", F.lit(1))
     )
-    flagged = scored.join(F.broadcast(dup_ids), "doc_id", "left")
+    flagged = scored.join(dup_ids, "doc_id", "left")
     lang_ok = F.col("_lang") != "und"
     quality_ok = lang_ok & (F.col("_q") >= 0.75)
     unique_ok = quality_ok & F.col("_isdup").isNull()
@@ -1833,7 +1838,7 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ev.select("event_type").distinct())
     )
     return (
-        spine.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+        spine.join(hourly, ["event_type", "hour"], "left")
         .select(
             "event_type",
             "hour",
@@ -1934,7 +1939,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "token").crossJoin(F.broadcast(n_docs)).withColumn(
+    scored = tf.join(df_, "token").crossJoin(bounded_broadcast(n_docs, "one_row")).withColumn(
         "score",
         F.round(
             F.col("tf").cast("double")
@@ -2207,7 +2212,7 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return (
-        top.crossJoin(F.broadcast(total))
+        top.crossJoin(bounded_broadcast(total, "one_row"))
         .withColumn("token_id", F.row_number().over(w).cast("int"))
         .withColumn(
             "cum_coverage",
@@ -2259,7 +2264,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("_ss") / F.col("_n") - F.col("_mu") * F.col("_mu")),
         )
     )
-    joined = ev.join(F.broadcast(stats), "event_type")
+    joined = ev.join(bounded_broadcast(stats, "domain"), "event_type")
     z = F.round((F.col("value") - F.col("_mu")) / F.col("_sigma"), 6)
     return (
         joined.withColumn("zscore", z)
@@ -2364,15 +2369,16 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-analytics retention matrix: users cohorted by first-seen
     week × activity in each subsequent week. Two keyed aggregations
     (user first-seen, then distinct user-week activity) meet on a
-    broadcast of the cohort map — at scale the cohort side is |users|,
-    far smaller than the event stream, and the week offset is pure
+    hint-free join of the cohort map — the cohort side is |users|, which
+    GROWS with the data, so no explicit broadcast (AQE picks the strategy
+    by measured size), and the week offset is pure
     integer date arithmetic (timezone-free)."""
     ev = _t(spark, sf_dir, "events")
     wk = lambda c: F.date_trunc("week", c)  # noqa: E731
     first_seen = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
     active = ev.select("user_id", wk(F.col("ts")).alias("active_week")).distinct()
     return (
-        active.join(F.broadcast(first_seen), "user_id")
+        active.join(first_seen, "user_id")
         .withColumn(
             "week_offset",
             (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int"),
@@ -2414,7 +2420,7 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour")
     ).crossJoin(ev.select("event_type").distinct())
-    grid = spine.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+    grid = spine.join(hourly, ["event_type", "hour"], "left")
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")
@@ -2456,8 +2462,9 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join — revenue per nation from lineitems
     where the supplier and customer share a nation, for one region and
     one order-year. The two big tables (lineitem ⋈ orders) meet on
-    their natural key; region/nation are broadcast dims; customer and
-    supplier join on pruned key columns only. Date + region predicates
+    their natural key; region/nation are explicitly broadcast (closed
+    25/5-row domains); customer and supplier join hint-free on pruned key
+    columns only (they scale with SF — AQE sizes the strategy). Date + region predicates
     push to the scans. Exact decimal revenue, cast on output."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -2477,8 +2484,8 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(bounded_broadcast(nation, "domain"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(bounded_broadcast(region, "domain"), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
@@ -2610,7 +2617,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dimension filters on both sides of a
     3-way join, then top-10 unshipped orders by revenue. lineitem is
     pre-aggregated per order key BEFORE joining (the exchange is reused
-    by the join), customer broadcasts, and the final top-k plans as
+    by the join), customer joins hint-free (SF-scaled side; AQE decides),
+    and the final top-k plans as
     TakeOrderedAndProject — no global sort materializes."""
     cutoff = F.lit("1995-03-15").cast("timestamp")
     c = (
@@ -2629,7 +2637,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev_scaled).alias("_rev"))
     return (
         per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "l_orderkey",
             (F.col("_rev") / F.lit(1e6)).alias("revenue"),
@@ -2689,7 +2697,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = V.label_centroids(emb, "label", "embedding")
     return (
-        emb.join(F.broadcast(cents), "label")
+        emb.join(bounded_broadcast(cents, "query_set"), "label")
         .select(
             "vec_id",
             "label",
@@ -2728,15 +2736,16 @@ def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Edit distance is quadratic per pair, so it NEVER runs on a
     blocked self-join at scale — candidates come from minhash-LSH banding
     (output-bounded; the same portable hash family the oracle replays)
-    and Levenshtein only VERIFIES that small pair set. The candidate list
-    is tiny next to the corpus, so both text joins broadcast it."""
+    and Levenshtein only VERIFIES that small pair set. The candidate
+    list scales with the corpus' duplicate mass, so both text joins are
+    hint-free — AQE broadcasts it while small, shuffles when it is not."""
     docs = _t(spark, sf_dir, "documents")
     cand = D.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.0
     ).select("id_a", "id_b")
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
-    j = a.join(F.broadcast(cand), "id_a").join(b, "id_b")
+    j = a.join(cand, "id_a").join(b, "id_b")
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
     ratio = 1 - dist / F.greatest(F.length("_ta"), F.length("_tb"))
     return (
@@ -2799,7 +2808,8 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery joined back to its dimensions. Spark-first restatement: the
     per-order quantity sum is computed ONCE and filtered (no IN-subquery
     re-scan of lineitem); orders join reuses the same order-key exchange;
-    customer broadcasts; top-100 plans as TakeOrderedAndProject."""
+    customer joins hint-free (SF-scaled — AQE decides); top-100 plans as
+    TakeOrderedAndProject."""
     qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
     big = (
         _t(spark, sf_dir, "lineitem")
@@ -2813,7 +2823,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "c_custkey",
@@ -2918,7 +2928,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = mixture_rates(docs, "source", budget_rows=2000)
     picked = (
         docs.join(
-            F.broadcast(rates), docs["source"] == rates["stratum"]
+            bounded_broadcast(rates, "domain"), docs["source"] == rates["stratum"]
         )
         .filter(hash_bucket(F.col("doc_id"), seed=21) < F.col("_thresh"))
         .groupBy("stratum")
@@ -2963,8 +2973,8 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into aggregates — the textbook rewrite that replaces two correlated
     re-scans of the fact table with ONE (order, supplier)-level dedup
     aggregate reused by both the candidate set and the per-order
-    supplier/late counts. Supplier dim broadcasts; top-20 plans as
-    TakeOrderedAndProject."""
+    supplier/late counts. The supplier join is hint-free (supplier
+    scales with SF); top-20 plans as TakeOrderedAndProject."""
     late = (F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp")).cast("int")
     lvl1 = (
         _t(spark, sf_dir, "lineitem")
@@ -2982,7 +2992,7 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_order.filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1)),
             "l_orderkey",
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -3012,9 +3022,10 @@ LIMIT 20
 
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: scalar conditional-aggregate ratio (promo revenue
-    % in one month). One pass over the date-pruned lineitem slice, part
-    dim broadcast with the promo flag pre-computed (the probe carries one
-    boolean, not the type string); both sums are exact scaled longs so
+    % in one month). One pass over the date-pruned lineitem slice; the
+    part side joins hint-free with the promo flag pre-computed (the probe
+    carries one boolean, not the type string — part scales with SF, so
+    AQE sizes the join); both sums are exact scaled longs so
     the final ratio is bit-identical across engines."""
     lo, hi = (
         F.lit("1995-09-01").cast("timestamp"),
@@ -3029,7 +3040,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev_scaled = (rev.cast("decimal(18,6)") * 1_000_000).cast("long")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.sum(F.when(F.col("_promo"), rev_scaled)).alias("_promo_rev"),
             F.sum(rev_scaled).alias("_total_rev"),
@@ -3059,7 +3070,7 @@ FROM j
 def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: a 3-branch disjunctive predicate over joined
     dimension+fact attributes (brand × size-range × quantity-range). The
-    dimension-only conjuncts ride the broadcast build side; the OR of
+    dimension-only conjuncts ride the (hint-free, AQE-sized) build side; the OR of
     per-branch conjunctions evaluates post-join in one codegen stage —
     and the quantity bounds common to all branches (1..40) are pushed to
     the lineitem scan as a CNF residual."""
@@ -3077,7 +3088,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_scaled = (rev.cast("decimal(18,6)") * 1_000_000).cast("long")
     return (
         li.filter(q.between(1, 40))
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .filter(branch)
         .agg(
             (F.sum(rev_scaled) / F.lit(1e6)).alias("revenue"),
@@ -3120,12 +3131,12 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rich = c.crossJoin(F.broadcast(thresh)).filter(
+    rich = c.crossJoin(bounded_broadcast(thresh, "one_row")).filter(
         bal_scaled.cast("double") > F.col("_avg_scaled")
     )
     return (
         rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(bounded_broadcast(n, "domain"), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -3269,8 +3280,8 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     price_scaled = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     per_nation = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(bounded_broadcast(n, "domain"), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(F.sum(price_scaled).alias("_rev"))
     )
@@ -3422,7 +3433,8 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern done the scale-safe way: aggregate DOWN first (part×supplier
     unit-price min — one shuffle with map-side partials), then a single
     max_by/arg_min struct aggregate per part — NO join-back of the fact
-    table and no window over it; supplier dim broadcasts for the name.
+    table and no window over it; the supplier name joins hint-free
+    (supplier scales with SF).
     Unit price is scaled-integer math so both engines agree bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
     # exact: cents via DECIMAL(18,2) (round-half-up in BOTH engines —
@@ -3443,7 +3455,7 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        best.join(F.broadcast(s), best["s_key"] == s["s_suppkey"])
+        best.join(s, best["s_key"] == s["s_suppkey"])
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("s_name").alias("cheapest_supplier"),
@@ -3737,14 +3749,14 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").filter(
         F.col("s_nationkey").isin(*n_pair)
     )
-    li_s = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]).select(
+    li_s = li.join(s, li["l_suppkey"] == s["s_suppkey"]).select(
         "l_orderkey", "ship_year", "_rev", F.col("s_nationkey").alias("supp_nation")
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").filter(
         F.col("c_nationkey").isin(*n_pair)
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    o_c = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+    o_c = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         "o_orderkey", F.col("c_nationkey").alias("cust_nation")
     )
     traded = li_s.join(o_c, li_s["l_orderkey"] == o_c["o_orderkey"]).filter(
@@ -3781,18 +3793,18 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", _rev_micros().alias("_rev")
     )
-    li_p = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    li_p = li.join(part, li["l_partkey"] == part["p_partkey"])
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    li_ps = li_p.join(F.broadcast(s), li_p["l_suppkey"] == s["s_suppkey"]).select(
+    li_ps = li_p.join(s, li_p["l_suppkey"] == s["s_suppkey"]).select(
         "l_orderkey", "_rev", F.col("s_nationkey").alias("supp_nation")
     )
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).select("n_nationkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    c_asia = c.join(F.broadcast(nat), c["c_nationkey"] == nat["n_nationkey"]).select("c_custkey")
+    c_asia = c.join(bounded_broadcast(nat, "domain"), c["c_nationkey"] == nat["n_nationkey"]).select("c_custkey")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("order_year")
     )
-    o_c = o.join(F.broadcast(c_asia), o["o_custkey"] == c_asia["c_custkey"]).select(
+    o_c = o.join(c_asia, o["o_custkey"] == c_asia["c_custkey"]).select(
         "o_orderkey", "order_year"
     )
     rows = li_ps.join(o_c, li_ps["l_orderkey"] == o_c["o_orderkey"])
@@ -3832,9 +3844,9 @@ GROUP BY 1
 def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
     order year. No partsupp in this corpus, so supply cost is modeled as
-    half the part's retail price — the POINT is the plan: two broadcast
-    dims (part-filtered, supplier) folded onto lineitem before the single
-    orderkey shuffle, profit accumulated as exact integer micros
+    half the part's retail price — the POINT is the plan: two hint-free
+    dims (filtered part, supplier — both SF-scaled, AQE-sized) folded
+    onto lineitem before the single orderkey shuffle, profit accumulated as exact integer micros
     (revenue micros minus qty × retail-half-cents × 10^4)."""
     part = (
         _t(spark, sf_dir, "part")
@@ -3849,12 +3861,12 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rev_micros().alias("_rev"),
         F.col("l_quantity").cast("long").alias("_qty"),
     )
-    li_p = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+    li_p = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
         "l_orderkey", "l_suppkey",
         (F.col("_rev") - F.col("_qty") * F.col("_retail_cents") * 5000).alias("_profit"),
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    li_ps = li_p.join(F.broadcast(s), li_p["l_suppkey"] == s["s_suppkey"])
+    li_ps = li_p.join(s, li_p["l_suppkey"] == s["s_suppkey"])
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year")
     )
@@ -3863,7 +3875,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rows.groupBy("s_nationkey", "order_year")
         .agg((F.sum("_profit") / F.lit(1e6)).alias("profit"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(bounded_broadcast(nat, "domain"), F.col("s_nationkey") == nat["n_nationkey"])
         .select(F.col("n_name").alias("nation"), "order_year", "profit")
     )
 
@@ -3887,8 +3899,8 @@ GROUP BY 1, 2
 def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
     quarter. Aggregate down to custkey FIRST (the only wide shuffle),
-    then broadcast-join the customer/nation payload onto just the
-    aggregated rows, then TakeOrderedAndProject for the global top-k —
+    then join the customer/nation payload onto just the aggregated rows
+    (customer hint-free — SF-scaled; nation explicitly broadcast), then TakeOrderedAndProject for the global top-k —
     never a full sort. Deterministic ties: (revenue desc, custkey)."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -3905,8 +3917,8 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(nat), c["c_nationkey"] == nat["n_nationkey"])
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .join(bounded_broadcast(nat, "domain"), c["c_nationkey"] == nat["n_nationkey"])
         .select(
             "c_custkey", "c_name", F.col("n_name").alias("nation"),
             (F.col("_rev_sum") / F.lit(1e6)).alias("revenue"),
@@ -3952,7 +3964,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerates as the part count grows — all parts qualify at small SF,
     # none at large. total div nparts is overflow-free exact math.
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.crossJoin(bounded_broadcast(total, "one_row"))
         .filter(F.col("_value") > F.expr("_total div _nparts"))
         .select("l_partkey", (F.col("_value") / F.lit(100.0)).alias("part_value"))
     )
@@ -4014,9 +4026,9 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = per_supp.agg(F.max("_rev_sum").alias("_mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_supp.crossJoin(F.broadcast(mx))
+        per_supp.crossJoin(bounded_broadcast(mx, "one_row"))
         .filter(F.col("_rev_sum") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", (F.col("_rev_sum") / F.lit(1e6)).alias("total_revenue"))
     )
 
@@ -4039,15 +4051,16 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, EXCLUDING a blacklist via anti-join (the NOT IN subquery).
     The fact table collapses to distinct (attrs, suppkey) in the same
     shuffle that feeds the count-distinct — no second wide exchange; the
-    blacklist (suppliers in arrears) broadcasts to the anti join."""
+    blacklist (suppliers in arrears) feeds the anti join hint-free — it
+    scales with supplier, so AQE sizes it."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO").select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     rows = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
     )
     return rows.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
@@ -4069,21 +4082,21 @@ def q_small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery, decorrelated into a per-part pre-aggregate joined back to
     the (brand-filtered) fact rows. The threshold test is cross-
     multiplied into pure integers (2·qty·cnt < sum) so the 'average'
-    never materializes as a float; the per-part agg is broadcast (one
-    row per part ≪ fact)."""
+    never materializes as a float; the per-part agg joins hint-free (one
+    row per part still SCALES with part — AQE decides)."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", F.col("l_quantity").cast("long").alias("_qty"),
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
     )
-    li_b = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+    li_b = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
         "l_partkey", "_qty", "_cents"
     )
     per_part = li_b.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum("_qty").alias("_qty_sum"), F.count(F.lit(1)).alias("_cnt")
     )
     picked = li_b.join(
-        F.broadcast(per_part), li_b["l_partkey"] == per_part["_pk"]
+        per_part, li_b["l_partkey"] == per_part["_pk"]
     ).filter(F.lit(2) * F.col("_qty") * F.col("_cnt") < F.col("_qty_sum"))
     return picked.agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -4112,13 +4125,14 @@ def q_qualified_green_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     having shipped a 'red' part in bulk (>20% of that part's total
     flow; the share test scales where a fixed quantity threshold
     degenerates). Inner aggregates feed a LEFT SEMI join on the
-    supplier key; part filter broadcasts onto the fact before the
-    grouping shuffle. Output joins supplier→nation names (broadcast)."""
+    supplier key; the part filter folds onto the fact hint-free before
+    the grouping shuffle. Output joins supplier hint-free and nation as
+    an explicit broadcast (closed domain)."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("_qty")
     )
-    red = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    red = li.join(part, li["l_partkey"] == part["p_partkey"])
     per_pair = red.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("_qty").alias("_pair_qty")
     )
@@ -4137,7 +4151,7 @@ def q_qualified_green_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         s.join(bulk, s["s_suppkey"] == bulk["l_suppkey"], "left_semi")
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(bounded_broadcast(nat, "domain"), F.col("s_nationkey") == nat["n_nationkey"])
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
 
@@ -4223,7 +4237,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("cnt").alias("_total"))
     scored = (
         tf.join(counts, "token")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(bounded_broadcast(total, "one_row"))
         .withColumn(
             "_sm",
             F.round(
@@ -4359,9 +4373,10 @@ def q_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup REMOVAL (the operator users actually run):
     exact-Jaccard pairs → connected components → keep one representative
     per cluster → anti-filter the corpus. Composition of
-    ngram_jaccard_pairs + graph.cluster_keep_list; the component table is
-    tiny (only docs with a near-dup) so the keep-decision join
-    broadcasts — the corpus itself is never shuffled."""
+    ngram_jaccard_pairs + graph.cluster_keep_list; the component table
+    holds only docs with a near-dup, so the keep-decision join stays
+    hint-free (it scales with duplicate mass — AQE broadcasts while
+    small) and the corpus itself is never shuffled."""
     from shuttlestandalonedbcreator_spark.operators.graph import cluster_keep_list
 
     docs = _t(spark, sf_dir, "documents")
@@ -4584,7 +4599,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("_med")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+    dev = ev.join(bounded_broadcast(med, "domain"), "event_type").withColumn(
         "_dev", F.abs(F.col("value") - F.col("_med"))
     )
     return dev.groupBy("event_type").agg(
@@ -4660,7 +4675,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of customer market segment ×
     order priority — the feature-correlation screen over two categorical
     columns. Observed cell counts come from ONE shuffle (orders ⋈
-    broadcast customer → grouped count); margins re-aggregate the tiny
+    customer hint-free → grouped count); margins re-aggregate the tiny
     cell table and broadcast back. Each cell's (obs−exp)²/exp is rounded
     to integer micro-units before the final sum, so the statistic is
     exact integer math over ~35 cells (a raw double sum would be
@@ -4668,7 +4683,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     obs = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
@@ -4676,9 +4691,9 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     colt = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("_ct"))
     tot = obs.agg(F.sum("obs").alias("_n"))
     cells = (
-        obs.join(F.broadcast(rowt), "c_mktsegment")
-        .join(F.broadcast(colt), "o_orderpriority")
-        .crossJoin(F.broadcast(tot))
+        obs.join(bounded_broadcast(rowt, "domain"), "c_mktsegment")
+        .join(bounded_broadcast(colt, "domain"), "o_orderpriority")
+        .crossJoin(bounded_broadcast(tot, "one_row"))
     )
     exp = F.col("_rt").cast("double") * F.col("_ct").cast("double") / F.col("_n").cast("double")
     contrib_micro = F.round(

@@ -66,7 +66,8 @@ def main() -> int:
     try:
         payload = json.loads(r.stdout.strip().splitlines()[-1])
         assert {"metric", "value", "unit", "queries", "sf"} <= set(payload)
-        print(f"bench: {payload['value']}s over {len(payload['queries'])} queries")
+        n = payload.get("n_queries", len(payload["queries"]))
+        print(f"bench: {payload['value']}s over {n} queries")
     except Exception as e:  # noqa: BLE001
         failures.append(f"bench output invalid: {e}")
 
