@@ -196,6 +196,84 @@ FAMILIES: dict[str, tuple[str, ...]] = {
 }
 
 
+def scale_probes(spark, sf_dir: str) -> dict[str, float]:
+    """Measured (not asserted) ratios for the two operators whose 100 TB
+    story differs most from their small-SF behavior:
+
+    - BLAS rerank: exact cosine top-k for a 500-query probe set via
+      Arrow-batch matmul (`matmul_topk`) vs the per-pair HOF fold
+      (`brute_force_topk`) over the same corpus — the per-core arithmetic
+      advantage that dominates once expression evaluation is the
+      bottleneck.
+    - Persisted minhash index: one-off index build + an incremental 1%%
+      batch joined against it (`incremental_neardup_pairs`) vs a full
+      corpus re-compare (`minhash_lsh_pairs`) — the growing-corpus path
+      where the index means ingest cost stays O(batch), not O(corpus).
+
+    Results land in BENCH_DETAIL.json under "scale_probes"; SCALING.md
+    quotes the measured ratios.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.operators import dedup as D
+    from shuttlestandalonedbcreator_spark.operators import similarity as V
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    probes: dict[str, float] = {}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    probes["ann_hof_500q"] = timed(
+        V.brute_force_topk(emb, queries, "vec_id", "embedding", "qid", "qv", k=10)
+    )
+    probes["ann_blas_500q"] = timed(
+        V.matmul_topk(emb, queries, "vec_id", "embedding", "qid", "qv", k=10)
+    )
+    probes["ann_blas_speedup"] = round(
+        probes["ann_hof_500q"] / max(probes["ann_blas_500q"], 1e-9), 2
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    batch = docs.filter(F.col("doc_id") % 100 == 0)
+    idx_dir = tempfile.mkdtemp(prefix="bench_minhash_idx_")
+    try:
+        t0 = time.perf_counter()
+        D.minhash_index(corpus, "doc_id", "text").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(idx_dir)
+        probes["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        index = spark.read.parquet(idx_dir)
+        probes["incremental_batch_1pct"] = timed(
+            D.incremental_neardup_pairs(batch, index, "doc_id", "text")
+        )
+        # second batch-size point: incremental cost should track BATCH
+        # size (sign the batch + bucket join), not corpus size
+        batch_small = docs.filter(F.col("doc_id") % 500 == 0)
+        probes["incremental_batch_0p2pct"] = timed(
+            D.incremental_neardup_pairs(batch_small, index, "doc_id", "text")
+        )
+        probes["full_recompute"] = timed(
+            D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        )
+        probes["incremental_speedup"] = round(
+            probes["full_recompute"] / max(probes["incremental_batch_1pct"], 1e-9), 2
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return probes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -224,6 +302,8 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    probes = scale_probes(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     subtotals = {
         fam: round(sum(timings[q] for q in members if q in timings), 3)
@@ -242,6 +322,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "families": subtotals,
+                "scale_probes": probes,
             },
             fh,
             indent=1,
