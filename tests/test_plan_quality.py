@@ -329,6 +329,9 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   column_profile          — 1-row stats frame joined to 1-row stats frame
 #   embedding_topk          — broadcast query side × corpus (exact baseline)
 #   embedding_ivf_topk      — n_probe cell-probe cross on a tiny probe set
+#   embedding_ivf_contract  — same IVF cell-probe cross inside the
+#                             contract audit (plus the exact-baseline
+#                             broadcast query side)
 #   embedding_cosine_neardup— exact pair generation (the oracle baseline;
 #                             the LSH entry is the scale path)
 #   gapfill_hourly/locf     — generated time spine × type dimension (tiny)
@@ -354,6 +357,7 @@ _NESTED_LOOP_ALLOWED = {
     "column_profile",
     "embedding_topk",
     "embedding_ivf_topk",
+    "embedding_ivf_contract",
     "embedding_cosine_neardup",
     "gapfill_hourly",
     "gapfill_locf",
