@@ -146,6 +146,97 @@ def test_hierarchy_loop_equals_native_cte(spark):
     assert ("orphan", "missing", "O", 0, "O") not in canon(cte)
 
 
+def test_hierarchy_doubling_matches_loop_on_random_forest(spark):
+    """Pointer-doubling closure ≡ frontier loop on a random ragged forest
+    with multiple roots and orphan chains (nodes whose parents are
+    missing — dropped by both, including their descendants)."""
+    import random
+
+    from shuttlestandalonedbcreator_spark.operators.hierarchy import (
+        hierarchy_closure_doubling,
+    )
+
+    random.seed(23)
+    rows = []
+    for i in range(150):
+        if i < 4:
+            rows.append((str(i), None, f"n{i}"))
+        elif i < 140:
+            rows.append((str(i), str(random.randrange(0, i)), f"n{i}"))
+        else:
+            rows.append((str(i), f"missing{i}", f"n{i}"))  # orphan roots
+    # descendants of orphans must drain out too
+    rows.append(("deep_orphan", "140", "DO"))
+    nodes = spark.createDataFrame(rows, "id string, parent string, name string")
+    loop = hierarchy_closure(nodes, "id", "parent", "name", max_depth=64)
+    dbl = hierarchy_closure_doubling(nodes, "id", "parent", "name")
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    a, b = canon(loop), canon(dbl)
+    assert a == b
+    assert not any(r[0] in ("140", "deep_orphan") for r in a)
+
+
+def test_hierarchy_deep_path_guard_raises_not_truncates(spark):
+    """A path-shaped tree one level deeper than max_depth must RAISE the
+    documented guard (never silently return a truncated closure), while
+    a tree of depth EXACTLY max_depth completes."""
+    import pytest
+
+    def chain(depth):
+        return spark.createDataFrame(
+            [
+                (str(i), str(i - 1) if i > 0 else None, f"n{i}")
+                for i in range(depth + 1)
+            ],
+            "id string, parent string, name string",
+        )
+
+    ok = hierarchy_closure(chain(12), "id", "parent", "name", max_depth=12,
+                           checkpoint=False)
+    assert ok.count() == 13 and ok.agg({"depth": "max"}).first()[0] == 12
+    with pytest.raises(RuntimeError, match="max_depth"):
+        hierarchy_closure(chain(13), "id", "parent", "name", max_depth=12,
+                          checkpoint=False).count()
+
+
+def test_hierarchy_doubling_star_and_deep_chain(spark):
+    """The two skew shapes from the scale review: a 50k-child star
+    completes in O(1) rounds; a 300-deep path completes in O(log depth)
+    rounds (the loop would need 300); a cycle raises instead of looping
+    or silently dropping rows."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from shuttlestandalonedbcreator_spark.operators.hierarchy import (
+        hierarchy_closure_doubling,
+    )
+
+    star = spark.range(50_001).select(
+        SF.col("id").cast("string").alias("id"),
+        SF.when(SF.col("id") == 0, SF.lit(None)).otherwise(SF.lit("0")).alias("parent"),
+        SF.concat(SF.lit("n"), SF.col("id")).alias("name"),
+    )
+    out = hierarchy_closure_doubling(star, "id", "parent", "name")
+    assert out.count() == 50_001
+    assert out.agg({"depth": "max"}).first()[0] == 1
+
+    chain = spark.createDataFrame(
+        [(str(i), str(i - 1) if i > 0 else None, f"n{i}") for i in range(301)],
+        "id string, parent string, name string",
+    )
+    deep = hierarchy_closure_doubling(chain, "id", "parent", "name")
+    assert deep.count() == 301
+    last = deep.filter(SF.col("depth") == 300).first()
+    assert last["path"].startswith("n0 > n1 > ") and last["path"].endswith("> n300")
+
+    cyc = spark.createDataFrame(
+        [("a", "b", "A"), ("b", "a", "B"), ("r", None, "R")],
+        "id string, parent string, name string",
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        hierarchy_closure_doubling(cyc, "id", "parent", "name", max_depth=16).count()
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8),
