@@ -9,6 +9,10 @@ run, in one command.
 3. Full catalog parity sweep vs DuckDB at sf_dir (default sf0.01).
 4. bench.py emits exactly one valid JSON line (run at sf0.001 here for
    speed — the driver runs sf0.1).
+5. Differential fuzz sweep: 50 generated Spark-vs-DuckDB query pairs at
+   sf0.001 over a FIXED seed block (80000-80049 — disjoint from the 50
+   pinned suite seeds), failing on any divergence. Every ship exercises
+   the fuzzer, not just ad-hoc hunts.
 
 Exit code 0 = shippable.
 """
@@ -70,6 +74,22 @@ def main() -> int:
         print(f"bench: {payload['value']}s over {n} queries")
     except Exception as e:  # noqa: BLE001
         failures.append(f"bench output invalid: {e}")
+
+    # 5: fixed-seed differential fuzz sweep (sf0.001 keeps it <2 min)
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "fuzz_sweep.py"),
+            "/root/testdata/sf0.001",
+            "50",
+            "80000",
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"fuzz sweep (seeds 80000-80049): {last}")
+    if r.returncode != 0:
+        failures.append(f"differential fuzz divergence: {last}")
 
     print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
