@@ -296,3 +296,89 @@ def test_xlsx_python_datasource_matches_mapinpandas_scan(spark, workbook_dir):
     assert canon(ds) == canon(ref)
     # one partition per (non-temp) workbook
     assert ds.rdd.getNumPartitions() == 2
+
+
+def test_extract_sheet_preserving_charts_and_media(tmp_path):
+    """S9 byte fidelity (TransferOverviewExtractor.java:303-478): the
+    ZIP-copy extractor must keep charts/drawings/media/styles
+    byte-identical, keep ONLY the target worksheet part, rewrite
+    workbook.xml to the single sheet (sheetId forced to 1), drop the
+    other worksheet relationships, and filter their Content_Types
+    overrides; the result must still round-trip through our own scan."""
+    import zipfile
+
+    from shuttlestandalonedbcreator_spark.sources.excel import (
+        parse_xlsx_rows,
+        write_workbook,
+    )
+    from shuttlestandalonedbcreator_spark.sources.overview_extractor import (
+        extract_sheet_preserving,
+    )
+
+    src = str(tmp_path / "report.xlsx")
+    write_workbook(
+        {
+            "Data1": [["a", "1"], ["b", "2"]],
+            "Overview": [["Job", "Count"], ["alpha", "7"]],
+            "Data2": [["x"]],
+        },
+        src,
+    )
+    chart = b'<?xml version="1.0"?><chartSpace>chart bytes</chartSpace>'
+    drawing = b'<?xml version="1.0"?><xdr:wsDr>drawing</xdr:wsDr>'
+    media = b"\x89PNG fake image payload \x00\x01\x02"
+    styles = b'<?xml version="1.0"?><styleSheet/>'
+    sheet_rels = (
+        b'<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+        b'formats.org/package/2006/relationships"><Relationship Id="rId1" '
+        b'Type="http://schemas.openxmlformats.org/officeDocument/2006/relat'
+        b'ionships/drawing" Target="../drawings/drawing1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(src, "a") as zf:
+        zf.writestr("xl/charts/chart1.xml", chart)
+        zf.writestr("xl/drawings/drawing1.xml", drawing)
+        zf.writestr("xl/drawings/_rels/drawing1.xml.rels", b"<Relationships/>")
+        zf.writestr("xl/media/image1.png", media)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/worksheets/_rels/sheet2.xml.rels", sheet_rels)
+        zf.writestr("xl/worksheets/_rels/sheet1.xml.rels", b"<Relationships/>")
+        zf.writestr("xl/calcChain.xml", b"<calcChain/>")
+
+    out = str(tmp_path / "report_Overview.xlsx")
+    assert extract_sheet_preserving(src, out, "Overview") is True
+
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+        # preserved byte-for-byte
+        assert zf.read("xl/charts/chart1.xml") == chart
+        assert zf.read("xl/drawings/drawing1.xml") == drawing
+        assert zf.read("xl/media/image1.png") == media
+        assert zf.read("xl/styles.xml") == styles
+        assert zf.read("xl/worksheets/_rels/sheet2.xml.rels") == sheet_rels
+        # only the Overview worksheet part (sheet2) survives
+        sheets = {n for n in names if n.startswith("xl/worksheets/") and n.endswith(".xml")}
+        assert sheets == {"xl/worksheets/sheet2.xml"}
+        assert "xl/worksheets/_rels/sheet1.xml.rels" not in names
+        assert "xl/calcChain.xml" not in names
+        wb = zf.read("xl/workbook.xml").decode()
+        assert wb.count("<sheet ") == 1
+        assert 'name="Overview"' in wb and 'sheetId="1"' in wb and 'r:id="rId2"' in wb
+        rels = zf.read("xl/_rels/workbook.xml.rels").decode()
+        assert "sheet2.xml" in rels and "sheet1.xml" not in rels and "sheet3.xml" not in rels
+        ct = zf.read("[Content_Types].xml").decode()
+        assert "/xl/worksheets/sheet2.xml" in ct
+        assert "/xl/worksheets/sheet1.xml" not in ct and "/xl/worksheets/sheet3.xml" not in ct
+
+    # the artifact is still a readable workbook: our scan sees ONLY Overview
+    got = list(parse_xlsx_rows(open(out, "rb").read()))
+    assert [(s, i, c) for s, i, c in got] == [
+        ("Overview", 0, ["Job", "Count"]),
+        ("Overview", 1, ["alpha", "7"]),
+    ]
+
+    # absent sheet: report False, write nothing (reference :221-224)
+    missing_out = str(tmp_path / "nope.xlsx")
+    assert extract_sheet_preserving(src, missing_out, "NoSuchSheet") is False
+    import os
+
+    assert not os.path.exists(missing_out)
