@@ -131,6 +131,10 @@ HEADLINE = (
     "groupwise_minmax_norm",
     "langid_confusion",
     "feature_drift_psi",
+    "url_canonicalize",
+    "intra_doc_line_dedup",
+    "embedding_neardup_prune",
+    "window_frames",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -163,7 +167,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "anti_join_orphans", "set_ops_all", "null_safe_join",
         "id_gap_audit", "change_feed", "event_type_islands",
         "snapshot_diff", "json_extract_agg", "json_variant_extract",
-        "numeric_correlations",
+        "numeric_correlations", "window_frames",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -175,17 +179,17 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "simhash", "neardup_clusters", "neardup_prune",
         "edit_distance_neardup", "containment_neardup", "canonical_pick",
         "cross_source_canonical", "boilerplate_ngrams",
-        "sentence_boilerplate", "text_repetition",
+        "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
         "embedding_cosine_neardup_lsh", "embedding_centroids",
-        "embedding_quantization",
+        "embedding_quantization", "embedding_neardup_prune",
     ),
     "text": (
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",
         "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
-        "length_percentile_gate",
+        "length_percentile_gate", "url_canonicalize",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

@@ -5604,6 +5604,264 @@ FROM terms GROUP BY event_type
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-registered-domain rollup — the web-crawl
+    curation step before URL-level dedup. The corpus has no URL column,
+    so URLs are SYNTHESIZED deterministically from (doc_id, source) with
+    every normalization hazard injected: mixed-case scheme/host, default
+    (:443/:80) and non-default (:8080) ports, trailing slashes, utm_*
+    tracking params in leading/middle/trailing positions, fragments.
+
+    Canonicalization is pure component surgery (regexp_extract on both
+    engines — no lookaheads, which DuckDB's RE2 lacks): lowercase scheme
+    and host, drop default ports, strip fragments, drop utm_* params
+    while keeping the rest, trim trailing slashes (root stays '/'). All
+    narrow maps — zero shuffle until the final per-domain aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    scheme_raw = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host_raw = F.concat(
+        F.lit("WWW."), F.col("source"), (d % 3).cast("string"), F.lit(".Com")
+    )
+    port_raw = (
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":80"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path_raw = F.concat(
+        F.lit("/p/"), d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query_raw = (
+        F.when(d % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), (d % 7).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 7).cast("string"), F.lit("&utm_campaign=x")))
+        .otherwise(F.lit(""))
+    )
+    frag_raw = F.when(d % 6 == 0, F.lit("#section")).otherwise(F.lit(""))
+    url = F.concat(scheme_raw, F.lit("://"), host_raw, port_raw, path_raw, query_raw, frag_raw)
+
+    with_url = docs.select("doc_id", url.alias("_url"))
+    scheme = F.lower(F.regexp_extract("_url", r"^([A-Za-z]+)://", 1))
+    auth = F.regexp_extract("_url", r"^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]+)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path = F.regexp_extract("_url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path_c = F.when(path.isin("", "/"), F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/$", "")
+    )
+    qs = F.regexp_extract("_url", r"\?([^#]*)", 1)
+    qs_c = F.regexp_replace(
+        F.regexp_replace(qs, r"utm_[A-Za-z]+=[^&]*&", ""),
+        r"&?utm_[A-Za-z]+=[^&]*$",
+        "",
+    )
+    canon = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path_c,
+        F.when(qs_c != "", F.concat(F.lit("?"), qs_c)).otherwise(F.lit("")),
+    )
+    reg_domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return (
+        with_url.select(
+            reg_domain.alias("registered_domain"),
+            canon.alias("_canon"),
+            qs.contains("utm_").cast("long").alias("_tracked"),
+        )
+        .groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("_canon").alias("n_canonical"),
+            F.sum("_tracked").alias("n_with_tracking"),
+        )
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+           concat('WWW.', source, CAST(doc_id % 3 AS VARCHAR), '.Com'),
+           CASE WHEN doc_id % 4 = 0 THEN ':443'
+                WHEN doc_id % 4 = 1 THEN ':80'
+                WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,
+           concat('/p/', CAST(doc_id AS VARCHAR),
+                  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END),
+           CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 7 AS VARCHAR))
+                WHEN doc_id % 3 = 1 THEN concat('?id=', CAST(doc_id % 7 AS VARCHAR), '&utm_campaign=x')
+                ELSE '' END,
+           CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END
+         ) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), '^([^:]+)', 1)) AS host,
+         regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), ':([0-9]+)$', 1) AS port,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM raw
+), canon AS (
+  SELECT doc_id,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+         concat(
+           scheme, '://', host,
+           CASE WHEN port <> '' AND NOT (scheme = 'https' AND port = '443')
+                                AND NOT (scheme = 'http' AND port = '80')
+                THEN concat(':', port) ELSE '' END,
+           CASE WHEN path IN ('', '/') THEN '/' ELSE regexp_replace(path, '/$', '') END,
+           CASE WHEN regexp_replace(regexp_replace(qs, 'utm_[A-Za-z]+=[^&]*&', '', 'g'),
+                                    '&?utm_[A-Za-z]+=[^&]*$', '') <> ''
+                THEN concat('?', regexp_replace(regexp_replace(qs, 'utm_[A-Za-z]+=[^&]*&', '', 'g'),
+                                                '&?utm_[A-Za-z]+=[^&]*$', ''))
+                ELSE '' END
+         ) AS canon,
+         CASE WHEN qs LIKE '%utm_%' THEN 1 ELSE 0 END AS tracked
+  FROM parts
+)
+SELECT registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+       CAST(SUM(tracked) AS BIGINT) AS n_with_tracking
+FROM canon GROUP BY registered_domain
+"""
+
+
+def q_intra_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document line deduplication — the boilerplate-stripping pass
+    that removes repeated lines WITHIN each document (template footers,
+    duplicated paragraphs) before cross-document dedup. Duplicated lines
+    are injected deterministically (the corpus is single-line), then the
+    op splits on newline, deduplicates, and fingerprints the surviving
+    set. Pure narrow HOF work — zero shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    l1 = F.substring("text", 1, 40)
+    footer = F.lit("promo footer - subscribe now")
+    l3 = F.substring("text", 41, 40)
+    text2 = F.concat_ws(
+        "\n",
+        l1, footer, l3, footer,
+        F.when(F.col("doc_id") % 2 == 0, l1).otherwise(F.lit("")),
+    )
+    lines = F.filter(F.split(text2, "\n"), lambda x: x != "")
+    uniq = F.array_sort(F.array_distinct(lines))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_unique_lines"),
+        F.md5(F.concat_ws("\n", uniq)).alias("dedup_fingerprint"),
+    )
+
+
+SQL_INTRA_DOC_LINE_DEDUP = """
+WITH built AS (
+  SELECT doc_id,
+         list_filter([
+           substring(text, 1, 40),
+           'promo footer - subscribe now',
+           substring(text, 41, 40),
+           'promo footer - subscribe now',
+           CASE WHEN doc_id % 2 = 0 THEN substring(text, 1, 40) ELSE '' END
+         ], x -> x <> '') AS lines
+  FROM documents
+), dedup AS (
+  SELECT doc_id, lines, list_sort(list_distinct(lines)) AS uniq FROM built
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(uniq) AS BIGINT) AS n_unique_lines,
+       md5(array_to_string(uniq, chr(10))) AS dedup_fingerprint
+FROM dedup
+"""
+
+
+def q_embedding_neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic pruning: embedding-cosine near-dup pairs
+    (exact baseline, cosine >= 0.4) → connected components → keep the
+    lowest vec_id per cluster → prune. The embedding twin of
+    `neardup_prune`; same graph composition, and at 100 TB the pair
+    source swaps to the sign-LSH candidate path
+    (`cosine_neardup_pairs(exact=False)`) with everything downstream
+    unchanged."""
+    from shuttlestandalonedbcreator_spark.operators.graph import cluster_keep_list
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = V.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, exact=True
+    ).select("id_a", "id_b")
+    return (
+        cluster_keep_list(emb.select("vec_id", "label"), pairs, "vec_id")
+        .filter(F.col("keep") == 1)
+        .select("vec_id", "label")
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PRUNE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue FROM v
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.ue, b.ue), 6) AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.4
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs
+), reach(s, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.s
+), drop_ids AS (
+  SELECT s FROM reach GROUP BY s HAVING s <> MIN(r)
+)
+SELECT em.vec_id, em.label
+FROM embeddings em LEFT JOIN drop_ids d ON em.vec_id = d.s
+WHERE d.s IS NULL
+"""
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-explicit window functions — ntile quartiles, first_value,
+    nth_value, and a bounded look-ahead last_value — per event_type over
+    a UNIQUE total order (ts, event_id), so every function is
+    deterministic. One hash exchange on the partition key serves all
+    four (shared window spec)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    base = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ahead = base.rowsBetween(Window.currentRow, 2)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(base).alias("quartile"),
+        F.first("value").over(cum).alias("first_v"),
+        F.nth_value("value", 3).over(cum).alias("third_v"),
+        F.last("value").over(ahead).alias("lookahead_v"),
+    )
+
+
+SQL_WINDOW_FRAMES = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+       nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_v,
+       last_value(value) OVER (w ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS lookahead_v
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -5801,4 +6059,13 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "langid_confusion": QueryDef(q_langid_confusion, SQL_LANGID_CONFUSION),
     "feature_drift_psi": QueryDef(q_feature_drift_psi, SQL_FEATURE_DRIFT_PSI),
+    # round-3 widening
+    "url_canonicalize": QueryDef(q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "intra_doc_line_dedup": QueryDef(
+        q_intra_doc_line_dedup, SQL_INTRA_DOC_LINE_DEDUP
+    ),
+    "embedding_neardup_prune": QueryDef(
+        q_embedding_neardup_prune, SQL_EMBEDDING_NEARDUP_PRUNE
+    ),
+    "window_frames": QueryDef(q_window_frames, SQL_WINDOW_FRAMES),
 }
