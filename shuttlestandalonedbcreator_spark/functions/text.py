@@ -62,9 +62,15 @@ def quality_score(col: Column, toks: Column | None = None) -> Column:
     reasonable mean word length. Deterministic, per-row, shuffle-free.
 
     Pass a pre-materialized token-array column as ``toks`` to share one
-    tokenization across several metrics (regex splits are not codegen'd,
-    so common-subexpression reuse must be explicit)."""
-    toks = word_tokens(col) if toks is None else toks
+    tokenization across several metrics; with ``toks=None`` the
+    tokenization is LET-BOUND internally (transform over a 1-element
+    array — Catalyst's collapsed projections would otherwise substitute
+    the regex split into every reference)."""
+    if toks is None:
+        return F.get(
+            F.transform(F.array(word_tokens(col)), lambda t: quality_score(col, t)),
+            0,
+        )
     n_tok = F.size(toks).cast("long")
     mean_wl = F.when(
         n_tok > 0,
@@ -81,8 +87,13 @@ def quality_score(col: Column, toks: Column | None = None) -> Column:
 
 def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Marker-lexicon language guess: language with the most marker hits;
-    'und' (undetermined) when nothing matches."""
-    toks = word_tokens(col) if toks is None else toks
+    'und' (undetermined) when nothing matches. With ``toks=None`` the
+    tokenization is let-bound once (see quality_score) instead of being
+    re-substituted into each of the five marker filters."""
+    if toks is None:
+        return F.get(
+            F.transform(F.array(word_tokens(col)), lambda t: lang_id(col, t)), 0
+        )
     scores = [
         F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(lang)
         for lang, markers in LANG_MARKERS.items()

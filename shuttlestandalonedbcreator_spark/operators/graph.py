@@ -36,6 +36,7 @@ def connected_components(
     dst: str,
     max_iterations: int = 50,
     checkpoint: bool = True,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Cluster an undirected edge list; returns (id, component) where
     ``component`` is the smallest node id in the node's component —
@@ -44,14 +45,28 @@ def connected_components(
     Only nodes that appear in at least one edge are returned (isolated
     documents are trivially their own component; callers left-join this
     result and coalesce to the doc's own id).
-    """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    Size-adaptive execution: the edge list must be materialized anyway
+    (it is re-joined every round), and its count is then free — when it
+    is at most ``driver_threshold`` edges the component labels come from
+    a driver-side union-find instead of iterative label propagation.
+    Near-dup graphs hold only the documents that HAVE a duplicate, so at
+    every tested scale they are thousands of edges while each distributed
+    propagation round costs ~1-2 s of pure job/shuffle overhead
+    (measured: 920 edges took ~9 s of rounds, <1 ms of union-find). The
+    distributed path is the 100 TB fallback, taken automatically the
+    moment the dup graph outgrows the gate; the result is IDENTICAL
+    (min-id representative is union-order-independent)."""
+    directed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if checkpoint:
-        # materialize the edge list once — it is re-joined every round, and
-        # upstream pair detection (shingling + inverted index) is far more
-        # expensive than the propagation itself
-        sym = sym.localCheckpoint(eager=True)
+        # materialize the DIRECTED list BEFORE symmetrizing: the union
+        # with its own swap would otherwise evaluate the (expensive
+        # upstream pair-detection) lineage twice in one pass, and the
+        # per-round re-joins re-run it every round
+        directed = directed.localCheckpoint(eager=True)
+    sym = directed.union(directed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if checkpoint and directed.count() <= driver_threshold // 2:
+        return _driver_union_find(directed)
 
     # label(u) starts as min(u, min direct neighbor) — one propagation
     # round folded into initialization
@@ -85,6 +100,43 @@ def connected_components(
             return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Union-find with path compression over a SMALL (size-gated,
+    already-materialized) edge list; returns the same (id, component)
+    contract as the distributed propagation. collect(), not
+    toLocalIterator: the gate bounds the size, and toLocalIterator runs
+    one sequential job per partition (measured ~4 s for 32 near-empty
+    partitions vs one ~0.1 s collect job)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    rows = [(node, comp_min[find(node)]) for node in parent]
+    schema = sym.schema["u"].dataType
+    return sym.sparkSession.createDataFrame(
+        rows, f"id {schema.simpleString()}, component {schema.simpleString()}"
     )
 
 

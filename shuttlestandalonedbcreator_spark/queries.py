@@ -4612,26 +4612,34 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.transform(v, lambda x: x.cast("double"))
     mx = F.array_max(F.transform(dv, lambda x: F.abs(x)))
     scale = mx / F.lit(127.0)
-    q = F.transform(dv, lambda x: F.round(x / scale).cast("long"))
-    err = F.zip_with(dv, q, lambda x, qq: F.abs(x - qq.cast("double") * scale))
-    return (
-        emb.select(
-            "vec_id",
-            scale.alias("_scale"),
-            q.alias("_q"),
-            err.alias("_err"),
+
+    # HOF-CSE trap (NOTES.md): referencing `scale` (an O(dim) array_max)
+    # inside a per-element lambda re-evaluates it PER ELEMENT → O(dim²)
+    # per row. Let-bind it once per row via transform(array(scale), s →
+    # struct(...)) so every per-element lambda sees the lambda VARIABLE
+    # (measured ~4× on dim=64). Value trees per element are unchanged, so
+    # the oracle still matches bit-for-bit.
+    def _stats(s: F.Column) -> F.Column:
+        q = F.transform(dv, lambda x: F.round(x / s).cast("long"))
+        err = F.zip_with(dv, q, lambda x, qq: F.abs(x - qq.cast("double") * s))
+        return F.struct(
+            s.alias("s"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+                "l1"
+            ),
+            F.array_max(err).alias("mx_err"),
+            (F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size(err)).alias(
+                "mean_err"
+            ),
         )
-        .select(
-            "vec_id",
-            F.round("_scale", 6).alias("scale"),
-            F.aggregate("_q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("l1_quant"),
-            F.round(F.array_max("_err"), 6).alias("max_abs_err"),
-            F.round(
-                F.aggregate("_err", F.lit(0.0), lambda a, x: a + x)
-                / F.size("_err"),
-                6,
-            ).alias("mean_abs_err"),
-        )
+
+    packed = F.get(F.transform(F.array(scale), _stats), 0)
+    return emb.select("vec_id", packed.alias("_p")).select(
+        "vec_id",
+        F.round(F.col("_p.s"), 6).alias("scale"),
+        F.col("_p.l1").alias("l1_quant"),
+        F.round(F.col("_p.mx_err"), 6).alias("max_abs_err"),
+        F.round(F.col("_p.mean_err"), 6).alias("mean_abs_err"),
     )
 
 

@@ -86,3 +86,29 @@ def test_repetition_metrics(spark):
     assert got[1] == (1.0, 0.5)  # 3×"spam spam"; trigrams: 2 total, 1 distinct
     assert got[2] == (0.25, 0.0)  # 4 distinct bigrams → max run 1
     assert got[3] == (0.0, 0.0)  # empty gram arrays → 0, not NULL
+
+
+def test_driver_union_find_equals_distributed_propagation(spark):
+    """The size-gated driver union-find and the distributed label
+    propagation must produce identical (id, component) labelings on a
+    random graph with chains, triangles, stars, and isolated pairs."""
+    import random
+
+    random.seed(5)
+    edges = [(i, i + 1) for i in range(0, 12)]            # chain
+    edges += [(20, 21), (21, 22), (22, 20)]               # triangle
+    edges += [(30, x) for x in range(31, 45)]             # star
+    edges += [(100, 101)]                                 # isolated pair
+    edges += [(random.randrange(200, 260), random.randrange(200, 260)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(df, "a", "b").collect()  # driver path
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            df, "a", "b", driver_threshold=0
+        ).collect()  # forced distributed propagation
+    }
+    assert fast == slow and len(fast) > 0
