@@ -191,12 +191,87 @@ def _window_query(rng: random.Random) -> str:
     )
 
 
+def _setop_query(rng: random.Random) -> str:
+    """INTERSECT / EXCEPT / UNION (set and bag forms) of two filtered
+    projections — deterministic because the projection is keyed."""
+    table = rng.choice(list(_UNIQUE_KEYS))
+    cols = _TABLES[table]
+    key = _UNIQUE_KEYS[table]
+    part = rng.choice(cols["group"])
+    op = rng.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL"])
+    p1, p2 = _predicate(rng, cols), _predicate(rng, cols)
+    return (
+        f"SELECT {key}, {part} FROM {table} WHERE {p1} "
+        f"{op} "
+        f"SELECT {key}, {part} FROM {table} WHERE {p2}"
+    )
+
+
+_EXISTS_PAIRS = [
+    ("orders", "o_orderstatus", "lineitem", "l_orderkey = o_orderkey"),
+    ("customer", "c_mktsegment", "orders", "o_custkey = c_custkey"),
+]
+
+
+def _exists_query(rng: random.Random) -> str:
+    """Correlated [NOT] EXISTS (the semi/anti-join decorrelation path)
+    with an inner predicate, grouped counts on the outer."""
+    outer, group, inner, cond = rng.choice(_EXISTS_PAIRS)
+    neg = "NOT " if rng.random() < 0.5 else ""
+    inner_pred = _predicate(rng, _TABLES[inner]) if inner in _TABLES else "TRUE"
+    outer_pred = (
+        _predicate(rng, _TABLES[outer]) if rng.random() < 0.5 else "TRUE"
+    )
+    return (
+        f"SELECT {group}, COUNT(*) AS n FROM {outer} "
+        f"WHERE ({outer_pred}) AND {neg}EXISTS ("
+        f"SELECT 1 FROM {inner} WHERE {cond} AND ({inner_pred})) "
+        f"GROUP BY {group}"
+    )
+
+
+_INT_COLS = {"orders": ["o_orderkey", "o_custkey"], "customer": ["c_custkey", "c_nationkey"]}
+
+
+def _frame_window_query(rng: random.Random) -> str:
+    """Aggregate windows with explicit ROWS frames over a unique total
+    order — integer SUM/COUNT only, so accumulation is exact on both
+    engines (CAST to BIGINT flattens DuckDB's HUGEINT)."""
+    table = rng.choice(list(_UNIQUE_KEYS))
+    cols = _TABLES[table]
+    key = _UNIQUE_KEYS[table]
+    val = rng.choice(_INT_COLS[table])
+    part = rng.choice(cols["group"])
+    direction = rng.choice(["ASC", "DESC"])
+    n_prec = rng.randint(0, 5)
+    frame = f"ROWS BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
+    where = _predicate(rng, cols) if rng.random() < 0.5 else "TRUE"
+    return (
+        f"SELECT {key}, {part}, "
+        f"CAST(SUM({val}) OVER (PARTITION BY {part} ORDER BY {val} {direction}, {key} ASC {frame}) AS BIGINT) AS wsum, "
+        f"CAST(COUNT(*) OVER (PARTITION BY {part} ORDER BY {val} {direction}, {key} ASC {frame}) AS BIGINT) AS wcnt "
+        f"FROM {table} WHERE {where}"
+    )
+
+
+def _distinct_query(rng: random.Random) -> str:
+    table = rng.choice(list(_TABLES))
+    cols = _TABLES[table]
+    keys = ", ".join(rng.sample(cols["group"], rng.randint(1, len(cols["group"]))))
+    where = _predicate(rng, cols) if rng.random() < 0.6 else "TRUE"
+    return f"SELECT DISTINCT {keys} FROM {table} WHERE {where}"
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
     + [_topk_query(random.Random(_SEED + 2000 + i)) for i in range(5)]
     + [_scalar_query(random.Random(_SEED + 3000 + i)) for i in range(10)]
     + [_window_query(random.Random(_SEED + 4000 + i)) for i in range(5)]
+    + [_setop_query(random.Random(_SEED + 5000 + i)) for i in range(5)]
+    + [_exists_query(random.Random(_SEED + 6000 + i)) for i in range(5)]
+    + [_frame_window_query(random.Random(_SEED + 7000 + i)) for i in range(5)]
+    + [_distinct_query(random.Random(_SEED + 8000 + i)) for i in range(5)]
 )
 
 
@@ -210,7 +285,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 30))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 50))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]
