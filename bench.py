@@ -135,6 +135,7 @@ HEADLINE = (
     "intra_doc_line_dedup",
     "embedding_neardup_prune",
     "window_frames",
+    "nearest_centroid_assign",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -185,6 +186,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
         "embedding_cosine_neardup_lsh", "embedding_centroids",
         "embedding_quantization", "embedding_neardup_prune",
+        "nearest_centroid_assign",
     ),
     "text": (
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",

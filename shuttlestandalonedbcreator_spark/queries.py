@@ -5870,6 +5870,66 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 """
 
 
+def q_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification with FIXED deterministic centroids
+    — the serving-side half of clustering (assignment given published
+    centroids), fully SQL-expressible unlike the k-means TRAINING inside
+    `embedding_ivf_topk`. Centroids are the 8 lowest-vec_id vectors
+    (a deterministic stand-in for a published codebook); each vector gets
+    argmin squared-L2 cell + the distance, then a per-cell rollup.
+    Plan: the 8-row centroid table cross-folds onto the corpus (bounded
+    — explicit broadcast justified), one narrow argmin pass, one grouped
+    aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), dv.alias("_c")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select("vec_id", dv.alias("_v"))
+        .crossJoin(bounded_broadcast(cents, "query_set"))
+        .select("vec_id", "cell", F.round(d2, 6).alias("_d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "cell", F.col("_d2").alias("dist2"))
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("dist2").alias("min_dist2"),
+        F.max("dist2").alias("max_dist2"),
+    )
+
+
+SQL_NEAREST_CENTROID_ASSIGN = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, dv AS cv FROM v WHERE vec_id < 8
+), scored AS (
+  SELECT v.vec_id, c.cell,
+         round(list_sum(list_transform(range(1, len(v.dv) + 1),
+               i -> (v.dv[i] - c.cv[i]) * (v.dv[i] - c.cv[i]))), 6) AS d2
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cell, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+  FROM scored
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(d2) AS min_dist2, MAX(d2) AS max_dist2
+FROM assigned WHERE rk = 1 GROUP BY cell
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -6076,4 +6136,7 @@ CATALOG: dict[str, QueryDef] = {
         q_embedding_neardup_prune, SQL_EMBEDDING_NEARDUP_PRUNE
     ),
     "window_frames": QueryDef(q_window_frames, SQL_WINDOW_FRAMES),
+    "nearest_centroid_assign": QueryDef(
+        q_nearest_centroid_assign, SQL_NEAREST_CENTROID_ASSIGN
+    ),
 }

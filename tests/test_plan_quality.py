@@ -332,6 +332,8 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   embedding_ivf_contract  — same IVF cell-probe cross inside the
 #                             contract audit (plus the exact-baseline
 #                             broadcast query side)
+#   nearest_centroid_assign — 8-row fixed-codebook cross fold (bounded
+#                             broadcast, argmin pass)
 #   embedding_cosine_neardup— exact pair generation (the oracle baseline;
 #                             the LSH entry is the scale path)
 #   gapfill_hourly/locf     — generated time spine × type dimension (tiny)
@@ -358,6 +360,7 @@ _NESTED_LOOP_ALLOWED = {
     "embedding_topk",
     "embedding_ivf_topk",
     "embedding_ivf_contract",
+    "nearest_centroid_assign",
     "embedding_cosine_neardup",
     "gapfill_hourly",
     "gapfill_locf",
