@@ -136,6 +136,7 @@ HEADLINE = (
     "embedding_neardup_prune",
     "window_frames",
     "nearest_centroid_assign",
+    "time_weighted_avg",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -168,7 +169,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "anti_join_orphans", "set_ops_all", "null_safe_join",
         "id_gap_audit", "change_feed", "event_type_islands",
         "snapshot_diff", "json_extract_agg", "json_variant_extract",
-        "numeric_correlations", "window_frames",
+        "numeric_correlations", "window_frames", "time_weighted_avg",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

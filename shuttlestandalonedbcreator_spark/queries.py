@@ -5930,6 +5930,59 @@ FROM assigned WHERE rk = 1 GROUP BY cell
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples — the hypertable
+    rollup plain AVG gets wrong (a value that held for 50 minutes must
+    outweigh one that held for 10 seconds). Per event_type: each sample's
+    value is weighted by the seconds until the NEXT sample (lead over a
+    unique total order; the final sample carries zero weight — the
+    standard left-closed convention). One window + one grouped aggregate,
+    both on the same event_type exchange.
+
+    Exactness: values go through DECIMAL(18,3) milli-units (half-up cast
+    on BOTH engines) × integer MILLISECOND durations (microsecond epochs
+    div 1000 — identical truncation), so the weighted sum is exact int64
+    math with ~2^50 of headroom at 100× the tested span, and the final
+    TWA is ONE division of exact integers — shipped unrounded per the
+    determinism rules."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    dur_ms = ((F.lead(us).over(w) - us) / 1000).cast("long")
+    vmilli = (F.col("value").cast("decimal(18,3)") * 1000).cast("long")
+    weighted = ev.select(
+        "event_type",
+        dur_ms.alias("_dur"),
+        vmilli.alias("_vm"),
+    ).filter(F.col("_dur").isNotNull())
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_dur").alias("total_ms"),
+        (
+            F.sum(F.col("_vm") * F.col("_dur")).cast("double")
+            / F.sum("_dur").cast("double")
+            / F.lit(1e3)
+        ).alias("time_weighted_avg"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH s AS (
+  SELECT event_type,
+         CAST((lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000 AS BIGINT) AS dur,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_ms,
+       CAST(CAST(SUM(vm * dur) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) / 1000.0 AS time_weighted_avg
+FROM s WHERE dur IS NOT NULL GROUP BY event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -6139,4 +6192,5 @@ CATALOG: dict[str, QueryDef] = {
     "nearest_centroid_assign": QueryDef(
         q_nearest_centroid_assign, SQL_NEAREST_CENTROID_ASSIGN
     ),
+    "time_weighted_avg": QueryDef(q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
 }

@@ -48,3 +48,27 @@ def test_tolerant_casts_never_abort(spark):
     assert row["source_file_size"] is None
     assert row["creation_time"] is None
     assert row["file_name"] == "garbage!!"  # TEXT passthrough untouched
+
+
+def test_corrupt_parquet_fails_loudly_not_silently(spark, tmp_path):
+    """E2 contract for the canonical storage format: a parquet file with
+    a corrupted footer must raise a clear error at read time — NEVER
+    return partial/empty data as if the table were fine (silent row loss
+    in the canonical store is the one failure mode worse than a crash).
+    Per-row tolerance (E1) applies to interchange formats (csv/jsonl/
+    xml/xlsx) that have a corrupt side channel; parquet integrity is
+    all-or-nothing by design."""
+    import pytest
+
+    p = tmp_path / "broken.parquet"
+    spark.range(100).write.mode("overwrite").parquet(str(tmp_path / "ok"))
+    import glob as _glob
+    import shutil
+
+    src = _glob.glob(str(tmp_path / "ok" / "*.parquet"))[0]
+    shutil.copy(src, p)
+    with open(p, "r+b") as fh:  # stomp the footer magic
+        fh.seek(-4, 2)
+        fh.write(b"XXXX")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        spark.read.parquet(str(p)).count()
