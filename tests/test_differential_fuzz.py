@@ -40,8 +40,18 @@ _TABLES = {
         "num": ["c_acctbal", "c_custkey"],
         "str": ["c_mktsegment", "c_name"],
     },
+    "documents": {
+        "group": ["lang", "source"],
+        "num": ["doc_id", "n_chars"],
+        "str": ["lang", "source"],
+    },
+    "events": {
+        "group": ["event_type"],
+        "num": ["event_id", "user_id", "value"],
+        "str": ["event_type"],
+    },
 }
-_STR_LITS = ["F", "O", "P", "R", "N", "A", "BUILDING", "1-URGENT", "5-LOW", "x"]
+_STR_LITS = ["F", "O", "P", "R", "N", "A", "BUILDING", "1-URGENT", "5-LOW", "x", "en", "de", "src1", "click", "view"]
 
 
 def _predicate(rng: random.Random, cols: dict) -> str:
@@ -129,7 +139,7 @@ def _join_query(rng: random.Random) -> str:
     )
 
 
-_UNIQUE_KEYS = {"orders": "o_orderkey", "customer": "c_custkey"}
+_UNIQUE_KEYS = {"orders": "o_orderkey", "customer": "c_custkey", "documents": "doc_id", "events": "event_id"}
 
 
 def _topk_query(rng: random.Random) -> str:
@@ -230,7 +240,8 @@ def _exists_query(rng: random.Random) -> str:
     )
 
 
-_INT_COLS = {"orders": ["o_orderkey", "o_custkey"], "customer": ["c_custkey", "c_nationkey"]}
+_INT_COLS = {"orders": ["o_orderkey", "o_custkey"], "customer": ["c_custkey", "c_nationkey"],
+             "documents": ["doc_id", "n_chars"], "events": ["event_id", "user_id"]}
 
 
 def _frame_window_query(rng: random.Random) -> str:

@@ -446,3 +446,102 @@ def test_hll_sketch_rollup_merges_losslessly(spark, sf_small):
     exact = ev.select("user_id").distinct().count()
     assert merged_est == direct_est  # merge is lossless for HLL
     assert abs(merged_est - exact) / exact < 0.05
+
+
+def test_merge_upsert_applies_cdc_batch(spark, tmp_path):
+    """Storage-level MERGE: updates replace matching keys (ties go to the
+    arriving batch), inserts add, op='D' deletes, untouched keys pass
+    through — and the result lands atomically via the two-rename swap."""
+    from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10), (4, "d", 10)],
+        "k long, v string, ver long",
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 20, "U"),   # replace (newer version)
+            (3, "stale", 5, "U"), # older version loses to base
+            (5, "e", 20, "U"),    # insert
+            (4, None, 20, "D"),   # delete
+            (1, "a-tie", 10, "U"),# SAME version: update wins the tie
+        ],
+        "k long, v string, ver long, op string",
+    )
+    n = merge_upsert(spark, path, updates, keys=["k"], order_col="ver", op_col="op")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert n == 4
+    assert got == {
+        1: ("a-tie", 10),  # tie → update
+        2: ("b2", 20),     # replaced
+        3: ("c", 10),      # stale update rejected
+        5: ("e", 20),      # inserted
+    }                      # 4 deleted
+
+
+def test_merge_upsert_recovers_from_crash_window(spark, tmp_path):
+    """Crash between the two renames (table at ._merge_old, nothing at
+    path) must auto-restore before applying the batch."""
+    import os
+
+    from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a", 1)], "k long, v string, ver long").write.parquet(path)
+    os.rename(path, path + "._merge_old")  # simulate the crash window
+    updates = spark.createDataFrame([(2, "b", 2, "U")], "k long, v string, ver long, op string")
+    n = merge_upsert(spark, path, updates, keys=["k"], order_col="ver", op_col="op")
+    assert n == 2
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2}
+    assert not os.path.exists(path + "._merge_old")
+
+
+def test_cdc_feed_then_merge_reproduces_target(spark, sf_small, tmp_path):
+    """The CDC story closes end-to-end: diffing two corpus versions into
+    a change feed (insert/update/delete rows) and MERGE-applying that
+    feed onto version 1 must reproduce version 2 EXACTLY — feed size is
+    O(changes), the merge is one keyed shuffle."""
+    from shuttlestandalonedbcreator_spark.operators.dedup import md5_long
+    from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    h = md5_long(F.col("doc_id"), seed=11) % 10
+    v2 = (
+        docs.filter(h != 0)
+        .select(
+            "doc_id",
+            F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(h == 9).select(
+                (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    path = str(tmp_path / "corpus_v1")
+    docs.withColumn("ver", F.lit(1)).write.parquet(path)
+
+    old_k = docs.select(F.col("doc_id").alias("k"), F.col("text").alias("_ot"))
+    new_k = v2.select(F.col("doc_id").alias("k"), F.col("text").alias("_nt"))
+    feed = (
+        old_k.join(new_k, "k", "full_outer")
+        .filter(F.col("_ot").isNull() | F.col("_nt").isNull() | (F.col("_ot") != F.col("_nt")))
+        .select(
+            F.col("k").alias("doc_id"),
+            F.col("_nt").alias("text"),
+            F.lit(2).alias("ver"),
+            F.when(F.col("_nt").isNull(), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    n_changes = feed.count()
+    assert 0 < n_changes < docs.count()  # O(changes), not O(corpus)
+
+    merge_upsert(spark, path, feed, keys=["doc_id"], order_col="ver", op_col="op")
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(path).select("doc_id", "text").collect()}
+    want = {(r["doc_id"], r["text"]) for r in v2.collect()}
+    assert got == want
