@@ -3141,25 +3141,32 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier that shipped late on a multi-supplier order"), decorrelated
     into aggregates — the textbook rewrite that replaces two correlated
     re-scans of the fact table with ONE (order, supplier)-level dedup
-    aggregate reused by both the candidate set and the per-order
-    supplier/late counts. The supplier join is hint-free (supplier
-    scales with SF); top-20 plans as TakeOrderedAndProject."""
+    aggregate; the per-order supplier/late counts ride a WINDOW over
+    that aggregate instead of a second aggregate+join-back (Spark has no
+    CTE materialization, so the aggregate-twice form scanned lineitem
+    twice — the window form is one fact scan, one agg exchange, one
+    window exchange). The supplier join is hint-free (supplier scales
+    with SF); top-20 plans as TakeOrderedAndProject."""
     late = (F.col("l_shipdate") > F.lit("1995-06-01").cast("timestamp")).cast("int")
     lvl1 = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("_late"))
     )
-    per_order = lvl1.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("_n_supp"),
-        F.sum("_late").alias("_n_late"),
+    wo = Window.partitionBy("l_orderkey")
+    stats = lvl1.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_late",
+        F.count(F.lit(1)).over(wo).alias("_n_supp"),
+        F.sum("_late").over(wo).alias("_n_late"),
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lvl1.filter(F.col("_late") == 1)
-        .join(
-            per_order.filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1)),
-            "l_orderkey",
+        stats.filter(
+            (F.col("_late") == 1)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late") == 1)
         )
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
@@ -4852,11 +4859,14 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of customer market segment ×
     order priority — the feature-correlation screen over two categorical
     columns. Observed cell counts come from ONE shuffle (orders ⋈
-    customer hint-free → grouped count); margins re-aggregate the tiny
-    cell table and broadcast back. Each cell's (obs−exp)²/exp is rounded
-    to integer micro-units before the final sum, so the statistic is
-    exact integer math over ~35 cells (a raw double sum would be
-    order-dependent across engines)."""
+    customer hint-free → grouped count); the row/column/grand-total
+    margins ride WINDOW sums over the resulting ~35-cell table — the
+    margins-as-aggregates form re-evaluated the whole orders⋈customer
+    subtree once per margin (8 fact scans; Spark materializes no CTEs),
+    where windows on the bounded post-aggregate frame cost nothing.
+    Each cell's (obs−exp)²/exp is rounded to integer micro-units before
+    the final sum, so the statistic is exact integer math over ~35 cells
+    (a raw double sum would be order-dependent across engines)."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     obs = (
@@ -4864,13 +4874,15 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
-    rowt = obs.groupBy("c_mktsegment").agg(F.sum("obs").alias("_rt"))
-    colt = obs.groupBy("o_orderpriority").agg(F.sum("obs").alias("_ct"))
-    tot = obs.agg(F.sum("obs").alias("_n"))
-    cells = (
-        obs.join(bounded_broadcast(rowt, "domain"), "c_mktsegment")
-        .join(bounded_broadcast(colt, "domain"), "o_orderpriority")
-        .crossJoin(bounded_broadcast(tot, "one_row"))
+    # margins over the segments×priorities cell table (bounded domains —
+    # the unpartitioned grand-total window sees ~35 rows by construction)
+    cells = obs.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("c_mktsegment")).alias("_rt"),
+        F.sum("obs").over(Window.partitionBy("o_orderpriority")).alias("_ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("_n"),
     )
     exp = F.col("_rt").cast("double") * F.col("_ct").cast("double") / F.col("_n").cast("double")
     contrib_micro = F.round(
@@ -5509,68 +5521,44 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(
         F.greatest(F.floor(F.col("value") / 100.0), F.lit(-10)), F.lit(10)
     ).cast("int")
+    # ONE scan, one aggregate: pivot the period inside the aggregate so
+    # every (type, bucket) row carries BOTH period counts — a bucket
+    # present in only one period shows n=0 on the other side, and
+    # (0+1)/(N+21) is then EXACTLY the smoothing floor, no full-outer
+    # join or coalesce needed (the previous ref/cur-split form scanned
+    # events three times: Spark materializes no CTEs)
     counts = (
         ev.select(
             "event_type",
-            F.when(F.col("ts") < mid, F.lit("ref")).otherwise(F.lit("cur")).alias("_p"),
+            (F.col("ts") < mid).cast("int").alias("_is_ref"),
             bucket.alias("_b"),
         )
-        .groupBy("event_type", "_p", "_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    # smoothed probabilities: (n + 1) / (N + n_buckets·1); totals ride a
-    # per-(type, period) window over the tiny count table
-    w = Window.partitionBy("event_type", "_p")
-    probs = counts.select(
-        "event_type", "_b", "_p",
-        (
-            (F.col("_n") + 1).cast("double")
-            / (F.sum("_n").over(w) + 21).cast("double")
-        ).alias("_prob"),
-    )
-    # per-(type, period) totals so a bucket MISSING from one period can
-    # substitute its smoothing floor (0+1)/(N+21) — the same formula
-    # probs uses with n=0, so the two sides stay bit-identical
-    floors = (
-        counts.groupBy("event_type", "_p")
-        .agg(F.sum("_n").alias("_N"))
-        .groupBy("event_type")
+        .groupBy("event_type", "_b")
         .agg(
-            F.sum(F.when(F.col("_p") == "ref", F.col("_N")).otherwise(0)).alias("_Nref"),
-            F.sum(F.when(F.col("_p") == "cur", F.col("_N")).otherwise(0)).alias("_Ncur"),
+            F.sum("_is_ref").alias("_nref"),
+            F.sum(1 - F.col("_is_ref")).alias("_ncur"),
         )
     )
-    ref = probs.filter(F.col("_p") == "ref").select(
-        "event_type", "_b", F.col("_prob").alias("_pr")
-    )
-    cur = probs.filter(F.col("_p") == "cur").select(
-        "event_type", "_b", F.col("_prob").alias("_pc")
-    )
-    # full outer on bucket: appear/disappear buckets contribute with the
-    # smoothing floor on the missing side (floors is per-event-type —
-    # bounded domain, AQE broadcasts it unhinted)
-    joined = (
-        ref.join(cur, ["event_type", "_b"], "full_outer")
-        .join(floors, "event_type")
-        .select(
-            "event_type",
-            "_b",
-            F.coalesce(
-                F.col("_pr"),
-                F.lit(1).cast("double") / (F.col("_Nref") + 21).cast("double"),
-            ).alias("_pr2"),
-            F.coalesce(
-                F.col("_pc"),
-                F.lit(1).cast("double") / (F.col("_Ncur") + 21).cast("double"),
-            ).alias("_pc2"),
-        )
+    # per-type period totals ride windows over the tiny count table
+    wt = Window.partitionBy("event_type")
+    probs = counts.select(
+        "event_type",
+        "_b",
+        (
+            (F.col("_nref") + 1).cast("double")
+            / (F.sum("_nref").over(wt) + 21).cast("double")
+        ).alias("_pr2"),
+        (
+            (F.col("_ncur") + 1).cast("double")
+            / (F.sum("_ncur").over(wt) + 21).cast("double")
+        ).alias("_pc2"),
     )
     term_micro = F.round(
         (F.col("_pr2") - F.col("_pc2"))
         * F.log(F.col("_pr2") / F.col("_pc2"))
         * 1_000_000
     ).cast("long")
-    return joined.groupBy("event_type").agg(
+    return probs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         (F.sum(term_micro) / F.lit(1e6)).alias("psi"),
     )
@@ -5579,36 +5567,21 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FEATURE_DRIFT_PSI = """
 WITH counts AS (
   SELECT event_type,
-         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS p,
          CAST(least(greatest(floor(value / 100.0), -10), 10) AS INTEGER) AS b,
-         COUNT(*) AS n
-  FROM events GROUP BY 1, 2, 3
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS nref,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS ncur
+  FROM events GROUP BY 1, 2
 ), probs AS (
-  SELECT event_type, b, p,
-         CAST(n + 1 AS DOUBLE)
-         / CAST(SUM(n) OVER (PARTITION BY event_type, p) + 21 AS DOUBLE) AS prob
+  SELECT event_type, b,
+         CAST(nref + 1 AS DOUBLE)
+         / CAST(SUM(nref) OVER (PARTITION BY event_type) + 21 AS DOUBLE) AS pr2,
+         CAST(ncur + 1 AS DOUBLE)
+         / CAST(SUM(ncur) OVER (PARTITION BY event_type) + 21 AS DOUBLE) AS pc2
   FROM counts
-), floors AS (
-  SELECT event_type,
-         SUM(CASE WHEN p = 'ref' THEN N ELSE 0 END) AS nref,
-         SUM(CASE WHEN p = 'cur' THEN N ELSE 0 END) AS ncur
-  FROM (SELECT event_type, p, SUM(n) AS N FROM counts GROUP BY 1, 2)
-  GROUP BY 1
-), ref AS (SELECT event_type, b, prob AS pr FROM probs WHERE p = 'ref'),
-cur AS (SELECT event_type, b, prob AS pc FROM probs WHERE p = 'cur'),
-j AS (
-  SELECT COALESCE(r.event_type, c.event_type) AS event_type,
-         COALESCE(r.b, c.b) AS b, r.pr, c.pc
-  FROM ref r FULL JOIN cur c ON r.event_type = c.event_type AND r.b = c.b
-), terms AS (
-  SELECT j.event_type,
-         COALESCE(pr, CAST(1 AS DOUBLE) / CAST(f.nref + 21 AS DOUBLE)) AS pr2,
-         COALESCE(pc, CAST(1 AS DOUBLE) / CAST(f.ncur + 21 AS DOUBLE)) AS pc2
-  FROM j JOIN floors f ON j.event_type = f.event_type
 )
 SELECT event_type, COUNT(*) AS n_buckets,
        CAST(SUM(CAST(round((pr2 - pc2) * ln(pr2 / pc2) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS psi
-FROM terms GROUP BY event_type
+FROM probs GROUP BY event_type
 """
 
 

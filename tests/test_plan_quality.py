@@ -349,12 +349,10 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   unigram_surprisal       — broadcast 1-row corpus-total aggregate
 #   dq_audit                — referential check: 1-row checked-count ×
 #                             1-row orphan-count cross join
-#   chi_square_independence — broadcast 1-row grand-total aggregate
 _NESTED_LOOP_ALLOWED = {
     "important_parts",
     "unigram_surprisal",
     "dq_audit",
-    "chi_square_independence",
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
