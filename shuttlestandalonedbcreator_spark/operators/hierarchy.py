@@ -263,14 +263,16 @@ def ancestor_closure(
     (O(N) rows per level, so the closure is O(N·depth) total — linear,
     not quadratic, because trees have one parent per node). Same
     lineage-truncation and cycle-guard story as hierarchy_closure."""
-    edges = nodes.select(
-        F.col(id_col).alias("_c"), F.col(parent_col).alias("_p")
-    ).filter(F.col("_p").isNotNull())
+    base = nodes.select(F.col(id_col).alias("_c"), F.col(parent_col).alias("_p"))
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-    self_rows = nodes.select(
-        F.col(id_col).alias("node_id"),
-        F.col(id_col).alias("ancestor_id"),
+        # one materialization serves BOTH the edge list (re-joined every
+        # level) and the distance-0 seed — without it the nodes subtree
+        # (often a multi-table union) evaluates twice
+        base = base.localCheckpoint(eager=True)
+    edges = base.filter(F.col("_p").isNotNull())
+    self_rows = base.select(
+        F.col("_c").alias("node_id"),
+        F.col("_c").alias("ancestor_id"),
         F.lit(0).alias("distance"),
     )
     out = self_rows

@@ -73,12 +73,21 @@ def referential_audit(
     child: DataFrame, fk: str, parent: DataFrame, pk: str, rule: str
 ) -> DataFrame:
     """Orphan count: child rows (with a non-null fk) whose key is absent
-    from the parent. Anti join on the key only; broadcastable parent."""
-    keys = parent.select(F.col(pk).alias(fk)).distinct()
-    non_null = child.filter(F.col(fk).isNotNull())
-    orphans = non_null.join(keys, fk, "left_anti")
+    from the parent. ONE scan of the child: a LEFT join against the
+    distinct parent keys (tagged 1) feeds a single aggregate that counts
+    both checked rows and unmatched rows — the anti-join + checked-count
+    formulation scanned the child twice (Spark materializes no CTEs)."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    non_null = child.select(fk).filter(F.col(fk).isNotNull())
     return (
-        non_null.agg(F.count(F.lit(1)).alias("checked"))
-        .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")))
+        non_null.join(keys, fk, "left")
+        .agg(
+            F.count(F.lit(1)).alias("checked"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+        )
         .select(F.lit(rule).alias("rule"), "checked", "violations")
     )

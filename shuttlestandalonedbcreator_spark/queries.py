@@ -4312,14 +4312,14 @@ def q_qualified_green_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = red.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("_qty").alias("_pair_qty")
     )
-    per_part = per_pair.groupBy("l_partkey").agg(
-        F.sum("_pair_qty").alias("_part_qty")
-    )
     # adaptive bulk test: the supplier moved >20% of that part's total
     # flow (5·pair > part, exact ints) — a fixed quantity threshold
-    # degenerates as supplier/part counts grow with scale
+    # degenerates as supplier/part counts grow with scale. The part
+    # total rides a WINDOW over per_pair (the aggregate-then-join-back
+    # form re-scanned lineitem⋈part — Spark materializes no CTEs).
+    wp = Window.partitionBy("l_partkey")
     bulk = (
-        per_pair.join(per_part, "l_partkey")
+        per_pair.withColumn("_part_qty", F.sum("_pair_qty").over(wp))
         .filter(F.col("_pair_qty") * 5 > F.col("_part_qty"))
         .select("l_suppkey")
     )

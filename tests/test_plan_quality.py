@@ -347,12 +347,9 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             EXTRACTED into a BroadcastHashJoin key and
 #                             needs no allowlisting)
 #   unigram_surprisal       — broadcast 1-row corpus-total aggregate
-#   dq_audit                — referential check: 1-row checked-count ×
-#                             1-row orphan-count cross join
 _NESTED_LOOP_ALLOWED = {
     "important_parts",
     "unigram_surprisal",
-    "dq_audit",
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
