@@ -4255,25 +4255,25 @@ GROUP BY p_brand, p_type, p_size
 def q_small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below
     half their part's average quantity — the correlated scalar-AVG
-    subquery, decorrelated into a per-part pre-aggregate joined back to
-    the (brand-filtered) fact rows. The threshold test is cross-
-    multiplied into pure integers (2·qty·cnt < sum) so the 'average'
-    never materializes as a float; the per-part agg joins hint-free (one
-    row per part still SCALES with part — AQE decides)."""
+    subquery, decorrelated into per-part sums that ride a WINDOW over
+    the (brand-filtered) fact rows — the pre-aggregate-then-join-back
+    form evaluated lineitem⋈part twice (Spark materializes no CTEs);
+    the window form is one fact pass plus one l_partkey exchange. The
+    threshold test is cross-multiplied into pure integers
+    (2·qty·cnt < sum) so the 'average' never materializes as a float."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", F.col("l_quantity").cast("long").alias("_qty"),
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("_cents"),
     )
-    li_b = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
-        "l_partkey", "_qty", "_cents"
+    wp = Window.partitionBy("l_partkey")
+    picked = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_partkey", "_qty", "_cents")
+        .withColumn("_qty_sum", F.sum("_qty").over(wp))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wp))
+        .filter(F.lit(2) * F.col("_qty") * F.col("_cnt") < F.col("_qty_sum"))
     )
-    per_part = li_b.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        F.sum("_qty").alias("_qty_sum"), F.count(F.lit(1)).alias("_cnt")
-    )
-    picked = li_b.join(
-        per_part, li_b["l_partkey"] == per_part["_pk"]
-    ).filter(F.lit(2) * F.col("_qty") * F.col("_cnt") < F.col("_qty_sum"))
     return picked.agg(
         F.count(F.lit(1)).alias("n_items"),
         (F.sum("_cents") / F.lit(700.0)).alias("avg_yearly"),

@@ -440,12 +440,14 @@ def test_q13_outer_join_preserved(spark, sf_small):
     assert "Inner" not in plan
 
 
-def test_q17_per_part_aggregate_broadcasts(spark, sf_small):
-    """Q17: the decorrelated per-part pre-aggregate (one row per part)
-    must broadcast back onto the fact rows — the fact side shuffles only
-    for its own aggregation, never for the threshold join."""
+def test_q17_threshold_rides_window_one_fact_pass(spark, sf_small):
+    """Q17: the decorrelated per-part sums ride a window over the
+    brand-filtered fact rows — ONE lineitem scan and ONE part scan (the
+    aggregate-then-join-back form scanned the fact join twice), no
+    sort-merge join anywhere."""
     plan = plan_of(spark, sf_small, "small_qty_avg_revenue")
-    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") == 2
     assert "SortMergeJoin" not in plan
 
 

@@ -435,3 +435,70 @@ def test_streaming_quality_monitor(spark, event_stream, tmp_path):
         .collect()
     }
     assert per_rule2 == whole
+
+
+def test_streaming_cdc_apply_converges_to_batch_merge(spark, tmp_path):
+    """A stream of CDC batches merged per micro-batch must leave the
+    table exactly where sequential batch merges leave it — and
+    re-running the same stream from a FRESH checkpoint (full replay)
+    must change nothing (at-least-once delivery, convergent merge)."""
+    import os
+
+    from shuttlestandalonedbcreator_spark.streaming.cdc_apply import apply_cdc_stream
+
+    table = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver long"
+    ).write.parquet(table)
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    batches = [
+        [(2, "b2", 2, "U"), (4, "d", 2, "U")],          # update + insert
+        [(1, None, 3, "D"), (4, "d3", 3, "U")],          # delete + update
+        [(5, "e", 4, "U"), (3, "stale", 0, "U")],        # insert + stale
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k long, v string, ver long, op string"
+        ).coalesce(1).write.parquet(str(feed_dir / f"b{i}"))
+    # flat part-files (the stream source does not recurse)
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for i in range(len(batches)):
+        for f in os.listdir(feed_dir / f"b{i}"):
+            if f.endswith(".parquet"):
+                os.rename(feed_dir / f"b{i}" / f, flat / f"{i:02d}_{f}")
+                n += 1
+    assert n == 3
+
+    stream = (
+        spark.readStream.schema("k long, v string, ver long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = apply_cdc_stream(stream, table, ["k"], "ver", str(tmp_path / "ck1"))
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    want = {
+        2: ("b2", 2),   # updated
+        3: ("c", 1),    # stale change rejected
+        4: ("d3", 3),   # inserted then updated
+        5: ("e", 4),    # inserted
+    }                    # 1 deleted
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert got == want
+
+    # full replay from a fresh checkpoint: convergent, not duplicating
+    stream2 = (
+        spark.readStream.schema("k long, v string, ver long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q2 = apply_cdc_stream(stream2, table, ["k"], "ver", str(tmp_path / "ck2"))
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    got2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
+    assert got2 == want
