@@ -137,6 +137,7 @@ HEADLINE = (
     "window_frames",
     "nearest_centroid_assign",
     "time_weighted_avg",
+    "bpe_train_merges",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -192,7 +193,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "text": (
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",
         "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
-        "length_percentile_gate", "url_canonicalize",
+        "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

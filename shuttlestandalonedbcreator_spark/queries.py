@@ -5956,6 +5956,24 @@ FROM s WHERE dur IS NOT NULL GROUP BY event_type
 """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): one corpus
+    pass for word frequencies, then merge rounds over the (much smaller)
+    vocab — argmax pair per round with lexicographic tie-break, so the
+    merge sequence is a pure function of the corpus. Rows-only: the
+    merge loop is iterative (not SQL-expressible); equivalence with an
+    independent pure-Python reference implementation is pinned by
+    tests/test_bpe.py."""
+    from shuttlestandalonedbcreator_spark.operators.bpe import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", n_merges=10, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -6166,4 +6184,5 @@ CATALOG: dict[str, QueryDef] = {
         q_nearest_centroid_assign, SQL_NEAREST_CENTROID_ASSIGN
     ),
     "time_weighted_avg": QueryDef(q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "bpe_train_merges": QueryDef(q_bpe_train_merges, None),
 }
