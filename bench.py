@@ -138,6 +138,7 @@ HEADLINE = (
     "nearest_centroid_assign",
     "time_weighted_avg",
     "bpe_train_merges",
+    "bigram_perplexity",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -194,6 +195,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",
         "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
         "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
+        "bigram_perplexity",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

@@ -5974,6 +5974,99 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, self-trained: per-doc mean negative
+    log-likelihood under an add-one-smoothed BIGRAM model fit on the
+    corpus itself — the standard perplexity gate that drops gibberish
+    and keeps fluent text, one step up from `unigram_surprisal`.
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V), V = |distinct first words|.
+
+    Plan: bigram counts aggregate once (keyed shuffle, map-side
+    partials); the conditional's denominator rides the same table
+    re-grouped by w1 (tiny); per-instance −ln p is rounded to integer
+    micro-nats BEFORE the per-doc sum (exact accumulation both engines).
+    Docs with <2 tokens have no bigrams and drop out (documented).
+    Ships avg_nll, not exp(avg) — libm exp is not cross-engine
+    reproducible, e^x is the consumer's one-liner."""
+    docs = _t(spark, sf_dir, "documents")
+    # let-bind the tokenization: three references (two slices + size)
+    # would re-run the regex split per reference otherwise
+    bg_list = F.get(
+        F.transform(
+            F.array(D.tokens(F.col("text"))),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        0,
+    )
+    bg = docs.select("doc_id", F.explode(bg_list).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cnt_bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c_bg"))
+    cnt_w1 = cnt_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    vsize = cnt_w1.agg(F.count(F.lit(1)).alias("_V"))
+    scored = (
+        tf.join(cnt_bg, ["w1", "w2"])
+        .join(cnt_w1, "w1")
+        .crossJoin(bounded_broadcast(vsize, "one_row"))
+        .withColumn(
+            "_nll",
+            F.round(
+                F.log(
+                    (F.col("c_w1") + F.col("_V")).cast("double")
+                    / (F.col("c_bg") + 1).cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("_nll")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("_s") / F.col("n_bigrams") / F.lit(1e6)).alias("avg_nll"),
+        )
+    )
+
+
+SQL_BIGRAM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+), tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+), cnt_bg AS (
+  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c_bg FROM tf GROUP BY 1, 2
+), cnt_w1 AS (
+  SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cnt_bg GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS V FROM cnt_w1
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(ln(CAST(c_w1 + V AS DOUBLE) / CAST(c_bg + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nll
+  FROM tf JOIN cnt_bg USING (w1, w2) JOIN cnt_w1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * nll) AS BIGINT) / CAST(SUM(tf) AS BIGINT) / 1000000.0 AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -6185,4 +6278,5 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "time_weighted_avg": QueryDef(q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "bpe_train_merges": QueryDef(q_bpe_train_merges, None),
+    "bigram_perplexity": QueryDef(q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
 }

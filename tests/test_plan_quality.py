@@ -347,9 +347,11 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             EXTRACTED into a BroadcastHashJoin key and
 #                             needs no allowlisting)
 #   unigram_surprisal       — broadcast 1-row corpus-total aggregate
+#   bigram_perplexity       — broadcast 1-row vocab-size aggregate
 _NESTED_LOOP_ALLOWED = {
     "important_parts",
     "unigram_surprisal",
+    "bigram_perplexity",
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
