@@ -139,6 +139,8 @@ HEADLINE = (
     "time_weighted_avg",
     "bpe_train_merges",
     "bigram_perplexity",
+    "classifier_auc",
+    "dedup_cascade",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -176,7 +178,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
-        "langid_confusion", "feature_drift_psi",
+        "langid_confusion", "feature_drift_psi", "classifier_auc",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
@@ -184,6 +186,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "edit_distance_neardup", "containment_neardup", "canonical_pick",
         "cross_source_canonical", "boilerplate_ngrams",
         "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
+        "dedup_cascade",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",

@@ -6067,6 +6067,145 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a scoring function against binary labels — the eval
+    every quality/language classifier gets before its threshold ships.
+    Here: does the English-stopword ratio detect lang='en'? (On this
+    synthetic word-soup corpus the honest answer is chance-level ≈0.47 —
+    the metric, not the toy detector, is the deliverable.)
+
+    Scale shape: the O(N log N) global rank-sum formulation needs an
+    UNPARTITIONED sort; instead scores aggregate to (score → n_pos,
+    n_neg) — bounded by distinct score values (the ratio is a single
+    division of exact ints, bit-identical across engines and UNROUNDED:
+    round() at a fixed decimal is the documented half-up/half-even
+    parity hazard) — and AUC comes from a
+    running sum over that histogram: the textbook Mann-Whitney identity
+    AUC = [Σ_s n_pos(s)·cumneg(<s) + ½ n_pos(s)·n_neg(s)] / (P·N).
+    Doubled into pure integers, so the statistic is ONE division of
+    exact ints (shipped unrounded)."""
+    docs = _t(spark, sf_dir, "documents")
+    score = T.stopword_ratio(F.col("text"))
+    labeled = docs.select(
+        score.alias("_s"),
+        (F.col("lang") == "en").cast("long").alias("_pos"),
+    )
+    hist = labeled.groupBy("_s").agg(
+        F.sum("_pos").alias("_np"),
+        F.sum(1 - F.col("_pos")).alias("_nn"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = hist.select(
+        "_np",
+        "_nn",
+        F.coalesce(F.sum("_nn").over(w), F.lit(0)).alias("_cumneg"),
+    )
+    return terms.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        (
+            F.sum(2 * F.col("_np") * F.col("_cumneg") + F.col("_np") * F.col("_nn"))
+            .cast("double")
+            / (2 * F.sum("_np") * F.sum("_nn")).cast("double")
+        ).alias("auc"),
+    )
+
+
+SQL_CLASSIFIER_AUC = """
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w,
+         text
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS s
+  FROM toks
+), hist AS (
+  SELECT s, CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(1 - pos) AS BIGINT) AS nn
+  FROM scored GROUP BY s
+), terms AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM hist
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       CAST(CAST(SUM(2 * np * cumneg + np * nn) AS BIGINT) AS DOUBLE)
+         / CAST(2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT) AS DOUBLE) AS auc
+FROM terms
+"""
+
+
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE in one query: exact content-hash
+    dedup first (cheap, kills byte-identical copies), then n-gram
+    Jaccard near-dup pruning over the exact SURVIVORS only (the
+    expensive stage sees a pre-shrunk corpus — the ordering every real
+    pipeline uses). Emits the funnel: raw → exact survivors → near-dup
+    survivors. Keep rules are deterministic: min doc_id per content
+    hash; near-dup pairs drop the higher id."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    pairs = D.ngram_jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = survivors.join(dropped, "doc_id", "left_anti")
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(
+            bounded_broadcast(
+                survivors.agg(F.count(F.lit(1)).alias("n_exact")), "one_row"
+            )
+        )
+        .crossJoin(
+            bounded_broadcast(
+                kept.agg(F.count(F.lit(1)).alias("n_neardup")), "one_row"
+            )
+        )
+    )
+
+
+SQL_DEDUP_CASCADE = """
+WITH survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), surv_txt AS (
+  SELECT s.doc_id, d.text FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM surv_txt
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM surv_txt st
+         LEFT JOIN dropped dr ON st.doc_id = dr.doc_id WHERE dr.doc_id IS NULL) AS n_neardup
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -6279,4 +6418,6 @@ CATALOG: dict[str, QueryDef] = {
     "time_weighted_avg": QueryDef(q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "bpe_train_merges": QueryDef(q_bpe_train_merges, None),
     "bigram_perplexity": QueryDef(q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
+    "classifier_auc": QueryDef(q_classifier_auc, SQL_CLASSIFIER_AUC),
+    "dedup_cascade": QueryDef(q_dedup_cascade, SQL_DEDUP_CASCADE),
 }

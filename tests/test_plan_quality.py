@@ -348,10 +348,12 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             needs no allowlisting)
 #   unigram_surprisal       — broadcast 1-row corpus-total aggregate
 #   bigram_perplexity       — broadcast 1-row vocab-size aggregate
+#   dedup_cascade           — three 1-row funnel-counter cross joins
 _NESTED_LOOP_ALLOWED = {
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",
+    "dedup_cascade",
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
