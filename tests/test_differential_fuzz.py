@@ -255,12 +255,22 @@ def _frame_window_query(rng: random.Random) -> str:
     part = rng.choice(cols["group"])
     direction = rng.choice(["ASC", "DESC"])
     n_prec = rng.randint(0, 5)
-    frame = f"ROWS BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
+    unit = rng.choice(["ROWS", "RANGE"])
+    if unit == "RANGE":
+        # RANGE frames are value-defined: tied rows share IDENTICAL
+        # frames, so results are deterministic WITHOUT a tiebreak — and
+        # Spark rejects value-bounded RANGE with multi-column ORDER BY
+        # anyway (DATATYPE_MISMATCH.RANGE_FRAME_MULTI_ORDER)
+        frame = f"RANGE BETWEEN {n_prec * 100} PRECEDING AND CURRENT ROW"
+        order = f"{val} {direction}"
+    else:
+        frame = f"ROWS BETWEEN {n_prec} PRECEDING AND CURRENT ROW"
+        order = f"{val} {direction}, {key} ASC"
     where = _predicate(rng, cols) if rng.random() < 0.5 else "TRUE"
     return (
         f"SELECT {key}, {part}, "
-        f"CAST(SUM({val}) OVER (PARTITION BY {part} ORDER BY {val} {direction}, {key} ASC {frame}) AS BIGINT) AS wsum, "
-        f"CAST(COUNT(*) OVER (PARTITION BY {part} ORDER BY {val} {direction}, {key} ASC {frame}) AS BIGINT) AS wcnt "
+        f"CAST(SUM({val}) OVER (PARTITION BY {part} ORDER BY {order} {frame}) AS BIGINT) AS wsum, "
+        f"CAST(COUNT(*) OVER (PARTITION BY {part} ORDER BY {order} {frame}) AS BIGINT) AS wcnt "
         f"FROM {table} WHERE {where}"
     )
 

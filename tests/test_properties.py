@@ -358,3 +358,57 @@ def test_containment_dominates_jaccard(spark, sf_small):
     assert len(got) == jac.count()  # every jaccard pair has a containment row
     for r in got:
         assert r["jaccard"] - 1e-9 <= r["containment"] <= 1.0 + 1e-9, r
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),    # key
+        st.sampled_from(["U", "D"]),              # op
+        st.integers(min_value=0, max_value=9),    # version
+        st.text(alphabet="abc", min_size=1, max_size=3),
+    ),
+    min_size=0,
+    max_size=8,
+))
+def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batch):
+    """Model-based MERGE check: applying one CDC batch via merge_upsert
+    must agree with a trivial dict replay (higher version wins, batch
+    beats base on ties, D deletes regardless of payload)."""
+    from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert
+
+    base_rows = [(1, "base1", 5), (2, "base2", 5), (3, "base3", 5)]
+    tmp = tmp_path_factory.mktemp("merge_model")
+    path = str(tmp / "tbl")
+    spark.createDataFrame(base_rows, "k long, v string, ver long").write.parquet(path)
+
+    # dict model. Within the batch itself, last-write-wins by (ver, then
+    # position as implicit recency is NOT promised) — make batch keys
+    # unique per draw to keep the model unambiguous.
+    seen = {}
+    uniq = []
+    for k, op, ver, v in batch:
+        if k not in seen:
+            seen[k] = True
+            uniq.append((k, op, ver, v))
+    model = {k: (v, ver) for k, v, ver in [(r[0], r[1], r[2]) for r in base_rows]}
+    deletes = set()
+    for k, op, ver, v in uniq:
+        if op == "D":
+            deletes.add(k)
+            continue
+        cur = model.get(k)
+        if k not in deletes and (cur is None or ver >= cur[1]):
+            model[k] = (v, ver)
+        elif k in deletes:
+            model[k] = (v, ver)  # can't happen with unique keys
+    for k in deletes:
+        model.pop(k, None)
+
+    updates = spark.createDataFrame(
+        [(k, v, ver, op) for k, op, ver, v in uniq],
+        "k long, v string, ver long, op string",
+    )
+    merge_upsert(spark, path, updates, keys=["k"], order_col="ver", op_col="op")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == model

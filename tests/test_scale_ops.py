@@ -545,3 +545,24 @@ def test_cdc_feed_then_merge_reproduces_target(spark, sf_small, tmp_path):
     got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(path).select("doc_id", "text").collect()}
     want = {(r["doc_id"], r["text"]) for r in v2.collect()}
     assert got == want
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Schema drift across parquet batches (columns added over time —
+    routine at 100 TB): mergeSchema reads the union schema with NULLs
+    for pre-drift files, and the default read still works on the common
+    prefix. Pins the operational contract so a drifted feed never needs
+    a backfill rewrite just to stay readable."""
+    p = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.7)], "k long, v string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[3] == 0.5  # old files -> NULL column
+    assert merged.count() == 4
