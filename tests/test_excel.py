@@ -382,3 +382,28 @@ def test_extract_sheet_preserving_charts_and_media(tmp_path):
     import os
 
     assert not os.path.exists(missing_out)
+
+
+def test_sheet_parallel_scan_matches_per_file_scan(spark, workbook_dir):
+    """The per-SHEET scan (one task per sheet — the 700 MB single-
+    workbook case) must produce EXACTLY the per-file scan's rows, honor
+    the sheet prefix and ~lock exclusion, and actually split tasks at
+    sheet granularity."""
+    from shuttlestandalonedbcreator_spark.sources.excel import (
+        read_workbook_rows_sheet_parallel,
+    )
+
+    per_file = read_workbook_rows(spark, workbook_dir, sheet_prefix="Transfer Report")
+    per_sheet = read_workbook_rows_sheet_parallel(
+        spark, workbook_dir, sheet_prefix="Transfer Report"
+    )
+    key = ["_source_file", "_sheet", "_row_index"]
+    assert sorted(map(tuple, per_file.select(*key, "_cells").collect())) == sorted(
+        map(tuple, per_sheet.select(*key, "_cells").collect())
+    )
+    # 3 matching sheets across 2 workbooks → 3 input partitions
+    assert per_sheet.rdd.getNumPartitions() == 3
+
+    # no matching sheets → empty frame with the same schema, no job blowup
+    none = read_workbook_rows_sheet_parallel(spark, workbook_dir, sheet_prefix="Nope")
+    assert none.count() == 0 and none.columns == per_file.columns
