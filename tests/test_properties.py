@@ -373,8 +373,10 @@ def test_containment_dominates_jaccard(spark, sf_small):
 ))
 def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batch):
     """Model-based MERGE check: applying one CDC batch via merge_upsert
-    must agree with a trivial dict replay (higher version wins, batch
-    beats base on ties, D deletes regardless of payload)."""
+    must agree with a trivial dict replay. Semantics: every row —
+    deletes included — competes per key by (ver desc, batch-beats-base,
+    upsert-beats-delete-at-exact-tie); a winning D removes the key, a
+    STALE delete (ver lower than the live row) is a no-op."""
     from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert
 
     base_rows = [(1, "base1", 5), (2, "base2", 5), (3, "base3", 5)]
@@ -382,28 +384,26 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batch):
     path = str(tmp / "tbl")
     spark.createDataFrame(base_rows, "k long, v string, ver long").write.parquet(path)
 
-    # dict model. Within the batch itself, last-write-wins by (ver, then
-    # position as implicit recency is NOT promised) — make batch keys
-    # unique per draw to keep the model unambiguous.
-    seen = {}
+    # dict model. Within the batch itself the same key twice would need
+    # a (ver, op) tiebreak the window defines but the model needn't —
+    # keep batch keys unique per draw to keep the model unambiguous.
+    seen = set()
     uniq = []
     for k, op, ver, v in batch:
         if k not in seen:
-            seen[k] = True
+            seen.add(k)
             uniq.append((k, op, ver, v))
-    model = {k: (v, ver) for k, v, ver in [(r[0], r[1], r[2]) for r in base_rows]}
-    deletes = set()
+    base = {r[0]: (r[1], r[2]) for r in base_rows}
+    model = dict(base)
     for k, op, ver, v in uniq:
+        cur = base.get(k)
+        # candidate ranking key: (ver, src, op=='U'); batch src=1 > base
+        if cur is not None and (cur[1], 0, 1) > (ver, 1, op == "U"):
+            continue  # base row outranks the change (stale change)
         if op == "D":
-            deletes.add(k)
-            continue
-        cur = model.get(k)
-        if k not in deletes and (cur is None or ver >= cur[1]):
+            model.pop(k, None)
+        else:
             model[k] = (v, ver)
-        elif k in deletes:
-            model[k] = (v, ver)  # can't happen with unique keys
-    for k in deletes:
-        model.pop(k, None)
 
     updates = spark.createDataFrame(
         [(k, v, ver, op) for k, op, ver, v in uniq],
@@ -412,3 +412,33 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, batch):
     merge_upsert(spark, path, updates, keys=["k"], order_col="ver", op_col="op")
     got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
     assert got == model
+
+
+def test_merge_upsert_out_of_order_deletes(spark, tmp_path_factory):
+    """Pin the ADVICE-flagged CDC ordering cases in one batch:
+    (a) delete beaten by a strictly-higher-order upsert on the same key,
+    (b) stale delete (order below the base row) is a no-op,
+    (c) fresh delete (order above the base row) removes the key,
+    (d) same-order upsert+delete tie goes to the upsert."""
+    from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert
+
+    tmp = tmp_path_factory.mktemp("merge_ooo")
+    path = str(tmp / "tbl")
+    spark.createDataFrame(
+        [(1, "b1", 5), (2, "b2", 5), (3, "b3", 5), (4, "b4", 5)],
+        "k long, v string, ver long",
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [
+            (1, "del", 6, "D"), (1, "new", 7, "U"),   # (a) upsert outranks delete
+            (2, "del", 3, "D"),                        # (b) stale delete: no-op
+            (3, "del", 9, "D"),                        # (c) fresh delete wins
+            (4, "del", 6, "D"), (4, "tie", 6, "U"),   # (d) tie -> upsert
+        ],
+        "k long, v string, ver long, op string",
+    )
+    n = merge_upsert(spark, path, updates, keys=["k"], order_col="ver", op_col="op")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("new", 7), 2: ("b2", 5), 4: ("tie", 6)}
+    assert n == 3

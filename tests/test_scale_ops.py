@@ -547,6 +547,127 @@ def test_cdc_feed_then_merge_reproduces_target(spark, sf_small, tmp_path):
     assert got == want
 
 
+def _file_identity(root):
+    """(relpath -> (inode, mtime_ns, size)) for every file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_merge_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    """Partition-scoped MERGE: apply cost scales with the batch, not the
+    table — partitions the batch doesn't touch keep byte-identical files
+    (same inode, mtime, size), and the merged result equals a whole-table
+    merge_upsert over the same data."""
+    import os
+
+    from shuttlestandalonedbcreator_spark.plans.merge import (
+        merge_upsert,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    rows = [(k, f"v{k}", 10, k % 6) for k in range(600)]
+    df = spark.createDataFrame(rows, "k long, v string, ver long, bucket long")
+    part = str(tmp_path / "part_tbl")
+    flat = str(tmp_path / "flat_tbl")
+    write_partitioned(df, part, "bucket")
+    df.write.parquet(flat)
+    assert sorted(os.listdir(part)) == [f"bucket={b}" for b in range(6)]
+
+    before = _file_identity(part)
+    updates = spark.createDataFrame(
+        [
+            (1, "upd", 20, 1, "U"),        # replace in bucket 1
+            (3, None, 20, 3, "D"),         # delete in bucket 3
+            (9, "stale-del", 5, 3, "D"),   # stale delete: no-op
+            (601, "new", 20, 1, "U"),      # insert into bucket 1
+            (700, "newpart", 20, 10, "U"), # insert creating bucket 10
+        ],
+        "k long, v string, ver long, bucket long, op string",
+    )
+    merge_upsert_partitioned(
+        spark, part, updates, keys=["k"], order_col="ver",
+        partition_col="bucket", op_col="op",
+    )
+    merge_upsert(spark, flat, updates, keys=["k"], order_col="ver", op_col="op")
+
+    after = _file_identity(part)
+    untouched = {
+        p: ident for p, ident in before.items()
+        if p.split(os.sep)[0] in {"bucket=0", "bucket=2", "bucket=4", "bucket=5"}
+    }
+    for p, ident in untouched.items():
+        assert after[p] == ident, f"untouched partition file changed: {p}"
+
+    got = {
+        (r["k"], r["v"], r["ver"], r["bucket"])
+        for r in spark.read.parquet(*[os.path.join(part, d) for d in os.listdir(part)]).collect()
+    }
+    want = {
+        (r["k"], r["v"], r["ver"], r["bucket"])
+        for r in spark.read.parquet(flat).collect()
+    }
+    assert got == want
+    assert os.path.isdir(os.path.join(part, "bucket=10"))
+
+
+def test_merge_upsert_partitioned_crash_recovery_and_full_delete(spark, tmp_path):
+    """A partition caught between its two renames is restored on the next
+    call; stale batch-staging roots are cleared; a batch deleting every
+    row of a partition removes its directory."""
+    import os
+    import shutil
+
+    from shuttlestandalonedbcreator_spark.plans.merge import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, 0), (2, "b", 1, 1)], "k long, v string, ver long, bucket long"
+    )
+    part = str(tmp_path / "tbl")
+    write_partitioned(df, part, "bucket")
+
+    # crash window: bucket=0 mid-swap, plus a stale batch staging root
+    os.rename(os.path.join(part, "bucket=0"), os.path.join(part, "bucket=0._merge_old"))
+    shutil.copytree(os.path.join(part, "bucket=1"), part + "._merge_batch_staging")
+
+    updates = spark.createDataFrame(
+        [(2, None, 2, 1, "D")], "k long, v string, ver long, bucket long, op string"
+    )
+    n = merge_upsert_partitioned(
+        spark, part, updates, keys=["k"], order_col="ver",
+        partition_col="bucket", op_col="op",
+    )
+    assert n == 0  # bucket=1 fully deleted
+    assert os.path.isdir(os.path.join(part, "bucket=0"))  # recovered
+    assert not os.path.isdir(os.path.join(part, "bucket=1"))
+    assert not os.path.exists(part + "._merge_batch_staging")
+    got = [r["k"] for r in spark.read.parquet(os.path.join(part, "bucket=0")).collect()]
+    assert got == [1]
+
+
+def test_merge_upsert_partitioned_rejects_unsafe_partition_values(spark, tmp_path):
+    from shuttlestandalonedbcreator_spark.plans.merge import merge_upsert_partitioned
+
+    updates = spark.createDataFrame(
+        [(1, "x", 1, "a/b")], "k long, v string, ver long, bucket string"
+    )
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        merge_upsert_partitioned(
+            spark, str(tmp_path / "t"), updates, keys=["k"],
+            order_col="ver", partition_col="bucket",
+        )
+
+
 def test_schema_evolution_merge_schema_read(spark, tmp_path):
     """Schema drift across parquet batches (columns added over time —
     routine at 100 TB): mergeSchema reads the union schema with NULLs
