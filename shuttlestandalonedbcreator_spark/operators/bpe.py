@@ -184,8 +184,9 @@ def encode_bpe(
 ) -> DataFrame:
     """Tokenize each document with the learned merges (greedy
     lowest-rank-first, the standard BPE order). Returns
-    (id, tokens array<string>, n_tokens). Arrow-batched; the rank table
-    ships inside the closure (bounded by n_merges)."""
+    (id, tokens array<string>, n_tokens) with the id column keeping the
+    INPUT's type (string doc ids pass through unchanged). Arrow-batched;
+    the rank table ships inside the closure (bounded by n_merges)."""
     import shuttlestandalonedbcreator_spark.operators.bpe as _self
     from pyspark.cloudpickle import register_pickle_by_value
 
@@ -236,8 +237,9 @@ def encode_bpe(
     src = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
+    id_type = docs.schema[id_col].dataType.simpleString()
     out = src.mapInPandas(
-        run, schema="_id long, tokens array<string>, n_tokens long"
+        run, schema=f"_id {id_type}, tokens array<string>, n_tokens long"
     )
     return out.select(
         F.col("_id").alias(id_col), "tokens", "n_tokens"

@@ -10,12 +10,14 @@ Reference lifecycle (SQLiteDirectImporter.java, SURVEY.md §3.1):
 Spark restatement (this module):
   raw all-string DataFrame (any source: Excel reader, CSV, parquet)
   → `typed_projection` → `with_derived_columns` → `dedup_last_wins`
-  → `resolve_parent_ids` (broadcast join J1) → write parquet.
+  → `resolve_parent_ids` (join J1, AQE-sized) → write parquet.
 
 Each stage is a pure DataFrame→DataFrame function so the same plan serves
 batch and `foreachBatch` streaming ingestion. At 100 TB the plan is:
 narrow casts/derivations (no shuffle) → one shuffle for the keyed dedup →
-a broadcast join (no fact shuffle) → partitioned write.
+the parent-id join (broadcast-hash while the folder map measures small,
+shuffled when it doesn't — AQE decides from runtime size) → partitioned
+write.
 """
 
 from __future__ import annotations
@@ -25,7 +27,6 @@ from pyspark.sql import functions as F
 
 from shuttlestandalonedbcreator_spark.functions.casts import text_cell, try_long
 from shuttlestandalonedbcreator_spark.functions.dates import excel_serial_to_timestamp
-from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
 from shuttlestandalonedbcreator_spark.functions.paths import (
     job_name_from_filename,
     parent_folder,
@@ -130,8 +131,13 @@ def resolve_parent_ids(df: DataFrame) -> DataFrame:
 
     Reference builds a global driver-side HashMap keeping the LAST
     duplicate key (:810) and probes each row (:797-860). Spark-native:
-    collapse duplicate file_names (greatest ingest seq wins), broadcast,
-    left-equi join — the fact side never shuffles.
+    collapse duplicate file_names (greatest ingest seq wins), left-equi
+    join. No explicit broadcast hint: the id map holds one row per
+    FOLDER in the dataset, which grows with the corpus — the same
+    unbounded growth the reference's in-memory HashMap has (it OOMs
+    first). AQE picks broadcast-hash from the map's measured size while
+    it fits and falls back to a shuffled join when it doesn't, which is
+    the 100 TB-safe behavior.
     """
     seq = F.col("_ingest_seq") if "_ingest_seq" in df.columns else F.monotonically_increasing_id()
     w = Window.partitionBy("file_name").orderBy(F.desc("_seq"))
@@ -143,7 +149,7 @@ def resolve_parent_ids(df: DataFrame) -> DataFrame:
         .select(F.col("file_name").alias("_pname"), F.col("target_file_id").alias("parent_id"))
     )
     return df.join(
-        bounded_broadcast(id_map, "caller_contract"),
+        id_map,
         df["parent_folder"] == id_map["_pname"],
         "left",
     ).drop("_pname")

@@ -95,7 +95,11 @@ def _rewrite_workbook_xml(data: bytes, sheet_name: str) -> bytes:
             return ""
         return re.sub(r'sheetId="[^"]*"', 'sheetId="1"', frag)
 
-    return re.sub(r"<sheet\b[^>]*/>", keep, text).encode("utf-8")
+    # both legal OOXML spellings: self-closing <sheet .../> AND the
+    # paired <sheet ...></sheet> some writers emit
+    return re.sub(
+        r"<sheet\b[^>]*/>|<sheet\b[^>]*>.*?</sheet\s*>", keep, text, flags=re.S
+    ).encode("utf-8")
 
 
 def _rewrite_workbook_rels(data: bytes, keep_target: str) -> bytes:
@@ -158,16 +162,21 @@ def extract_sheet_preserving(
         if keep_part is None:
             return False
         names = set(zin.namelist())
-        dropped = {
-            n
-            for n in names
-            if n.startswith("xl/worksheets/")
-            and n.endswith(".xml")
-            and n != keep_part
-        }
         keep_rels = (
             f"xl/worksheets/_rels/{posixpath.basename(keep_part)}.rels"
         )
+        # dropped = EVERY part not copied into the output (other
+        # worksheets, calcChain.xml, pivot caches, ...) — their
+        # Content_Types Overrides would dangle otherwise, the strict-
+        # reader repair flag this module exists to avoid
+        copied = {
+            n
+            for n in names
+            if n in (keep_part, keep_rels)
+            or n in _ESSENTIAL_EXACT
+            or n.startswith(_ESSENTIAL_PREFIXES)
+        } | {"xl/workbook.xml", "xl/_rels/workbook.xml.rels"}
+        dropped = names - copied
         with zipfile.ZipFile(
             out_path, "w", compression=zipfile.ZIP_DEFLATED
         ) as zout:

@@ -112,3 +112,18 @@ def test_bpe_encode_prefers_lowest_rank(spark):
     # 'ab' is the most frequent pair (3 occurrences) so it merges first
     assert merges[0] == ("a", "b")
     assert all("b" + EOW not in t for t in toks)
+
+
+def test_bpe_encode_preserves_string_id_type(spark):
+    """encode_bpe must carry the input id column's TYPE through the
+    mapInPandas schema — string doc ids pass through unchanged instead
+    of failing a hardcoded long cast."""
+    docs = spark.createDataFrame(
+        [("doc-a", "low lower lowest"), ("doc-b", "new newer newest")],
+        "doc_id string, text string",
+    )
+    merges = train_bpe_merges(docs, "text", n_merges=10, min_freq=2)
+    enc = encode_bpe(docs, merges, "text", "doc_id")
+    assert enc.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"] for r in enc.collect()}
+    assert got == {"doc-a", "doc-b"}

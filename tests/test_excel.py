@@ -298,6 +298,35 @@ def test_xlsx_python_datasource_matches_mapinpandas_scan(spark, workbook_dir):
     assert ds.rdd.getNumPartitions() == 2
 
 
+def _zip_replace(path, replacements):
+    """Rebuild the zip at ``path`` with some entries' bytes replaced
+    (zipfile append-mode would leave duplicate entries)."""
+    import os
+    import zipfile
+
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(tmp, "w") as zout:
+        for info in zin.infolist():
+            data = replacements.get(info.filename, None)
+            if data is None:
+                data = zin.read(info.filename)
+            zout.writestr(info.filename, data)
+    os.replace(tmp, path)
+
+
+def _with_calcchain_override(src):
+    import zipfile
+
+    with zipfile.ZipFile(src) as zf:
+        ct = zf.read("[Content_Types].xml").decode()
+    return ct.replace(
+        "</Types>",
+        '<Override PartName="/xl/calcChain.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.calcChain+xml"/>'
+        "</Types>",
+    ).encode()
+
+
 def test_extract_sheet_preserving_charts_and_media(tmp_path):
     """S9 byte fidelity (TransferOverviewExtractor.java:303-478): the
     ZIP-copy extractor must keep charts/drawings/media/styles
@@ -344,6 +373,13 @@ def test_extract_sheet_preserving_charts_and_media(tmp_path):
         zf.writestr("xl/worksheets/_rels/sheet1.xml.rels", b"<Relationships/>")
         zf.writestr("xl/calcChain.xml", b"<calcChain/>")
 
+    # give calcChain a REAL Content_Types Override so a dangling entry
+    # would be observable in the output (ADVICE r3: only worksheet
+    # overrides were filtered before)
+    _zip_replace(src, {
+        "[Content_Types].xml": _with_calcchain_override(src),
+    })
+
     out = str(tmp_path / "report_Overview.xlsx")
     assert extract_sheet_preserving(src, out, "Overview") is True
 
@@ -368,6 +404,8 @@ def test_extract_sheet_preserving_charts_and_media(tmp_path):
         ct = zf.read("[Content_Types].xml").decode()
         assert "/xl/worksheets/sheet2.xml" in ct
         assert "/xl/worksheets/sheet1.xml" not in ct and "/xl/worksheets/sheet3.xml" not in ct
+        # EVERY skipped part's Override is filtered, not just worksheets
+        assert "calcChain" not in ct
 
     # the artifact is still a readable workbook: our scan sees ONLY Overview
     got = list(parse_xlsx_rows(open(out, "rb").read()))
@@ -382,6 +420,45 @@ def test_extract_sheet_preserving_charts_and_media(tmp_path):
     import os
 
     assert not os.path.exists(missing_out)
+
+
+def test_extract_sheet_preserving_handles_paired_sheet_elements(tmp_path):
+    """Some OOXML writers emit <sheet ...></sheet> instead of the
+    self-closing form; the workbook.xml rewrite must drop non-target
+    sheets in BOTH spellings (ADVICE r3: paired elements survived,
+    leaving dangling sheet entries whose parts were removed)."""
+    import re as _re
+    import zipfile
+
+    from shuttlestandalonedbcreator_spark.sources.excel import (
+        parse_xlsx_rows,
+        write_workbook,
+    )
+    from shuttlestandalonedbcreator_spark.sources.overview_extractor import (
+        extract_sheet_preserving,
+    )
+
+    src = str(tmp_path / "paired.xlsx")
+    write_workbook(
+        {"Data1": [["a"]], "Overview": [["Job"], ["alpha"]]}, src
+    )
+    with zipfile.ZipFile(src) as zf:
+        wb = zf.read("xl/workbook.xml").decode()
+    paired = _re.sub(r"(<sheet\b[^>]*?)\s*/>", r"\1></sheet>", wb)
+    assert "</sheet>" in paired
+    _zip_replace(src, {"xl/workbook.xml": paired.encode()})
+
+    out = str(tmp_path / "out.xlsx")
+    assert extract_sheet_preserving(src, out, "Overview") is True
+    with zipfile.ZipFile(out) as zf:
+        wb_out = zf.read("xl/workbook.xml").decode()
+        assert wb_out.count("<sheet ") == 1
+        assert 'name="Overview"' in wb_out and 'name="Data1"' not in wb_out
+    got = list(parse_xlsx_rows(open(out, "rb").read()))
+    assert [(s, i, c) for s, i, c in got] == [
+        ("Overview", 0, ["Job"]),
+        ("Overview", 1, ["alpha"]),
+    ]
 
 
 def test_sheet_parallel_scan_matches_per_file_scan(spark, workbook_dir):
