@@ -59,27 +59,61 @@ def _initial_symbols(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge_rows(pair: tuple[str, str], merged: str):
+def _merge_syms(s: list, a: str, b: str, merged: str) -> list:
+    i, res = 0, []
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return res
+
+
+def _apply_merges_rows(pairs: list[tuple[str, str]]):
+    """mapInPandas body applying ``pairs`` SEQUENTIALLY in rank order —
+    one Spark job for the whole batch of merges."""
+
     def run(batches: Iterator) -> Iterator:
-        a, b = pair
         for pdf in batches:
             out = []
             for syms in pdf["syms"]:
                 s = list(syms)
-                i, res = 0, []
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                out.append(res)
+                for a, b in pairs:
+                    s = _merge_syms(s, a, b, a + b)
+                out.append(s)
             pdf = pdf.copy()
             pdf["syms"] = out
             yield pdf
 
     return run
+
+
+def _select_batch(
+    ranked: list[tuple[tuple[str, str], int]],
+    batch_size: int,
+    min_freq: int,
+) -> list[tuple[str, str]]:
+    """Greedy top-K pairwise-DISJOINT pair selection in (count desc,
+    lex) order. Disjoint pairs' counts are unaffected by each other's
+    application (a merge only destroys/creates pairs sharing one of its
+    symbols), so within the batch each selected pair's count is exact;
+    the approximation vs strict sequential BPE is only that a pair
+    NEWLY CREATED by an earlier batch member cannot be selected until
+    the next round."""
+    chosen: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for (a, b), n in ranked:
+        if n < min_freq:
+            break
+        if a in used or b in used:
+            continue
+        chosen.append((a, b))
+        used.update((a, b, a + b))
+        if len(chosen) >= batch_size:
+            break
+    return chosen
 
 
 def train_bpe_merges(
@@ -88,6 +122,7 @@ def train_bpe_merges(
     n_merges: int = 50,
     min_freq: int = 2,
     driver_threshold: int = 200_000,
+    batch_size: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` merges; stops early when no adjacent pair
     reaches ``min_freq``. Returns the ordered merge list.
@@ -98,7 +133,19 @@ def train_bpe_merges(
     (each distributed round costs ~2 s of job overhead vs microseconds
     of counting on a small dict). A 100 TB corpus's vocab blows past the
     gate and takes the distributed rounds automatically — identical
-    output either way (same argmax + lexicographic tie-break)."""
+    output either way (same argmax + lexicographic tie-break).
+
+    ``batch_size`` > 1 applies up to that many pairwise-DISJOINT merges
+    per round (selected from one pair-count job in count-desc/lex
+    order, applied sequentially in one mapInPandas pass), cutting the
+    Spark-job count ~batch_size× — the difference between 2×32k jobs
+    and ~2×2k for a real 32k-vocab tokenizer. Within a batch every
+    selected pair's count is exact (disjoint merges can't change each
+    other's counts); the only deviation from strict sequential BPE is
+    that a pair CREATED by an earlier batch member waits for the next
+    round even if it would have outranked a later member. Driver and
+    distributed paths implement identical batched selection, so output
+    is path-independent at every ``batch_size``."""
     import shuttlestandalonedbcreator_spark.operators.bpe as _self
     from pyspark.cloudpickle import register_pickle_by_value
 
@@ -107,12 +154,16 @@ def train_bpe_merges(
     vocab = _word_counts(docs, text_col).localCheckpoint(eager=True)
     if vocab.count() <= driver_threshold:
         return _driver_bpe(
-            {r["word"]: r["freq"] for r in vocab.collect()}, n_merges, min_freq
+            {r["word"]: r["freq"] for r in vocab.collect()},
+            n_merges,
+            min_freq,
+            batch_size,
         )
 
     state = _initial_symbols(vocab).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        k = min(batch_size, n_merges - len(merges))
         pairs = state.select(
             "freq",
             F.explode(
@@ -123,31 +174,37 @@ def train_bpe_merges(
                 )
             ).alias("p"),
         ).filter(F.col("p.a") != EOW)
-        best = (
+        # 4k candidates cover the k disjoint picks with headroom; the
+        # selection consumes at most 2 symbols + 1 product per pick
+        top = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
+            .limit(max(4 * k, 8))
             .collect()
         )
-        if not best or best[0]["n"] < min_freq:
+        batch = _select_batch(
+            [((r["p"]["a"], r["p"]["b"]), r["n"]) for r in top], k, min_freq
+        )
+        if not batch:
             break
-        a, b = best[0]["p"]["a"], best[0]["p"]["b"]
-        merges.append((a, b))
+        merges.extend(batch)
         state = state.mapInPandas(
-            _apply_merge_rows((a, b), a + b), schema=state.schema
+            _apply_merges_rows(batch), schema=state.schema
         ).localCheckpoint(eager=True)
     return merges
 
 
 def _driver_bpe(
-    vocab: dict[str, int], n_merges: int, min_freq: int
+    vocab: dict[str, int], n_merges: int, min_freq: int, batch_size: int = 1
 ) -> list[tuple[str, str]]:
     """The merge loop over a SMALL (size-gated) word-frequency dict —
-    same argmax + lexicographic tie-break as the distributed rounds."""
+    same argmax + lexicographic tie-break AND same batched disjoint
+    selection as the distributed rounds (path-independent output)."""
     symtab = {w: list(w) + [EOW] for w in vocab}
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        k = min(batch_size, n_merges - len(merges))
         pairs: dict[tuple[str, str], int] = {}
         for w, freq in vocab.items():
             s = symtab[w]
@@ -157,22 +214,19 @@ def _driver_bpe(
                     pairs[p] = pairs.get(p, 0) + freq
         if not pairs:
             break
-        (a, b), n = min(
+        ranked = sorted(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        if n < min_freq:
+        # same candidate horizon as the distributed path's LIMIT, so the
+        # two paths select identically by construction
+        batch = _select_batch(ranked[: max(4 * k, 8)], k, min_freq)
+        if not batch:
             break
-        merges.append((a, b))
+        merges.extend(batch)
         for w, s in symtab.items():
-            i, res = 0, []
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    res.append(a + b)
-                    i += 2
-                else:
-                    res.append(s[i])
-                    i += 1
-            symtab[w] = res
+            for a, b in batch:
+                s = _merge_syms(s, a, b, a + b)
+            symtab[w] = s
     return merges
 
 

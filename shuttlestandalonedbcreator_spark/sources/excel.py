@@ -88,7 +88,9 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return parts
 
 
-def _cell_value(cell: ET.Element, shared: list[str]) -> str:
+def _cell_value(
+    cell: ET.Element, shared: list[str], styles: list[str] | None = None
+) -> str:
     ctype = cell.get("t", "n")
     if ctype == "inlineStr":
         return "".join(t.text or "" for t in cell.iter(f"{_NS}t"))
@@ -96,21 +98,47 @@ def _cell_value(cell: ET.Element, shared: list[str]) -> str:
     text = v.text if v is not None and v.text is not None else ""
     if ctype == "s":
         return shared[int(text)] if text != "" else ""
+    if styles is not None and text != "":
+        # DataFormatter parity (formatted=True): numerics render through
+        # the cell's number format; booleans render TRUE/FALSE
+        if ctype == "b":
+            return "TRUE" if text == "1" else "FALSE"
+        if ctype == "n":
+            from shuttlestandalonedbcreator_spark.sources import numfmt
+
+            s_idx = int(cell.get("s", "0"))
+            code = styles[s_idx] if s_idx < len(styles) else None
+            return numfmt.format_number(text, code)
     return text
 
 
+def _load_styles(zf: zipfile.ZipFile) -> list[str]:
+    from shuttlestandalonedbcreator_spark.sources import numfmt
+
+    try:
+        return numfmt.parse_styles(zf.read("xl/styles.xml"))
+    except KeyError:
+        return []
+
+
 def parse_xlsx_rows(
-    data: bytes, sheet_prefix: str | None = None
+    data: bytes, sheet_prefix: str | None = None, formatted: bool = False
 ) -> Iterator[tuple[str, int, list[str]]]:
     """Stream (sheet_name, row_index, cells) from workbook bytes.
 
-    Cells are the raw stored strings (numbers keep their serialized form,
-    e.g. '45123.5') — the tolerant-cast layer downstream owns typing,
-    mirroring the reference's formatted-string hand-off (:457-465).
+    Default: cells are the raw stored strings (numbers keep their
+    serialized form, e.g. '45123.5') — the tolerant-cast layer downstream
+    owns typing. ``formatted=True`` renders each numeric cell through its
+    number format instead (POI ``DataFormatter.formatCellValue``
+    semantics, SQLiteDirectImporter.java:457-465 — see sources/numfmt.py);
+    identical to the default for the plain text/serial/integer cells
+    transfer reports contain, and diverging exactly where the reference
+    would (percent/currency/date masks).
     Sparse rows are padded positionally from cell refs (P2, :457-465).
     """
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         shared = _shared_strings(zf)
+        styles = _load_styles(zf) if formatted else None
         for sheet_name, part in _sheet_parts(zf):
             if sheet_prefix is not None and not sheet_name.startswith(sheet_prefix):
                 continue
@@ -125,7 +153,7 @@ def parse_xlsx_rows(
                         pos = _col_index(ref) if ref else len(cells)
                         while len(cells) < pos:
                             cells.append("")
-                        value = _cell_value(cell, shared)
+                        value = _cell_value(cell, shared, styles)
                         if pos < len(cells):
                             cells[pos] = value
                         else:
@@ -141,6 +169,7 @@ def read_workbook_rows(
     sheet_prefix: str | None = None,
     glob: str = "*.xls*",
     chunk_rows: int = 50_000,
+    formatted: bool = False,
 ) -> DataFrame:
     """Distributed raw scan: every row of every matching sheet of every
     workbook under ``path`` → (_source_file, _sheet, _row_index,
@@ -183,13 +212,23 @@ def read_workbook_rows(
         for pdf in batches:
             rows = []
             for path_value, content in zip(pdf["path"], pdf["content"]):
-                parse = (
-                    parse_xls
-                    if str(path_value).lower().endswith(".xls")
-                    else parse_xlsx_rows
-                )
+                is_xls = str(path_value).lower().endswith(".xls")
+                if is_xls and formatted:
+                    # BIFF cell records carry XF indexes but the stdlib
+                    # parser does not decode FORMAT records — fail loud
+                    # rather than silently return raw strings (E2 class)
+                    raise NotImplementedError(
+                        "formatted=True is not supported for BIFF .xls "
+                        f"({path_value}); convert to .xlsx or scan raw"
+                    )
+                if is_xls:
+                    gen = parse_xls(bytes(content), sheet_prefix)
+                else:
+                    gen = parse_xlsx_rows(
+                        bytes(content), sheet_prefix, formatted=formatted
+                    )
                 fname = str(path_value).rsplit("/", 1)[-1]
-                for sheet, row_idx, cells in parse(bytes(content), sheet_prefix):
+                for sheet, row_idx, cells in gen:
                     rows.append((fname, sheet, row_idx, cells))
                     if len(rows) >= chunk_rows:
                         # bound task memory: flush a chunk mid-workbook
@@ -230,6 +269,105 @@ def parse_one_sheet(
                 row.clear()
 
 
+class _HadoopRangedFile(io.RawIOBase):
+    """Read-only seekable file over the Hadoop FS API (py4j), so stdlib
+    ``zipfile`` can do RANGED reads — central directory, workbook.xml —
+    against ANY configured filesystem (file://, hdfs://, s3a://, ...)
+    without downloading the workbook. Driver-side metadata path only;
+    bulk sheet bytes are read executor-side."""
+
+    def __init__(self, jvm, jfs, jpath, size: int):
+        self._jvm = jvm
+        self._in = jfs.open(jpath)
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            pos = offset
+        elif whence == 1:
+            pos = self._pos + offset
+        else:
+            pos = self._size + offset
+        self._pos = max(0, min(pos, self._size))
+        self._in.seek(self._pos)
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0 or self._pos + n > self._size:
+            n = self._size - self._pos
+        if n <= 0:
+            return b""
+        data = bytes(
+            self._jvm.org.apache.commons.io.IOUtils.toByteArray(self._in, n)
+        )
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:  # BufferedReader's actual entry point
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        try:
+            self._in.close()
+        finally:
+            super().close()
+
+
+def _hadoop_glob_files(spark: SparkSession, path: str, glob: str):
+    """(jvm, jfs, [(jpath, uri_str, length), ...]) for the workbooks under
+    ``path`` via the Hadoop FS API — same visibility as binaryFile."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jfs = jpath.getFileSystem(hconf)
+    status = jfs.getFileStatus(jpath)
+    if status.isDirectory():
+        pattern = jvm.org.apache.hadoop.fs.Path(jpath, glob)
+        listing = jfs.globStatus(pattern) or []
+    else:
+        listing = [status]
+    out = []
+    for st in sorted(listing, key=lambda s: str(s.getPath())):
+        p = st.getPath()
+        if p.getName().startswith("~"):
+            continue  # S1 temp-lock exclusion, same as the per-file scan
+        out.append((p, str(p.toUri()), st.getLen()))
+    return jvm, jfs, out
+
+
+def _read_bytes_any(path: str) -> bytes:
+    """Executor-side whole-file read for local paths AND object-store
+    URIs (pyarrow.fs resolves s3://, hdfs://, gs:// where the runtime
+    supports them; file: URIs and bare paths stay stdlib)."""
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        with open(local, "rb") as fh:
+            return fh.read()
+    if "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        with fs.open_input_stream(p) as fh:
+            return fh.read()
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
 def read_workbook_rows_sheet_parallel(
     spark: SparkSession,
     path: str,
@@ -241,42 +379,35 @@ def read_workbook_rows_sheet_parallel(
     for the reference's headline case: ONE huge multi-sheet workbook
     (SQLiteDirectImporter.java:330-379 processes it on a single thread;
     the per-FILE scan caps parallelism at the file count). The driver
-    reads only each workbook's central directory + workbook.xml (bytes
-    of metadata), builds the (file, sheet, part) work list, and
-    repartitions it so every SHEET parses in its own task.
+    reads only each workbook's central directory + workbook.xml (KBs of
+    RANGED reads through the Hadoop FS API — object-store visible, same
+    filesystems as binaryFile), builds the (file, sheet, part) work
+    list, and repartitions it so every SHEET parses in its own task.
 
     Trade-off vs the per-file scan: each task re-opens the workbook from
-    the filesystem path (the sharedStrings table is re-parsed per sheet),
-    so this wins when sheets are large and few files dominate; the
-    per-file scan wins on many small workbooks. XLSX only (a BIFF .xls
-    is one stream — it cannot split by sheet without a full scan).
+    its URI (the sharedStrings table is re-parsed per sheet), so this
+    wins when sheets are large and few files dominate; the per-file scan
+    wins on many small workbooks. XLSX only (a BIFF .xls is one stream —
+    it cannot split by sheet without a full scan).
 
     Output contract is identical to read_workbook_rows.
     """
-    import glob as globmod
-
     import shuttlestandalonedbcreator_spark.sources.excel as _self_module
     from pyspark.cloudpickle import register_pickle_by_value
 
     register_pickle_by_value(_self_module)
 
-    base = path if os.path.isdir(path) else os.path.dirname(path) or "."
-    files = (
-        sorted(globmod.glob(os.path.join(path, glob)))
-        if os.path.isdir(path)
-        else [path]
-    )
+    jvm, jfs, files = _hadoop_glob_files(spark, path, glob)
     work: list[tuple[str, str, str]] = []
-    for f in files:
-        if os.path.basename(f).startswith("~"):
-            continue  # S1 temp-lock exclusion, same as the per-file scan
-        with zipfile.ZipFile(f) as zf:
+    for jp, uri, size in files:
+        ranged = io.BufferedReader(_HadoopRangedFile(jvm, jfs, jp, size))
+        with zipfile.ZipFile(ranged) as zf:
             for sheet_name, part in _sheet_parts(zf):
                 if sheet_prefix is not None and not sheet_name.startswith(
                     sheet_prefix
                 ):
                     continue
-                work.append((f, sheet_name, part))
+                work.append((uri, sheet_name, part))
     if not work:
         return spark.createDataFrame(
             [], "_source_file string, _sheet string, _row_index int, _cells array<string>"
@@ -294,8 +425,7 @@ def read_workbook_rows_sheet_parallel(
             for p, sheet_name, part in zip(
                 pdf["_path"], pdf["_sheet_name"], pdf["_part"]
             ):
-                with open(p, "rb") as fh:
-                    data = fh.read()
+                data = _read_bytes_any(str(p))
                 fname = str(p).rsplit("/", 1)[-1]
                 for sheet, row_idx, cells in parse_one_sheet(
                     data, str(sheet_name), str(part)
