@@ -141,6 +141,37 @@ HEADLINE = (
     "bigram_perplexity",
     "classifier_auc",
     "dedup_cascade",
+    # coverage tail: every remaining catalog entry gets a recorded
+    # wall-time (VERDICT r3 #7 — no silent bench gaps)
+    "files_filter",
+    "folders_filter",
+    "grouped_count",
+    "global_count",
+    "distinct_values",
+    "top_k",
+    "hierarchy_closure_logn",
+    "path_functions",
+    "excel_serial",
+    "set_ops",
+    "sql_adhoc",
+    "window_rank",
+    "tumbling_window",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_ivf_contract",
+    "approx_aggregates",
+    "approx_aggregates_audit",
+    "split_contamination",
+    "curation_funnel",
+    "incremental_neardup",
+    "exact_percentiles",
+    "below_avg_qty",
+    "window_distribution",
+    "rolling_hour_count",
+    "tfidf_top_terms",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "winnowing_fingerprints",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -198,7 +229,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",
         "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
         "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
-        "bigram_perplexity",
+        "bigram_perplexity", "winnowing_fingerprints",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",
@@ -206,7 +237,104 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "shuffle_shards", "benchmark_decontamination",
     ),
     "udf": ("pandas_udaf_weighted", "groupwise_minmax_norm"),
+    "coverage": (
+        "files_filter", "folders_filter", "grouped_count", "global_count",
+        "distinct_values", "top_k", "hierarchy_closure_logn",
+        "path_functions", "excel_serial", "set_ops", "sql_adhoc",
+        "window_rank", "tumbling_window", "embedding_lsh_topk",
+        "embedding_ivf_topk", "embedding_ivf_contract", "approx_aggregates",
+        "approx_aggregates_audit", "split_contamination", "curation_funnel",
+        "incremental_neardup", "exact_percentiles", "below_avg_qty",
+        "window_distribution", "rolling_hour_count", "tfidf_top_terms",
+        "multimodal_metadata", "multimodal_frame_sample",
+    ),
 }
+
+
+def fixture_hashes(sf_dir: str, row_counts: dict[str, int]) -> dict[str, str]:
+    """Per-table ``<rows>:<md5-prefix>`` over the parquet FILE BYTES —
+    pins exactly which fixture a bench number was measured against, so
+    round-over-round deltas are provably same-data (VERDICT r3 #8: the
+    events table grew between r1 and r3 and made untouched queries look
+    3x slower)."""
+    import glob as globmod
+    import hashlib
+
+    out: dict[str, str] = {}
+    for t, rows in row_counts.items():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        files = (
+            sorted(globmod.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+            if os.path.isdir(path)
+            else [path]
+        )
+        h = hashlib.md5()
+        for f in files:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        out[t] = f"{rows}:{h.hexdigest()[:8]}"
+    return out
+
+
+def merge_probe(spark, sf_dir: str) -> dict[str, float]:
+    """Partition-scoped MERGE: apply cost must track the BATCH, not the
+    table. Times a 2-bucket CDC batch against a 64-bucket layout vs the
+    same batch applied whole-table copy-on-write."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.plans.merge import (
+        merge_upsert,
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    probes: dict[str, float] = {}
+    # lineitem (the biggest fixture) keyed by (orderkey, linenumber),
+    # 64 hash buckets, batch touching 2 — the shape where pruning pays;
+    # a tiny table would just measure per-partition swap overhead
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.lit(1).alias("ver"), (F.col("l_orderkey") % 64).alias("bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_merge_")
+    try:
+        part = os.path.join(root, "part_tbl")
+        flat = os.path.join(root, "flat_tbl")
+        write_partitioned(li, part, "bucket")
+        li.write.parquet(flat)
+        # a real CDC batch arrives materialized; checkpoint it so the
+        # timing measures the APPLY, not re-deriving the batch from a
+        # full lineitem scan (which both variants would pay identically)
+        updates = li.filter(
+            (F.col("l_orderkey") % 64).isin(3, 17) & (F.col("l_orderkey") % 7 == 0)
+        ).withColumn("ver", F.lit(2)).withColumn("op", F.lit("U")).localCheckpoint(
+            eager=True
+        )
+
+        t0 = time.perf_counter()
+        merge_upsert_partitioned(
+            spark, part, updates, keys=["l_orderkey", "l_linenumber"],
+            order_col="ver", partition_col="bucket", op_col="op",
+        )
+        probes["merge_apply_partitioned"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        merge_upsert(
+            spark, flat, updates, keys=["l_orderkey", "l_linenumber"],
+            order_col="ver", op_col="op",
+        )
+        probes["merge_apply_full_table"] = round(time.perf_counter() - t0, 3)
+        probes["merge_partition_speedup"] = round(
+            probes["merge_apply_full_table"]
+            / max(probes["merge_apply_partitioned"], 1e-9),
+            2,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return probes
 
 
 def scale_probes(spark, sf_dir: str) -> dict[str, float]:
@@ -299,8 +427,8 @@ def main() -> None:
     spark.range(1000).count()
     from shuttlestandalonedbcreator_spark.sources.registry import TABLES, load_table
 
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+    row_counts = {t: load_table(spark, sf_dir, t).count() for t in TABLES}
+    fixtures = fixture_hashes(sf_dir, row_counts)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -316,6 +444,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     probes = scale_probes(spark, sf_dir)
+    probes.update(merge_probe(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     subtotals = {
@@ -336,6 +465,7 @@ def main() -> None:
                 "queries": timings,
                 "families": subtotals,
                 "scale_probes": probes,
+                "fixtures": fixtures,
             },
             fh,
             indent=1,
@@ -351,6 +481,7 @@ def main() -> None:
                 "queries": subtotals,
                 "sf": sf,
                 "n_queries": len(timings),
+                "fixtures": fixtures,
                 "detail": "BENCH_DETAIL.json",
             }
         )

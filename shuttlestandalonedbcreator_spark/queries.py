@@ -1288,15 +1288,22 @@ def q_approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips and the driver's value-hash comparison fails loudly."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
-    per_group = li.groupBy("l_returnflag").agg(
+    # Two aggregates on purpose: multi-column count_distinct plans an
+    # EXPAND (row count × 3), and folding the percentile/sketch object
+    # aggregates into the same Aggregate drags them through the expanded
+    # stream (measured 18 s vs 5 s split at sf0.1). The extra scan is
+    # cheaper than the expand multiplication.
+    distincts = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    per_group = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("_whole_est"),
         F.percentile_approx(price, F.lit(0.5), F.lit(1000)).alias("_approx_med"),
         F.percentile(price, F.lit(0.25)).alias("_p25"),
         F.percentile(price, F.lit(0.75)).alias("_p75"),
-    )
+    ).join(distincts, "l_returnflag")
     merged = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.hll_sketch_agg("l_partkey").alias("_sub_sketch"))
@@ -3784,6 +3791,93 @@ SELECT gsets.doc_id,
        CAST(COALESCE(nb, 0) AS BIGINT) AS n_boilerplate,
        CAST(COALESCE(nb, 0) AS DOUBLE) / CAST(greatest(len(g), 1) AS DOUBLE) AS boilerplate_frac
 FROM gsets LEFT JOIN boiler ON gsets.doc_id = boiler.doc_id
+"""
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS local fingerprinting algorithm; public method): hash every
+    k-gram (k=4) of the token stream, slide a window of w=5 hashes, keep
+    each window's MINIMUM — the selected set is a position-independent
+    document fingerprint with guaranteed density ~2/(w+1), the standard
+    building block for plagiarism/near-dup detection at corpus scale.
+
+    Output per doc: gram count, distinct fingerprint count, an md5
+    digest of the sorted fingerprint set (so the driver hash-checks the
+    exact selection), and the selection density (single exact division,
+    shipped unrounded per the determinism rules).
+
+    Plan: one narrow per-row projection — tokenize, gram-hash, window-min
+    — entirely in JVM higher-order functions, ZERO shuffles; at 100 TB
+    this is embarrassingly parallel scan work. Hashes are the portable
+    60-bit md5 prefix so the DuckDB oracle reproduces them bit-exactly.
+    Docs shorter than one window keep min(all grams) as their single
+    fingerprint (winnowing's own rule for short inputs)."""
+    docs = _t(spark, sf_dir, "documents")
+    k, w = 4, 5
+    expr = f"""
+      element_at(transform(array(
+        element_at(transform(array(
+          filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')
+        ), t -> CASE WHEN size(t) >= {k}
+            THEN transform(sequence(1, size(t) - {k - 1}),
+                 i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, {k}))), 1, 15), 16, 10) as bigint))
+            ELSE cast(array() as array<bigint>) END), 1)
+      ), g -> struct(
+        cast(size(g) as bigint) as n_grams,
+        array_sort(array_distinct(
+          CASE WHEN size(g) >= {w}
+               THEN transform(sequence(1, size(g) - {w - 1}),
+                    j -> array_min(slice(g, j, {w})))
+               WHEN size(g) > 0 THEN array(array_min(g))
+               ELSE cast(array() as array<bigint>) END)) as fps
+      )), 1)
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(expr).alias("_s"),
+    ).select(
+        "doc_id",
+        F.col("_s.n_grams").alias("n_grams"),
+        F.size("_s.fps").cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(",", F.expr("transform(_s.fps, x -> cast(x as string))"))
+        ).alias("fp_digest"),
+        (
+            F.size("_s.fps").cast("double")
+            / F.greatest(F.col("_s.n_grams"), F.lit(1)).cast("double")
+        ).alias("fp_density"),
+    ).orderBy("doc_id")
+
+
+SQL_WINNOWING_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4
+           THEN list_transform(range(1, len(t) - 2),
+                i -> CAST(('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])), 1, 15)) AS BIGINT))
+           ELSE [] END AS g
+  FROM toks
+), fps AS (
+  SELECT doc_id, len(g) AS n_grams,
+         list_sort(list_distinct(
+           CASE WHEN len(g) >= 5
+                THEN list_transform(range(1, len(g) - 3), j -> list_min(g[j:j+4]))
+                WHEN len(g) > 0 THEN [list_min(g)]
+                ELSE [] END)) AS f
+  FROM grams
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(f) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_transform(f, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest,
+       CAST(len(f) AS DOUBLE) / CAST(greatest(n_grams, 1) AS DOUBLE) AS fp_density
+FROM fps
+ORDER BY doc_id
 """
 
 
@@ -6333,6 +6427,9 @@ CATALOG: dict[str, QueryDef] = {
     "per_source_cap": QueryDef(q_per_source_cap, SQL_PER_SOURCE_CAP),
     "json_variant_extract": QueryDef(q_json_variant_extract, SQL_JSON_VARIANT_EXTRACT),
     "boilerplate_ngrams": QueryDef(q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "winnowing_fingerprints": QueryDef(
+        q_winnowing_fingerprints, SQL_WINNOWING_FINGERPRINTS
+    ),
     "salted_join_revenue": QueryDef(q_salted_join_revenue, SQL_SALTED_JOIN_REVENUE),
     "numeric_correlations": QueryDef(
         q_numeric_correlations, SQL_NUMERIC_CORRELATIONS

@@ -30,6 +30,13 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+from shuttlestandalonedbcreator_spark.sources.numfmt import (
+    BUILTIN_FORMATS as _BUILTIN_FORMATS,
+)
+from shuttlestandalonedbcreator_spark.sources.numfmt import (
+    format_number as _format_number,
+)
+
 CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 _FREESECT = 0xFFFFFFFF
 _ENDOFCHAIN = 0xFFFFFFFE
@@ -165,6 +172,8 @@ R_STRING = 0x0207
 R_CODEPAGE = 0x0042
 R_DIMENSIONS = 0x0200
 R_RSTRING = 0x00D6  # rich-text inline string (legacy writers); runs ignored
+R_FORMAT = 0x041E  # number-format code (ifmt -> format string)
+R_XF = 0x00E0  # cell format record (cells carry an ixfe into the XF list)
 
 
 def _records(stream: bytes) -> Iterator[tuple[int, bytes, int]]:
@@ -302,10 +311,17 @@ def parse_xls_rows(
     data: bytes,
     sheet_prefix: str | None = None,
     errors: list[tuple[str, int, str]] | None = None,
+    formatted: bool = False,
 ) -> Iterator[tuple[str, int, list[str]]]:
     """Stream (sheet_name, row_index, cells) from .xls bytes — the S3 scan,
     same contract as excel.parse_xlsx_rows (row_index counts emitted rows
     per sheet; sparse cells padded with '').
+
+    ``formatted=True`` renders numeric cells through their XF record's
+    number format (FORMAT records + built-in ifmt ids, same
+    `sources/numfmt.py` renderer as the XLSX scan) — POI DataFormatter
+    parity for S3 (SQLiteDirectImporter.java:948-952 formats .xls cells
+    identically to .xlsx ones).
 
     Error tolerance (E1, reference SQLiteDirectImporter.java:588-662
     tolerates per-row errors): a malformed CELL record skips that record —
@@ -313,9 +329,9 @@ def parse_xls_rows(
     to ``errors`` when the caller passes a list. Unsupported record types
     are silently ignored by design: only cell-content records (LABELSST,
     LABEL, RSTRING, NUMBER, RK, MULRK, BLANK, MULBLANK, BOOLERR, FORMULA
-    + cached STRING) carry values; formatting/layout records (XF, FONT,
-    ROW, COLINFO, MERGEDCELLS, window/pane state...) don't affect the
-    extracted data."""
+    + cached STRING) carry values; remaining formatting/layout records
+    (FONT, ROW, COLINFO, MERGEDCELLS, window/pane state...) don't affect
+    the extracted data."""
     streams = cfb_streams(data)
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
@@ -326,9 +342,16 @@ def parse_xls_rows(
     # so it surfaces as ValueError for the per-FILE tolerance layer (E2) —
     # unlike per-CELL records below, which skip individually (E1)
     try:
-        sst, sheets, recs = _parse_globals(wb)
+        sst, sheets, recs, formats, xf_ifmts = _parse_globals(wb)
     except (struct.error, IndexError, UnicodeDecodeError) as e:
         raise ValueError(f"corrupt BIFF workbook globals: {e!r}") from e
+
+    fmt_of = None
+    if formatted:
+
+        def fmt_of(ixfe: int) -> str | None:
+            ifmt = xf_ifmts[ixfe] if 0 <= ixfe < len(xf_ifmts) else 0
+            return formats.get(ifmt) or _BUILTIN_FORMATS.get(ifmt)
 
     offset_index = {off: k for k, (_, _, off) in enumerate(recs)}
 
@@ -347,7 +370,7 @@ def parse_xls_rows(
             if rid == R_EOF:
                 break
             try:
-                _parse_cell_record(rid, p, cells, sst, box)
+                _parse_cell_record(rid, p, cells, sst, box, fmt_of)
             except (struct.error, IndexError, UnicodeDecodeError) as e:
                 if errors is not None:
                     errors.append((name, rid, repr(e)))
@@ -361,18 +384,33 @@ def parse_xls_rows(
 
 def _parse_globals(
     wb: bytes,
-) -> tuple[list[str], list[tuple[str, int]], list[tuple[int, bytes, int]]]:
+) -> tuple[
+    list[str],
+    list[tuple[str, int]],
+    list[tuple[int, bytes, int]],
+    dict[int, str],
+    list[int],
+]:
     """Workbook-globals substream: shared-string table + visible-sheet
-    directory, plus the full record list for the sheet scans."""
+    directory + number formats (FORMAT: ifmt → code; XF: per-record
+    ifmt, indexed by the cells' ixfe), plus the full record list for
+    the sheet scans."""
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []  # (name, stream offset of sheet BOF)
+    formats: dict[int, str] = {}
+    xf_ifmts: list[int] = []
     recs = list(_records(wb))
     i = 0
     while i < len(recs):
         rid, payload, _ = recs[i]
         if rid == R_EOF:
             break  # end of globals substream
-        if rid == R_BOUNDSHEET:
+        if rid == R_FORMAT:
+            ifmt = struct.unpack_from("<H", payload, 0)[0]
+            formats[ifmt] = _unicode_string_at(payload, 2)
+        elif rid == R_XF:
+            xf_ifmts.append(struct.unpack_from("<H", payload, 2)[0])
+        elif rid == R_BOUNDSHEET:
             lb_ply_pos = struct.unpack_from("<I", payload, 0)[0]
             hidden = payload[4] & 0x03
             sheet_type = payload[5]
@@ -388,7 +426,7 @@ def _parse_globals(
             sst = _parse_sst(chunks)
             i = j - 1
         i += 1
-    return sst, sheets, recs
+    return sst, sheets, recs, formats, xf_ifmts
 
 
 def _parse_cell_record(
@@ -397,27 +435,38 @@ def _parse_cell_record(
     cells: dict[int, dict[int, str]],
     sst: list[str],
     box: list[tuple[int, int] | None],
+    fmt_of=None,
 ) -> None:
     """Apply ONE cell record to the sheet accumulator. Split out so the
     caller's E1 try/except wraps exactly one record's worth of parsing;
-    ``box`` carries the pending FORMULA→STRING cell across records."""
+    ``box`` carries the pending FORMULA→STRING cell across records.
+    ``fmt_of`` (formatted=True): ixfe → number-format code; numeric
+    values render through it (DataFormatter parity)."""
+
+    def num(d: float, ixfe: int) -> str:
+        raw = _fmt_num(d)
+        if fmt_of is None:
+            return raw
+        return _format_number(raw, fmt_of(ixfe))
+
     if rid == R_LABELSST:
         r, c, _xf, isst = struct.unpack_from("<HHHI", p)
         cells.setdefault(r, {})[c] = sst[isst] if isst < len(sst) else ""
     elif rid == R_NUMBER:
-        r, c = struct.unpack_from("<HH", p)
-        cells.setdefault(r, {})[c] = _fmt_num(struct.unpack_from("<d", p, 6)[0])
+        r, c, ixfe = struct.unpack_from("<HHH", p)
+        cells.setdefault(r, {})[c] = num(struct.unpack_from("<d", p, 6)[0], ixfe)
     elif rid == R_RK:
-        r, c = struct.unpack_from("<HH", p)
-        cells.setdefault(r, {})[c] = _fmt_num(
-            _decode_rk(struct.unpack_from("<I", p, 6)[0])
+        r, c, ixfe = struct.unpack_from("<HHH", p)
+        cells.setdefault(r, {})[c] = num(
+            _decode_rk(struct.unpack_from("<I", p, 6)[0]), ixfe
         )
     elif rid == R_MULRK:
         r, c0 = struct.unpack_from("<HH", p)
         n = (len(p) - 6) // 6
         for m in range(n):
+            ixfe = struct.unpack_from("<H", p, 4 + 6 * m)[0]
             rk = struct.unpack_from("<I", p, 4 + 6 * m + 2)[0]
-            cells.setdefault(r, {})[c0 + m] = _fmt_num(_decode_rk(rk))
+            cells.setdefault(r, {})[c0 + m] = num(_decode_rk(rk), ixfe)
     elif rid in (R_LABEL, R_RSTRING):
         # RSTRING = LABEL + trailing formatting runs; the string parse is
         # identical and the runs are irrelevant to extracted data
@@ -438,19 +487,19 @@ def _parse_cell_record(
         else:
             cells.setdefault(r, {})[c] = "TRUE" if v else "FALSE"
     elif rid == R_FORMULA:
-        r, c = struct.unpack_from("<HH", p)
-        num = p[6:14]
-        if num[6:8] == b"\xff\xff":
-            kind = num[0]
+        r, c, ixfe = struct.unpack_from("<HHH", p)
+        cached = p[6:14]
+        if cached[6:8] == b"\xff\xff":
+            kind = cached[0]
             if kind == 0:  # string result in a following STRING rec
                 box[0] = (r, c)
                 cells.setdefault(r, {})[c] = ""
             elif kind == 1:
-                cells.setdefault(r, {})[c] = "TRUE" if num[2] else "FALSE"
+                cells.setdefault(r, {})[c] = "TRUE" if cached[2] else "FALSE"
             else:  # error / empty string
                 cells.setdefault(r, {})[c] = ""
         else:
-            cells.setdefault(r, {})[c] = _fmt_num(struct.unpack("<d", num)[0])
+            cells.setdefault(r, {})[c] = num(struct.unpack("<d", cached)[0], ixfe)
     elif rid == R_STRING and box[0] is not None:
         r, c = box[0]
         cells.setdefault(r, {})[c] = _unicode_string_at(p, 0)
@@ -492,10 +541,17 @@ def _rk_encodable(v) -> bool:
     return isinstance(v, int) and -(2**29) <= v < 2**29
 
 
-def build_workbook_stream(sheets: dict[str, list[list[object]]]) -> bytes:
-    """BIFF8 workbook stream: globals (BOF, CODEPAGE, BOUNDSHEET*, SST,
-    EOF) then one substream per sheet. Strings go through a real SST so
-    the reader's LABELSST path is exercised; ints use RK, floats NUMBER."""
+def build_workbook_stream(
+    sheets: dict[str, list[list[object]]],
+    cell_formats: dict[tuple[str, int, int], str] | None = None,
+) -> bytes:
+    """BIFF8 workbook stream: globals (BOF, CODEPAGE, FORMAT*/XF*,
+    BOUNDSHEET*, SST, EOF) then one substream per sheet. Strings go
+    through a real SST so the reader's LABELSST path is exercised; ints
+    use RK, floats NUMBER. ``cell_formats`` maps (sheet, row, col) → a
+    number-format code string; each distinct code gets a FORMAT record
+    (ifmt from 164 up) + an XF entry, and the cell carries that ixfe —
+    the fixture surface for the formatted=True scan."""
     strings: list[str] = []
     sst_index: dict[str, int] = {}
 
@@ -505,8 +561,20 @@ def build_workbook_stream(sheets: dict[str, list[list[object]]]) -> bytes:
             strings.append(s)
         return sst_index[s]
 
+    cell_formats = cell_formats or {}
+    codes = list(dict.fromkeys(cell_formats.values()))
+    code_ixfe = {code: i + 1 for i, code in enumerate(codes)}  # XF[0]=default
+    fmt_recs = bytearray()
+    for i, code in enumerate(codes):
+        fmt_recs += _rec(R_FORMAT, struct.pack("<H", 164 + i) + _xl_string(code))
+    xf_recs = bytearray()
+    for ifmt in [0] + [164 + i for i in range(len(codes))]:
+        xf = bytearray(20)
+        struct.pack_into("<H", xf, 2, ifmt)
+        xf_recs += _rec(R_XF, bytes(xf))
+
     sheet_payloads: list[bytes] = []
-    for rows in sheets.values():
+    for sheet_name, rows in sheets.items():
         body = bytearray()
         body += _bof(0x0010)
         n_rows = max(1, len(rows))
@@ -518,20 +586,21 @@ def build_workbook_stream(sheets: dict[str, list[list[object]]]) -> bytes:
             for c, v in enumerate(row):
                 if v is None:
                     continue
+                ixfe = code_ixfe.get(cell_formats.get((sheet_name, r, c), ""), 0)
                 if isinstance(v, bool):
                     body += _rec(
-                        R_BOOLERR, struct.pack("<HHHBB", r, c, 0, int(v), 0)
+                        R_BOOLERR, struct.pack("<HHHBB", r, c, ixfe, int(v), 0)
                     )
                 elif _rk_encodable(v):
                     rk = ((v & 0x3FFFFFFF) << 2) | 0x02
-                    body += _rec(R_RK, struct.pack("<HHHI", r, c, 0, rk))
+                    body += _rec(R_RK, struct.pack("<HHHI", r, c, ixfe, rk))
                 elif isinstance(v, (int, float)):
                     body += _rec(
-                        R_NUMBER, struct.pack("<HHH", r, c, 0) + struct.pack("<d", float(v))
+                        R_NUMBER, struct.pack("<HHH", r, c, ixfe) + struct.pack("<d", float(v))
                     )
                 else:
                     body += _rec(
-                        R_LABELSST, struct.pack("<HHHI", r, c, 0, intern(str(v)))
+                        R_LABELSST, struct.pack("<HHHI", r, c, ixfe, intern(str(v)))
                     )
         body += _rec(R_EOF, b"")
         sheet_payloads.append(bytes(body))
@@ -539,7 +608,9 @@ def build_workbook_stream(sheets: dict[str, list[list[object]]]) -> bytes:
     sst_payload = struct.pack("<II", len(strings), len(strings)) + b"".join(
         _xl_string(s) for s in strings
     )
-    globals_tail = _rec(R_SST, sst_payload) + _rec(R_EOF, b"")
+    globals_tail = (
+        bytes(fmt_recs) + bytes(xf_recs) + _rec(R_SST, sst_payload) + _rec(R_EOF, b"")
+    )
 
     # BOUNDSHEET records need absolute sheet offsets → assemble twice
     names = list(sheets)
@@ -631,7 +702,11 @@ def wrap_cfb(stream: bytes, stream_name: str = "Workbook") -> bytes:
     return bytes(header) + body
 
 
-def write_xls(sheets: dict[str, list[list[object]]], path: str) -> None:
+def write_xls(
+    sheets: dict[str, list[list[object]]],
+    path: str,
+    cell_formats: dict[tuple[str, int, int], str] | None = None,
+) -> None:
     """Write a .xls workbook (driver-side fixture/tool util)."""
     with open(path, "wb") as fh:
-        fh.write(wrap_cfb(build_workbook_stream(sheets)))
+        fh.write(wrap_cfb(build_workbook_stream(sheets, cell_formats)))

@@ -37,6 +37,8 @@ from xml.sax.saxutils import escape
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from shuttlestandalonedbcreator_spark.sources import numfmt
+
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
@@ -104,8 +106,6 @@ def _cell_value(
         if ctype == "b":
             return "TRUE" if text == "1" else "FALSE"
         if ctype == "n":
-            from shuttlestandalonedbcreator_spark.sources import numfmt
-
             s_idx = int(cell.get("s", "0"))
             code = styles[s_idx] if s_idx < len(styles) else None
             return numfmt.format_number(text, code)
@@ -113,8 +113,6 @@ def _cell_value(
 
 
 def _load_styles(zf: zipfile.ZipFile) -> list[str]:
-    from shuttlestandalonedbcreator_spark.sources import numfmt
-
     try:
         return numfmt.parse_styles(zf.read("xl/styles.xml"))
     except KeyError:
@@ -189,10 +187,12 @@ def read_workbook_rows(
     # the mapInPandas closure carries its own code.
     import shuttlestandalonedbcreator_spark.sources.biff as _biff_module
     import shuttlestandalonedbcreator_spark.sources.excel as _self_module
+    import shuttlestandalonedbcreator_spark.sources.numfmt as _numfmt_module
     from pyspark.cloudpickle import register_pickle_by_value
 
     register_pickle_by_value(_self_module)
     register_pickle_by_value(_biff_module)
+    register_pickle_by_value(_numfmt_module)
     # closure variable (not an executor-side import — the repo package may
     # not be on executor sys.path; by-value pickling carries the code)
     parse_xls = _biff_module.parse_xls_rows
@@ -212,17 +212,10 @@ def read_workbook_rows(
         for pdf in batches:
             rows = []
             for path_value, content in zip(pdf["path"], pdf["content"]):
-                is_xls = str(path_value).lower().endswith(".xls")
-                if is_xls and formatted:
-                    # BIFF cell records carry XF indexes but the stdlib
-                    # parser does not decode FORMAT records — fail loud
-                    # rather than silently return raw strings (E2 class)
-                    raise NotImplementedError(
-                        "formatted=True is not supported for BIFF .xls "
-                        f"({path_value}); convert to .xlsx or scan raw"
+                if str(path_value).lower().endswith(".xls"):
+                    gen = parse_xls(
+                        bytes(content), sheet_prefix, formatted=formatted
                     )
-                if is_xls:
-                    gen = parse_xls(bytes(content), sheet_prefix)
                 else:
                     gen = parse_xlsx_rows(
                         bytes(content), sheet_prefix, formatted=formatted

@@ -113,3 +113,13 @@ def test_record_round_updates_green_rows_only():
     assert b not in state, "red row must not record a green"
     assert state[c]["round"] == 9, "rows-only green records too"
     assert state[a]["hash"] == gate.entry_hash(sub[a])
+
+
+def test_bench_headline_covers_full_catalog():
+    """Every catalog entry has a recorded bench number (VERDICT r3 #7) and
+    the family partition is exact (no double counting, no orphans)."""
+    import bench
+
+    assert set(bench.HEADLINE) == set(CATALOG)
+    fam_members = [q for fam in bench.FAMILIES.values() for q in fam]
+    assert sorted(fam_members) == sorted(bench.HEADLINE)

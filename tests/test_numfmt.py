@@ -216,15 +216,57 @@ def test_parse_styles_builtin_and_custom():
     assert got == ["General", BUILTIN_FORMATS[4], '0.0"x"']
 
 
-def test_formatted_scan_refuses_biff(spark, tmp_path):
-    """S3: the BIFF parser has no FORMAT-record decoding — formatted=True
-    must fail loud, not silently return raw strings."""
+def test_formatted_biff_scan_renders_via_xf_records(tmp_path):
+    """S3 DataFormatter parity: .xls cells carry an ixfe into the XF
+    list; FORMAT records map ifmt → code. formatted=True renders RK /
+    NUMBER / FORMULA numerics through the same numfmt renderer as the
+    xlsx path; default scan stays raw."""
+    from shuttlestandalonedbcreator_spark.sources.biff import (
+        parse_xls_rows,
+        write_xls,
+    )
+
+    path = str(tmp_path / "f.xls")
+    write_xls(
+        {
+            "S": [
+                [0.42, 1234567, 45123.0, 7.5, "txt"],
+            ]
+        },
+        path,
+        cell_formats={
+            ("S", 0, 0): "0.00%",
+            ("S", 0, 1): "#,##0",
+            ("S", 0, 2): "yyyy-mm-dd",
+            # (0,3) no format -> General; (0,4) string unaffected
+        },
+    )
+    data = open(path, "rb").read()
+    raw = list(parse_xls_rows(data))
+    assert raw[0][2] == ["0.42", "1234567", "45123", "7.5", "txt"]
+    fmt = list(parse_xls_rows(data, formatted=True))
+    assert fmt[0][2] == ["42.00%", "1,234,567", "2023-07-16", "7.5", "txt"]
+
+
+def test_formatted_scan_mixed_xls_xlsx(spark, tmp_path):
+    """The distributed scan formats BOTH file types through one option."""
     from shuttlestandalonedbcreator_spark.sources.biff import write_xls
     from shuttlestandalonedbcreator_spark.sources.excel import (
         read_workbook_rows,
     )
 
-    write_xls({"S": [["1", "2"]]}, str(tmp_path / "f.xls"))
-    df = read_workbook_rows(spark, str(tmp_path), formatted=True)
-    with pytest.raises(Exception, match="not supported for BIFF"):
-        df.collect()
+    write_xls(
+        {"S": [[0.5]]}, str(tmp_path / "a.xls"),
+        cell_formats={("S", 0, 0): "0%"},
+    )
+    with open(str(tmp_path / "b.xlsx"), "wb") as fh:
+        fh.write(_styled_workbook())
+    rows = {
+        (r["_source_file"], tuple(r["_cells"]))
+        for r in read_workbook_rows(spark, str(tmp_path), formatted=True).collect()
+    }
+    assert ("a.xls", ("50%",)) in rows
+    assert (
+        "b.xlsx",
+        ("7.5", "42%", "42.56%", "7/16/23", "2023-07-16 12:00", "TRUE", "txt"),
+    ) in rows
