@@ -172,6 +172,7 @@ HEADLINE = (
     "multimodal_metadata",
     "multimodal_frame_sample",
     "winnowing_fingerprints",
+    "hard_negative_mining",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -223,7 +224,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
         "embedding_cosine_neardup_lsh", "embedding_centroids",
         "embedding_quantization", "embedding_neardup_prune",
-        "nearest_centroid_assign",
+        "nearest_centroid_assign", "hard_negative_mining",
     ),
     "text": (
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",

@@ -103,6 +103,61 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the top-k most
+    cosine-similar vectors carrying a DIFFERENT label — close in
+    embedding space but the wrong class, the candidates that teach a
+    contrastive model the most (the standard DPR/SimCSE hard-negative
+    recipe; public method).
+
+    Same scale shape as brute_force_topk: anchors broadcast (a bounded
+    probe set), candidate scoring is a narrow map over the corpus with
+    the label-mismatch filter applied before ranking, one shuffle keyed
+    on anchor_id, k rows per anchor out. For 100 TB corpora swap the
+    exact scan for the LSH/IVF candidate generators and rerank — the
+    ranking contract here is the exact baseline they are tested against.
+    """
+    a = bounded_broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("_av"),
+            F.col(label_col).alias("_al"),
+        ),
+        "query_set",
+    )
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col(label_col).alias("_cl"),
+        )
+        .crossJoin(a)
+        .filter(F.col("_cl") != F.col("_al"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(cosine(F.col("_cv"), F.col("_av")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "anchor_id", "negative_id", "score", F.col("_rk").cast("int").alias("rank")
+        )
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

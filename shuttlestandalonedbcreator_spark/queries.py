@@ -964,6 +964,37 @@ SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank FROM (
 """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.py:hard_negative_topk): for each of 50 anchor
+    vectors, the 5 most cosine-similar embeddings with a DIFFERENT
+    label — the standard contrastive-training candidate generator.
+    Exact baseline shape (anchors broadcast, one window shuffle); the
+    LSH/IVF generators swap in at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 50)
+    return V.hard_negative_topk(emb, anchors, "vec_id", "embedding", "label", k=5)
+
+
+SQL_HARD_NEGATIVE_MINING = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, e AS ae, label AS al FROM v WHERE vec_id < 50
+), scored AS (
+  SELECT a.anchor_id, v.vec_id AS negative_id,
+         round(list_dot_product(v.e, a.ae) /
+               (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(a.ae, a.ae))), 6) AS score
+  FROM v CROSS JOIN a
+  WHERE v.label <> a.al
+)
+SELECT anchor_id, negative_id, score, CAST(rk AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY score DESC, negative_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 def _sql_sign_bucket(vec: str, planes: int, dim: int) -> str:
     """Concatenated sign-bit bucket expression over a DOUBLE[] column
     named ``vec`` — mirrors operators/similarity.py sign-LSH: plane p's
@@ -6349,6 +6380,9 @@ CATALOG: dict[str, QueryDef] = {
     "minhash_lsh_dedup": QueryDef(q_minhash_lsh_dedup, SQL_MINHASH_LSH),
     "simhash": QueryDef(q_simhash, SQL_SIMHASH),
     "embedding_topk": QueryDef(q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "hard_negative_mining": QueryDef(
+        q_hard_negative_mining, SQL_HARD_NEGATIVE_MINING
+    ),
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_topk_blas": QueryDef(q_embedding_topk_blas, SQL_EMBEDDING_TOPK_BLAS),
     "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),

