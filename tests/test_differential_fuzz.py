@@ -283,6 +283,92 @@ def _distinct_query(rng: random.Random) -> str:
     return f"SELECT DISTINCT {keys} FROM {table} WHERE {where}"
 
 
+def _grouping_sets_query(rng: random.Random) -> str:
+    """ROLLUP/CUBE/GROUPING SETS super-aggregates: the NULL rows they
+    inject are disambiguated from data NULLs by GROUPING() columns, so
+    comparison is exact. Integer-free aggregates only."""
+    table = rng.choice(list(_TABLES))
+    cols = _TABLES[table]
+    n_keys = min(2, len(cols["group"]))
+    keys = rng.sample(cols["group"], n_keys)
+    shape = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if shape == "SETS":
+        combos = [f"({keys[0]})", "()"] + ([f"({', '.join(keys)})"] if n_keys > 1 else [])
+        spec = f"GROUPING SETS ({', '.join(combos)})"
+    else:
+        spec = f"{shape}({', '.join(keys)})"
+    g_cols = ", ".join(f"CAST(GROUPING({k}) AS INT) AS g_{i}" for i, k in enumerate(keys))
+    where = _predicate(rng, cols) if rng.random() < 0.5 else "TRUE"
+    # HAVING n > 0 normalizes a REAL engine divergence this generator
+    # found on its first sweep: over EMPTY input, DuckDB (per the
+    # standard, like Postgres) emits the grand-total row of the ()
+    # grouping set with COUNT 0, while Spark emits no rows at all —
+    # even though Spark DOES emit the 1-row result for a plain global
+    # aggregate over empty input. The clause drops the zero-count row
+    # on DuckDB and is a no-op for every row-backed group.
+    return (
+        f"SELECT {', '.join(keys)}, {g_cols}, COUNT(*) AS n, "
+        f"MIN({rng.choice(cols['num'])}) AS mn "
+        f"FROM {table} WHERE {where} GROUP BY {spec} HAVING COUNT(*) > 0"
+    )
+
+
+def _case_agg_query(rng: random.Random) -> str:
+    """Conditional aggregation (the reference's status_summary family):
+    SUM over 0/1 CASE branches cast to BIGINT — exact integer math."""
+    table = rng.choice(list(_TABLES))
+    cols = _TABLES[table]
+    key = rng.choice(cols["group"])
+    p1, p2 = _predicate(rng, cols), _predicate(rng, cols)
+    return (
+        f"SELECT {key}, "
+        f"CAST(SUM(CASE WHEN {p1} THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        f"CAST(SUM(CASE WHEN {p2} THEN 1 ELSE 0 END) AS BIGINT) AS c2, "
+        f"MIN(CASE WHEN {p1} THEN {rng.choice(cols['num'])} END) AS m1, "
+        f"COUNT(*) AS n FROM {table} GROUP BY {key}"
+    )
+
+
+_IN_SUBQ = [
+    ("orders", "o_orderstatus", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_mktsegment", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_returnflag", "l_orderkey", "orders", "o_orderkey"),
+]
+
+
+def _in_subquery_query(rng: random.Random) -> str:
+    """[NOT] IN (SELECT ...) — the subquery-to-semi/anti-join rewrite
+    with a filtered inner side (inner key is a NOT NULL primary key, so
+    NOT IN's three-valued-logic trap stays deterministic)."""
+    outer, group, fk, inner, pk = rng.choice(_IN_SUBQ)
+    neg = "NOT " if rng.random() < 0.5 else ""
+    inner_pred = _predicate(rng, _TABLES[inner]) if inner in _TABLES else "TRUE"
+    return (
+        f"SELECT {group}, COUNT(*) AS n FROM {outer} "
+        f"WHERE {fk} {neg}IN (SELECT {pk} FROM {inner} WHERE {inner_pred}) "
+        f"GROUP BY {group}"
+    )
+
+
+def _scalar_subquery_query(rng: random.Random) -> str:
+    """Comparison against an uncorrelated scalar aggregate subquery
+    (Q11/Q15/Q22 family) — integer MIN/MAX/COUNT scalars only."""
+    table = rng.choice(list(_UNIQUE_KEYS))
+    cols = _TABLES[table]
+    key = _UNIQUE_KEYS[table]
+    # val must differ from key: a duplicated projection column is
+    # auto-renamed by DuckDB (o_orderkey_1) but not by Spark
+    val = rng.choice([c for c in _INT_COLS[table] if c != key])
+    fn = rng.choice(["MIN", "MAX", "COUNT"])
+    inner_pred = _predicate(rng, cols)
+    op = rng.choice(["<", ">", "<=", ">="])
+    return (
+        f"SELECT {key}, {val} FROM {table} "
+        f"WHERE {val} {op} (SELECT {fn}({val}) / 2 + 1 FROM {table} "
+        f"WHERE {inner_pred}) ORDER BY {key} LIMIT 100"
+    )
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
@@ -293,6 +379,10 @@ _QUERIES = (
     + [_exists_query(random.Random(_SEED + 6000 + i)) for i in range(5)]
     + [_frame_window_query(random.Random(_SEED + 7000 + i)) for i in range(5)]
     + [_distinct_query(random.Random(_SEED + 8000 + i)) for i in range(5)]
+    + [_grouping_sets_query(random.Random(_SEED + 9000 + i)) for i in range(5)]
+    + [_case_agg_query(random.Random(_SEED + 10000 + i)) for i in range(5)]
+    + [_in_subquery_query(random.Random(_SEED + 11000 + i)) for i in range(5)]
+    + [_scalar_subquery_query(random.Random(_SEED + 12000 + i)) for i in range(5)]
 )
 
 
@@ -306,7 +396,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 50))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 70))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]
