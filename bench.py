@@ -173,6 +173,14 @@ HEADLINE = (
     "multimodal_frame_sample",
     "winnowing_fingerprints",
     "hard_negative_mining",
+    # round-4 widening
+    "interval_attribution",
+    "conversion_funnel",
+    "sparse_cosine_topk",
+    "classifier_calibration",
+    "frequent_tokens",
+    "cohens_kappa",
+    "pareto_frontier",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -206,11 +214,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "id_gap_audit", "change_feed", "event_type_islands",
         "snapshot_diff", "json_extract_agg", "json_variant_extract",
         "numeric_correlations", "window_frames", "time_weighted_avg",
+        "interval_attribution", "conversion_funnel",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
+        "classifier_calibration", "cohens_kappa",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
@@ -231,11 +241,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
         "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
         "bigram_perplexity", "winnowing_fingerprints",
+        "sparse_cosine_topk", "frequent_tokens",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",
         "weighted_sample", "mixture_sample", "per_source_cap",
-        "shuffle_shards", "benchmark_decontamination",
+        "shuffle_shards", "benchmark_decontamination", "pareto_frontier",
     ),
     "udf": ("pandas_udaf_weighted", "groupwise_minmax_norm"),
     "coverage": (

@@ -5629,6 +5629,165 @@ FROM cells
 """
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the lang-ID heuristic and the labeled lang
+    column — chance-corrected agreement, the eval standard when two
+    annotators (or a model and a gold set) label the same items. All
+    statistics derive from ONE scan: the (label, guess) confusion cells
+    (≤ |langs|² rows) feed the totals, the marginals, and the chance
+    term Σ row_k·col_k; po, pe, and kappa each ship as a SINGLE division
+    of exact int64 expressions (kappa = (N·agree − Σ)/(N² − Σ) — the
+    algebra clears the classic (po−pe)/(1−pe) float chain entirely)."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("label"), T.lang_id(F.col("text")).alias("guess")
+        )
+        .groupBy("label", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # cells (≤ |langs|² rows) feeds three consumers — without a
+    # checkpoint each would re-scan the corpus and re-run the lang-ID
+    # HOF (Spark materializes no CTEs)
+    cells = cells.localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("label") == F.col("guess"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    r = cells.groupBy(F.col("label").alias("k")).agg(F.sum("n").alias("rk"))
+    c = cells.groupBy(F.col("guess").alias("k")).agg(F.sum("n").alias("ck"))
+    s = r.join(c, "k").agg(
+        F.coalesce(F.sum(F.col("rk") * F.col("ck")), F.lit(0)).alias("chance")
+    )
+    return (
+        tot.crossJoin(bounded_broadcast(s, "one_row"))
+        .select(
+            "n_total",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.col("n_total").cast("double")).alias(
+                "po"
+            ),
+            (
+                F.col("chance").cast("double")
+                / (F.col("n_total") * F.col("n_total")).cast("double")
+            ).alias("pe"),
+            (
+                (F.col("n_total") * F.col("n_agree") - F.col("chance")).cast("double")
+                / (F.col("n_total") * F.col("n_total") - F.col("chance")).cast(
+                    "double"
+                )
+            ).alias("kappa"),
+        )
+    )
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier over (quality ↑, length ↓) — the
+    multi-objective selection a curation pipeline runs when no single
+    score ranks documents ("best quality at every length budget"). A doc
+    is dominated iff some doc has ≥ quality and ≤ length with one strict.
+
+    The naive formulation is a quadratic self-join (NOT EXISTS dominance
+    probe); the 2-D identity collapses it to sorting: group to one row
+    per (lang, quality) with the group's min length, take the strict
+    prefix-min of length over quality DESC (a bounded window over ≤
+    |distinct quality| rows), and keep docs matching their group min
+    that beat the prefix-min. No arithmetic beyond comparisons, so
+    cross-engine parity is structural. One shuffle for the group-by,
+    one tiny window, one join back."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        T.stopword_ratio(F.col("text")).alias("quality"),
+        F.size(D.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    per_q = m.groupBy("lang", "quality").agg(F.min("n_tokens").alias("mlen"))
+    wq = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strict = per_q.withColumn("smin", F.min("mlen").over(wq))
+    return (
+        m.join(strict, ["lang", "quality"])
+        .filter(
+            (F.col("n_tokens") == F.col("mlen"))
+            & (F.col("smin").isNull() | (F.col("mlen") < F.col("smin")))
+        )
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+SQL_PARETO_FRONTIER = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS quality,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM base
+), per_q AS (
+  SELECT lang, quality, MIN(n_tokens) AS mlen FROM m GROUP BY 1, 2
+), strict AS (
+  SELECT lang, quality, mlen,
+         MIN(mlen) OVER (PARTITION BY lang ORDER BY quality DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smin
+  FROM per_q
+)
+SELECT m.doc_id, m.lang, m.quality, m.n_tokens
+FROM m JOIN strict ON m.lang = strict.lang AND m.quality = strict.quality
+WHERE m.n_tokens = strict.mlen AND (strict.smin IS NULL OR strict.mlen < strict.smin)
+"""
+
+
+SQL_COHENS_KAPPA = """
+WITH toks AS (
+  SELECT lang AS label,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), langs AS (
+  SELECT label,
+         [struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS BIGINT), lang := 'en'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['der','die','und','nicht','ist'], t))) AS BIGINT), lang := 'de'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['le','la','et','les','est'], t))) AS BIGINT), lang := 'fr'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['el','la','que','de','es'], t))) AS BIGINT), lang := 'es'),
+          struct_pack(hits := CAST(len(list_filter(w, t -> list_contains(['de5','shi4','bu4','le5','zai4'], t))) AS BIGINT), lang := 'zh')] AS pairs
+  FROM toks
+), best AS (
+  SELECT label, list_aggregate(pairs, 'max') AS b FROM langs
+), guessed AS (
+  SELECT label, CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS guess FROM best
+), cells AS (
+  SELECT label, guess, COUNT(*) AS n FROM guessed GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN label = guess THEN n ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cells
+), r AS (
+  SELECT label AS k, CAST(SUM(n) AS BIGINT) AS rk FROM cells GROUP BY 1
+), c AS (
+  SELECT guess AS k, CAST(SUM(n) AS BIGINT) AS ck FROM cells GROUP BY 1
+), s AS (
+  SELECT CAST(COALESCE(SUM(rk * ck), 0) AS BIGINT) AS chance
+  FROM r JOIN c USING (k)
+)
+SELECT n_total, n_agree,
+       CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS po,
+       CAST(chance AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS pe,
+       CAST(n_total * n_agree - chance AS DOUBLE)
+         / CAST(n_total * n_total - chance AS DOUBLE) AS kappa
+FROM tot CROSS JOIN s
+"""
+
+
 def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event_type — the drift monitor an
     ML pipeline runs between a reference window and production data:
@@ -6265,6 +6424,80 @@ FROM terms
 """
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + per-bin Brier score for the same
+    stopword-ratio/lang='en' toy classifier `classifier_auc` evaluates —
+    the companion diagnostic (AUC says "ranks well", calibration says
+    "the score IS a probability"). Scores quantize to integer milli-units
+    (floor(s*1000+0.5)) so every aggregate is an exact int64 sum: per
+    decile bin (equal-width, last bin closed) emit n, mean predicted
+    score, empirical positive rate, and the bin's Brier contribution —
+    each shipped as ONE division of exact integers (unrounded; round()
+    on count ratios is the half-up/half-even parity hazard). Scale: one
+    narrow projection + one 10-group aggregate; no joins, no windows."""
+    docs = _t(spark, sf_dir, "documents")
+    sq = F.floor(T.stopword_ratio(F.col("text")) * 1000.0 + 0.5).cast("long")
+    pos = (F.col("lang") == "en").cast("long")
+    binned = docs.select(
+        F.least(F.floor(sq / 100), F.lit(9)).cast("int").alias("bin"),
+        sq.alias("_sq"),
+        pos.alias("_pos"),
+    )
+    err = (F.col("_sq") - 1000 * F.col("_pos"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_sq").alias("_sum_sq"),
+            F.sum("_pos").alias("_sum_pos"),
+            F.sum(err * err).alias("_sum_err"),
+        )
+        .select(
+            "bin",
+            "n",
+            (
+                F.col("_sum_sq").cast("double")
+                / (1000.0 * F.col("n").cast("double"))
+            ).alias("mean_score"),
+            (F.col("_sum_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+            (
+                F.col("_sum_err").cast("double")
+                / (1000000.0 * F.col("n").cast("double"))
+            ).alias("brier"),
+        )
+    )
+
+
+SQL_CLASSIFIER_CALIBRATION = """
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS s
+  FROM toks
+), q AS (
+  SELECT CAST(floor(s * 1000.0 + 0.5) AS BIGINT) AS sq, pos FROM scored
+), binned AS (
+  SELECT CAST(least(floor(sq / 100), 9) AS INTEGER) AS bin, sq, pos FROM q
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE)
+         / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_score,
+       CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       CAST(CAST(SUM((sq - 1000 * pos) * (sq - 1000 * pos)) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS brier
+FROM binned GROUP BY bin
+"""
+
+
 def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup CASCADE in one query: exact content-hash
     dedup first (cheap, kills byte-identical copies), then n-gram
@@ -6328,6 +6561,304 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors) AS n_exact,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM surv_txt st
          LEFT JOIN dropped dr ON st.doc_id = dr.doc_id WHERE dr.doc_id IS NULL) AS n_neardup
+"""
+
+
+def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval LEFT-OUTER join (streaming/joins.py:interval_join, batch
+    mode): every 'view' with the same-user 'click's landing within
+    [view_ts, view_ts + 1h], rolled up to a per-day attribution funnel.
+    The identical operator runs as a stream-stream outer join (bounded
+    state via watermark + time-range); batch mode is the oracle-checkable
+    path. Scale: both sides shuffle once on user_id; the time predicate
+    prunes within the key group, never a cartesian."""
+    from shuttlestandalonedbcreator_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = interval_join(
+        views, clicks, "user_id", "view_ts", "click_ts",
+        max_delay="1 hour", how="left_outer",
+    )
+    per_view = j.groupBy(F.col("l.view_id"), F.col("l.view_ts")).agg(
+        F.count(F.col("r.click_ts")).alias("n_clicks")
+    )
+    return (
+        per_view.groupBy(F.date_trunc("day", "view_ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum((F.col("n_clicks") > 0).cast("long")).alias("n_attributed"),
+            F.sum("n_clicks").alias("click_pairs"),
+        )
+        .withColumn(
+            "attribution_rate",
+            F.col("n_attributed").cast("double") / F.col("n_views").cast("double"),
+        )
+    )
+
+
+def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k neighbors via posting-list self-join —
+    the text-side counterpart of the dense embedding ANN family. Weights
+    are smoothed TF-IDF quantized to integer milli-units (floor(w*1000 +
+    0.5)): dot products and squared norms then accumulate as exact int64
+    sums (order-free, so Spark and the oracle agree bit-for-bit; the only
+    float ops are the final sqrt/divide over identical integers).
+
+    Scale design (100 TB): the posting-list join fans out per TOKEN, so
+    its cost is sum(df²) — bounded by dropping ubiquitous terms
+    (df > max_df), the standard dynamic-pruning move for sparse all-pairs
+    (a term in half the corpus carries ~zero idf but quadratic pairs).
+    In production max_df is an ABSOLUTE cap (pair only on genuinely rare
+    terms; dense corpora route to the MinHash/LSH family instead); here
+    it is max(100, N/10) — the fractional floor keeps the toy corpus
+    (31-word vocab, minimum df ≈ 5% of N) non-degenerate at every SF,
+    compared as integers (df·10 ≤ max(1000, N)) so both engines agree
+    exactly. One shuffle keyed on token for the join, one on the pair
+    for the dot sum, one on the anchor for the ranking window; the
+    corpus is never cross-joined."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    toks = docs.select(
+        F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(df_, "token")
+        .crossJoin(bounded_broadcast(n_docs, "one_row"))
+        .filter(
+            F.col("df") * 10 <= F.greatest(F.lit(1000), F.col("_n"))
+        )
+        .withColumn("_n_docs", F.col("_n").cast("double"))
+        .withColumn(
+            "wq",
+            F.floor(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("_n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                )
+                * 1000.0
+                + 0.5
+            ).cast("long"),
+        )
+        .select("doc_id", "token", "wq")
+    )
+    # the weights table feeds THREE consumers (norms + both sides of the
+    # posting-list self-join); Spark materializes no CTEs, so without a
+    # checkpoint the tokenize→tf→df subtree runs three times (the
+    # scan-elimination class from NOTES). At 100 TB the weights/posting
+    # table would be persisted storage; localCheckpoint is its in-session
+    # equivalent.
+    w = w.localCheckpoint(eager=True)
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nsq"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("dot"))
+    )
+    sym = dots.unionByName(
+        dots.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "dot"
+        )
+    )
+    cos = (
+        sym.join(norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsq", "nsq_a"), "id_a")
+        .join(norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsq", "nsq_b"), "id_b")
+        .withColumn(
+            "cos",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double"))),
+        )
+    )
+    wnd = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        cos.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency > N/32) via the
+    Misra-Gries candidate pre-pass (operators/heavy_hitters.py): a
+    zero-shuffle per-partition MG summary bounds the candidate set at
+    k·partitions with NO false negatives, then an exact recount of only
+    the candidates — the full-token-stream GROUP BY shuffle never
+    happens. The oracle is the straight exact formulation; the outputs
+    must be identical because the pre-pass is a pure superset filter."""
+    from shuttlestandalonedbcreator_spark.operators import heavy_hitters as HH
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("token"))
+    return HH.frequent_items_exact(toks, "token", k=32)
+
+
+SQL_FREQUENT_TOKENS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_total
+FROM toks GROUP BY token
+HAVING COUNT(*) * 32 > (SELECT COUNT(*) FROM toks)
+"""
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (MATCH_RECOGNIZE-lite): per user, did a
+    view → click → purchase happen IN ORDER? Three stages need true
+    chaining — `funnel_conversion`'s two-stage trick (first B after
+    first A) can't express "first C after the first B-after-A", which is
+    why this is a separate operator. Stage k's anchor is the
+    earliest qualifying event strictly after stage k-1's anchor —
+    computed as three chained conditional MIN aggregates over ONE
+    per-user aggregate (no joins, no windows, no explode): min view ts,
+    then min click ts > that, then min purchase ts > that. The funnel
+    counts drop out of one final single-row aggregate.
+
+    Scale: one shuffle on user_id with map-side partial mins; the
+    conditional-min chain can't be done in a single agg pass (stage k's
+    predicate needs stage k-1's result), so it's three narrow aggs over
+    the SAME exchange — AQE reuses the user_id partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.select("user_id", "event_type", "ts")
+    s1 = typed.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        typed.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    s3 = (
+        typed.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_clicked"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).alias("n_converted"),
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, ANY_VALUE(s1.t_view) AS t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view THEN e.ts END) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, ANY_VALUE(s2.t_view) AS t_view, ANY_VALUE(s2.t_click) AS t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click THEN e.ts END) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM s3
+"""
+
+
+SQL_SPARSE_COSINE_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM documents
+), w AS (
+  SELECT t.doc_id, t.token,
+         CAST(floor(CAST(t.tf AS DOUBLE)
+              * (ln((CAST(n.n_raw AS DOUBLE) + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0)
+              * 1000.0 + 0.5) AS BIGINT) AS wq
+  FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+  WHERE d.df * 10 <= greatest(1000, n.n_raw)
+), norms AS (
+  SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS nsq FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sym AS (
+  SELECT id_a, id_b, dot FROM dots
+  UNION ALL
+  SELECT id_b, id_a, dot FROM dots
+), cos AS (
+  SELECT s.id_a, s.id_b,
+         CAST(s.dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+  FROM sym s
+  JOIN norms na ON s.id_a = na.doc_id
+  JOIN norms nb ON s.id_b = nb.doc_id
+)
+SELECT id_a, id_b, cos, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT id_a, id_b, cos,
+         ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rk
+  FROM cos
+) WHERE rk <= 3
+"""
+
+
+SQL_INTERVAL_ATTRIBUTION = """
+WITH views AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+), clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), per_view AS (
+  SELECT v.view_id, v.view_ts, COUNT(c.click_ts) AS n_clicks
+  FROM views v LEFT JOIN clicks c
+    ON v.user_id = c.user_id
+   AND c.click_ts >= v.view_ts
+   AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+  GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', view_ts) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(n_clicks) AS BIGINT) AS click_pairs,
+       CAST(SUM(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS attribution_rate
+FROM per_view GROUP BY 1
 """
 
 
@@ -6551,4 +7082,16 @@ CATALOG: dict[str, QueryDef] = {
     "bigram_perplexity": QueryDef(q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "classifier_auc": QueryDef(q_classifier_auc, SQL_CLASSIFIER_AUC),
     "dedup_cascade": QueryDef(q_dedup_cascade, SQL_DEDUP_CASCADE),
+    # round-4 widening
+    "interval_attribution": QueryDef(
+        q_interval_attribution, SQL_INTERVAL_ATTRIBUTION
+    ),
+    "sparse_cosine_topk": QueryDef(q_sparse_cosine_topk, SQL_SPARSE_COSINE_TOPK),
+    "classifier_calibration": QueryDef(
+        q_classifier_calibration, SQL_CLASSIFIER_CALIBRATION
+    ),
+    "conversion_funnel": QueryDef(q_conversion_funnel, SQL_CONVERSION_FUNNEL),
+    "frequent_tokens": QueryDef(q_frequent_tokens, SQL_FREQUENT_TOKENS),
+    "cohens_kappa": QueryDef(q_cohens_kappa, SQL_COHENS_KAPPA),
+    "pareto_frontier": QueryDef(q_pareto_frontier, SQL_PARETO_FRONTIER),
 }

@@ -27,14 +27,26 @@ def interval_join(
     right_ts: str,
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two event streams on ``key`` where the right event lands
+    """Join two event streams on ``key`` where the right event lands
     within ``[left_ts, left_ts + max_delay]``.
 
     Works identically for batch DataFrames (watermarks are a no-op there),
     so batch-vs-stream equivalence is testable — the engine's standard
     one-code-path contract (streaming/windows.py does the same).
+
+    ``how='left_outer'`` is the attribution shape (every view, with its
+    click if one arrived in the window). Streaming caveat, inherent to the
+    engine: a null-padded left row is emitted only once the RIGHT
+    watermark passes ``left_ts + max_delay`` — i.e. unmatched rows
+    finalize late, and rows near the stream's head never finalize until
+    more data (or a no-data micro-batch after newer data) advances the
+    watermark. Batch mode has no such delay. ``full_outer`` /
+    ``right_outer`` pass through to Spark with the same state bound.
     """
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"unsupported join type for interval_join: {how!r}")
     if left.isStreaming or right.isStreaming:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
@@ -47,4 +59,4 @@ def interval_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return lf.join(rf, cond, "inner")
+    return lf.join(rf, cond, how)

@@ -369,6 +369,47 @@ def _scalar_subquery_query(rng: random.Random) -> str:
     )
 
 
+def _full_outer_query(rng: random.Random) -> str:
+    """FULL OUTER JOIN with a predicate in the ON clause — the classic
+    outer-join divergence surface (ON-filters must not eliminate
+    null-padded rows). Grouped by a COALESCEd key so unmatched rows from
+    either side land in a deterministic bucket; COUNT(col) counts each
+    side's matched rows."""
+    fact, dim, cond = rng.choice(_JOINS)
+    fact_pred = (
+        _predicate(rng, _TABLES[fact]) if rng.random() < 0.7 else "TRUE"
+    )
+    left_key, right_key = cond.split(" = ")
+    g = rng.choice(_JOIN_GROUPS[(fact, dim)])
+    return (
+        f"SELECT COALESCE({g}, '<null>') AS g, COUNT(*) AS n, "
+        f"COUNT({left_key}) AS n_l, COUNT({right_key}) AS n_r "
+        f"FROM {fact} FULL JOIN {dim} ON {cond} AND ({fact_pred}) GROUP BY 1"
+    )
+
+
+def _datetime_query(rng: random.Random) -> str:
+    """Datetime scalar surface over the events stream: EXTRACT fields
+    and date_trunc, verbatim on both engines (results CAST to erase the
+    INT-vs-BIGINT width difference)."""
+    exprs = rng.sample(
+        [
+            "CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS e1",
+            "CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS e2",
+            "CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS e3",
+            "CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS e4",
+            "CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS e5",
+            "CAST(date_trunc('day', ts) AS DATE) AS e6",
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS e7",
+        ],
+        rng.randint(2, 4),
+    )
+    where = (
+        _predicate(rng, _TABLES["events"]) if rng.random() < 0.5 else "TRUE"
+    )
+    return f"SELECT event_id, {', '.join(exprs)} FROM events WHERE {where}"
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
@@ -383,6 +424,8 @@ _QUERIES = (
     + [_case_agg_query(random.Random(_SEED + 10000 + i)) for i in range(5)]
     + [_in_subquery_query(random.Random(_SEED + 11000 + i)) for i in range(5)]
     + [_scalar_subquery_query(random.Random(_SEED + 12000 + i)) for i in range(5)]
+    + [_full_outer_query(random.Random(_SEED + 13000 + i)) for i in range(5)]
+    + [_datetime_query(random.Random(_SEED + 14000 + i)) for i in range(5)]
 )
 
 
@@ -396,7 +439,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 70))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 80))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]

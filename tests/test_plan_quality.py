@@ -352,7 +352,16 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   hard_negative_mining    — broadcast anchor set × corpus with a label-
 #                             mismatch residual (exact baseline, same
 #                             class as embedding_topk)
+#   frequent_tokens         — broadcast 1-row token-total aggregate
+#                             (threshold compare cnt*k > N)
+#   cohens_kappa            — broadcast 1-row chance-term aggregate
+#                             (Σ row_k·col_k joined to the totals row)
+#   (sparse_cosine_topk has the same 1-row idf cross join, but it sits
+#   below the weights localCheckpoint so the visible plan doesn't carry
+#   the BNLJ — no allowlist entry needed)
 _NESTED_LOOP_ALLOWED = {
+    "frequent_tokens",
+    "cohens_kappa",
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",

@@ -687,3 +687,46 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[3] == 0.5  # old files -> NULL column
     assert merged.count() == 4
+
+
+def test_frequent_items_exact_matches_plain_groupby(spark):
+    """Misra-Gries pre-pass heavy hitters must equal the exact
+    formulation on a skewed stream: 3 hot items above N/k, a long tail
+    below, one item sitting just UNDER the threshold (strict >)."""
+    from shuttlestandalonedbcreator_spark.operators.heavy_hitters import (
+        frequent_items_exact,
+    )
+
+    # N = 1000: hot items 300/250/200; borderline 100 with k=10
+    # (threshold N/k = 100, strict > excludes it); tail of 150 singletons
+    rows = (
+        [("hot_a",)] * 300
+        + [("hot_b",)] * 250
+        + [("hot_c",)] * 200
+        + [("edge",)] * 100
+        + [(f"tail_{i}",) for i in range(150)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = {
+        r["item"]: (r["cnt"], r["n_total"])
+        for r in frequent_items_exact(df, "item", k=10).collect()
+    }
+    assert got == {
+        "hot_a": (300, 1000),
+        "hot_b": (250, 1000),
+        "hot_c": (200, 1000),
+    }
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    """The candidate pass emits ≤ k·partitions items and always contains
+    every true heavy hitter (no false negatives)."""
+    from shuttlestandalonedbcreator_spark.operators.heavy_hitters import (
+        _mg_candidates,
+    )
+
+    rows = [("big",)] * 500 + [(f"t{i % 40}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    cands = [r["item"] for r in _mg_candidates(df, "item", k=5).collect()]
+    assert len(cands) <= 5 * 4
+    assert "big" in cands  # freq 500/1000 ≫ N/5

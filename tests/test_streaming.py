@@ -361,6 +361,78 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream):
     assert got == want and len(want) > 0
 
 
+def test_stream_stream_left_outer_interval_join_emits_unmatched(spark, tmp_path):
+    """left_outer interval join: an unmatched left row must emit
+    null-padded once the watermark passes ``left_ts + max_delay``.
+    Three-file stream (mtime-ordered, one file per trigger): file A holds
+    a matched view and an unmatched view at t0; files B and C hold
+    far-future events whose only job is to advance the watermark. Batch C
+    runs with the watermark committed after B (≫ t0 + 1h), which evicts
+    A's state and finalizes the unmatched A view with a NULL click —
+    regardless of whether a trailing no-data batch runs. Assertions are
+    restricted to A's views: B/C rows sit at the stream head, where outer
+    results legitimately never finalize (documented operator caveat)."""
+    import json
+    import time as _time
+
+    from shuttlestandalonedbcreator_spark.streaming.joins import interval_join
+
+    src = tmp_path / "events"
+    src.mkdir()
+    batches = {
+        "a.json": [
+            {"event_id": "v1", "user_id": "u1", "event_type": "view", "ts": "2024-01-01T00:00:00Z"},
+            {"event_id": "c1", "user_id": "u1", "event_type": "click", "ts": "2024-01-01T00:10:00Z"},
+            {"event_id": "v2", "user_id": "u2", "event_type": "view", "ts": "2024-01-01T00:00:00Z"},
+        ],
+        "b.json": [
+            {"event_id": "vB", "user_id": "u8", "event_type": "view", "ts": "2024-02-01T00:00:00Z"},
+            {"event_id": "cB", "user_id": "u8", "event_type": "click", "ts": "2024-02-01T00:00:01Z"},
+        ],
+        "c.json": [
+            {"event_id": "vC", "user_id": "u9", "event_type": "view", "ts": "2024-03-01T00:00:00Z"},
+            {"event_id": "cC", "user_id": "u9", "event_type": "click", "ts": "2024-03-01T00:00:01Z"},
+        ],
+    }
+    now = _time.time()
+    for i, (name, rows) in enumerate(batches.items()):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now - 300 + i * 100, now - 300 + i * 100))
+
+    schema = "event_id string, user_id string, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    joined = interval_join(
+        views, clicks, "user_id", "view_ts", "click_ts",
+        max_delay="1 hour", watermark="1 minute", how="left_outer",
+    )
+    q = (
+        joined.select("view_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("ssjoin_outer_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.exception() is not None:
+        raise q.exception()
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in spark.table("ssjoin_outer_mem").collect()
+        if r["view_id"] in ("v1", "v2")
+    }
+    assert got == {("v1", "c1"), ("v2", None)}
+
+
 def test_stream_static_broadcast_enrichment(spark, event_stream):
     """Stream-static join: a micro-batch stream enriched against a static
     broadcast dimension (per-user segment), then windowed counts per
