@@ -181,6 +181,7 @@ HEADLINE = (
     "frequent_tokens",
     "cohens_kappa",
     "pareto_frontier",
+    "mutual_information",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -220,7 +221,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
-        "classifier_calibration", "cohens_kappa",
+        "classifier_calibration", "cohens_kappa", "mutual_information",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
@@ -424,6 +425,43 @@ def scale_probes(spark, sf_dir: str) -> dict[str, float]:
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # Heavy-hitter pre-pass: the fixture vocab is 31 words, so the
+    # candidate-set reduction is invisible on it — synthesize a
+    # heavy-tail stream instead (8 hot items at 1/32 frequency each,
+    # unique long tail). The scale story is the exchange CARDINALITY:
+    # the naive groupBy shuffles one partial per distinct item, the MG
+    # pre-pass shuffles only k·partitions candidates.
+    from shuttlestandalonedbcreator_spark.operators.heavy_hitters import (
+        _mg_candidates,
+        frequent_items_exact,
+    )
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # 4 hot items at 12.5% each (comfortably above the k=16 threshold
+    # N/16 and its MG survival guarantee), unique long tail for the rest
+    n = 400_000
+    stream = spark.range(n).select(
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("hot_"), (F.col("id") % 4).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("tail_"), F.col("id").cast("string")))
+        .alias("item")
+    )
+    probes["hh_naive_groupby"] = timed(
+        stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 16 > n)
+    )
+    probes["hh_mg_two_pass"] = timed(frequent_items_exact(stream, "item", 16))
+    probes["hh_distinct_items"] = float(stream.select("item").distinct().count())
+    probes["hh_candidate_rows"] = float(
+        _mg_candidates(fan_out(stream), "item", 16).distinct().count()
+    )
+    probes["hh_exchange_reduction"] = round(
+        probes["hh_distinct_items"] / max(probes["hh_candidate_rows"], 1.0), 1
+    )
     return probes
 
 

@@ -1,0 +1,167 @@
+"""Snapshot-versioned parquet table: atomic commits, time travel, diff,
+and vacuum — the reproducibility layer a training-data pipeline needs
+("this model trained on dataset version 7") restated on plain parquet
+directories, the same mechanics a lakehouse table format's snapshot log
+performs.
+
+Layout::
+
+    table_dir/
+      v00000001/           immutable parquet snapshot
+      v00000002/
+      _VERSION             text file holding the committed version number
+
+Commit protocol (crash-safe, no locks needed for readers):
+
+1. write the new snapshot to ``v{n+1}._staging`` and rename it to
+   ``v{n+1}`` (directory rename: atomic);
+2. point ``_VERSION`` at n+1 via write-temp + ``os.replace`` (atomic on
+   POSIX).
+
+A crash in step 1 leaves a ``._staging`` dir; a crash between 1 and 2
+leaves a complete-but-uncommitted ``v{n+1}``. Both are swept by the next
+``write_version`` before it assigns its number, so ``_VERSION`` always
+names a complete snapshot and version numbers are never reused with
+different contents.
+
+Snapshot isolation falls out of immutability: a reader that resolved
+version n keeps reading ``v{n}``'s files regardless of later commits;
+``vacuum`` is the only destructive operation and refuses to drop the
+committed version.
+
+Scale: the version pointer is one tiny file — commit cost is the
+snapshot write itself (use ``merge_upsert_partitioned`` to BUILD the
+next snapshot incrementally; this module only governs naming/commit).
+``diff_versions`` is one full-outer join on the key columns — the same
+O(changes)-output shape as the ``change_feed`` catalog entry.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_V_RE = re.compile(r"^v(\d{8})$")
+_VERSION_FILE = "_VERSION"
+
+
+def _vdir(path: str, version: int) -> str:
+    return os.path.join(path, f"v{version:08d}")
+
+
+def current_version(path: str) -> int:
+    """Committed version number; 0 if the table has no commits yet."""
+    vf = os.path.join(path, _VERSION_FILE)
+    if not os.path.exists(vf):
+        return 0
+    with open(vf) as f:
+        return int(f.read().strip())
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed snapshot versions present on disk, ascending."""
+    if not os.path.isdir(path):
+        return []
+    committed = current_version(path)
+    out = []
+    for name in os.listdir(path):
+        m = _V_RE.match(name)
+        if m and int(m.group(1)) <= committed:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _sweep_uncommitted(path: str) -> None:
+    """Remove staging leftovers and complete-but-uncommitted snapshots
+    (crash debris from either commit window)."""
+    committed = current_version(path)
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if name.endswith("._staging"):
+            shutil.rmtree(full)
+            continue
+        m = _V_RE.match(name)
+        if m and int(m.group(1)) > committed:
+            shutil.rmtree(full)
+
+
+def write_version(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the table's next snapshot; returns its version."""
+    os.makedirs(path, exist_ok=True)
+    _sweep_uncommitted(path)
+    version = current_version(path) + 1
+    target = _vdir(path, version)
+    staging = target + "._staging"
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, target)
+    tmp = os.path.join(path, _VERSION_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{version}\n")
+    os.replace(tmp, os.path.join(path, _VERSION_FILE))  # the commit point
+    return version
+
+
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot — the committed one by default, or any retained
+    earlier ``version`` (time travel)."""
+    committed = current_version(path)
+    if committed == 0:
+        raise FileNotFoundError(f"versioned table has no commits: {path}")
+    v = committed if version is None else version
+    target = _vdir(path, v)
+    if version is not None and (v < 1 or not os.path.isdir(target)):
+        raise ValueError(
+            f"version {v} not available (committed={committed}, "
+            f"retained={list_versions(path)})"
+        )
+    return spark.read.parquet(target)
+
+
+def vacuum(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed snapshots (the
+    committed version always survives); returns the dropped versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(path)
+    drop = versions[:-keep_last]
+    for v in drop:
+        shutil.rmtree(_vdir(path, v))
+    return drop
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots: one full-outer join
+    on the keys, rows tagged I (insert) / D (delete) / U (value change).
+    Unchanged keys are filtered out, so output is O(changes)."""
+    a = read_table(spark, path, v_from)
+    b = read_table(spark, path, v_to)
+    val_cols = [c for c in b.columns if c not in key_cols]
+    a_t = a.select(
+        *key_cols, F.struct(*[F.col(c) for c in val_cols]).alias("_old")
+    )
+    b_t = b.select(
+        *key_cols, F.struct(*[F.col(c) for c in val_cols]).alias("_new")
+    )
+    j = a_t.join(b_t, key_cols, "full_outer")
+    return (
+        j.withColumn(
+            "op",
+            F.when(F.col("_old").isNull(), F.lit("I"))
+            .when(F.col("_new").isNull(), F.lit("D"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("U")),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, "op", "_old", "_new")
+    )

@@ -5721,6 +5721,61 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the dependence
+    measure behind feature selection and leakage checks (chi-square's
+    information-theoretic sibling; same margins-as-windows plan: ONE
+    grouped count, windows over the ~25-cell frame, no re-scans).
+    Per-cell terms (n/N)·ln(N·n/(n_l·n_s)) are identical double trees on
+    both engines, floored to integer micro-nats BEFORE the sum (a raw
+    double Σ is order-dependent), so the statistic is exact to 1e-6."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    t = cells.select(
+        "n",
+        F.sum("n").over(w_all).alias("nt"),
+        F.sum("n").over(w_l).alias("nl"),
+        F.sum("n").over(w_s).alias("ns"),
+    )
+    term = (F.col("n").cast("double") / F.col("nt").cast("double")) * F.log(
+        (F.col("nt").cast("double") * F.col("n").cast("double"))
+        / (F.col("nl").cast("double") * F.col("ns").cast("double"))
+    )
+    return t.agg(
+        F.max("nt").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            F.sum(F.floor(term * 1000000.0 + 0.5).cast("long")).cast("double")
+            / 1000000.0
+        ).alias("mi_nats"),
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT n,
+         CAST(SUM(n) OVER () AS BIGINT) AS nt,
+         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS nl,
+         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM cells
+)
+SELECT CAST(MAX(nt) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(CAST(SUM(CAST(floor(
+           (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+           * ln((CAST(nt AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(nl AS DOUBLE) * CAST(ns AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS mi_nats
+FROM t
+"""
+
+
 SQL_PARETO_FRONTIER = """
 WITH base AS (
   SELECT doc_id, lang, text,
@@ -7094,4 +7149,5 @@ CATALOG: dict[str, QueryDef] = {
     "frequent_tokens": QueryDef(q_frequent_tokens, SQL_FREQUENT_TOKENS),
     "cohens_kappa": QueryDef(q_cohens_kappa, SQL_COHENS_KAPPA),
     "pareto_frontier": QueryDef(q_pareto_frontier, SQL_PARETO_FRONTIER),
+    "mutual_information": QueryDef(q_mutual_information, SQL_MUTUAL_INFORMATION),
 }

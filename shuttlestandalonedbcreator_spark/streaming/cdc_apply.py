@@ -33,8 +33,17 @@ def apply_cdc_stream(
     order_col: str,
     checkpoint_dir: str,
     op_col: str | None = "op",
+    version_dir: str | None = None,
 ) -> StreamingQuery:
-    """Start merging the streaming ``changes`` into ``table_path``."""
+    """Start merging the streaming ``changes`` into ``table_path``.
+
+    With ``version_dir`` set, each applied micro-batch additionally
+    commits the post-merge table as a snapshot there
+    (`plans/versioned.py`) — a time-travelable CDC history ("the table
+    as of batch N"). Replayed batches (at-least-once foreachBatch) merge
+    as no-ops and re-commit an identical snapshot: version numbers are
+    monotone but contents stay convergent, so any retained version is a
+    true point-in-time state."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -42,6 +51,16 @@ def apply_cdc_stream(
         merge_upsert(
             batch.sparkSession, table_path, batch, keys, order_col, op_col
         )
+        if version_dir is not None:
+            from shuttlestandalonedbcreator_spark.plans.versioned import (
+                write_version,
+            )
+
+            write_version(
+                batch.sparkSession,
+                batch.sparkSession.read.parquet(table_path),
+                version_dir,
+            )
 
     return (
         changes.writeStream.foreachBatch(apply_batch)

@@ -574,3 +574,71 @@ def test_streaming_cdc_apply_converges_to_batch_merge(spark, tmp_path):
     assert q2.exception() is None
     got2 = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()}
     assert got2 == want
+
+
+def test_streaming_cdc_apply_with_version_history(spark, tmp_path):
+    """apply_cdc_stream(version_dir=...) commits one snapshot per applied
+    micro-batch: every retained version is the exact point-in-time table
+    state, and diff_versions recovers the net change set. File mtimes are
+    pinned so the one-file-per-trigger batch order is deterministic."""
+    import time as _time
+
+    from shuttlestandalonedbcreator_spark.plans import versioned as V
+    from shuttlestandalonedbcreator_spark.streaming.cdc_apply import (
+        apply_cdc_stream,
+    )
+
+    table = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver long"
+    ).write.parquet(table)
+
+    batches = [
+        [(2, "b2", 2, "U"), (4, "d", 2, "U")],
+        [(1, None, 3, "D"), (4, "d3", 3, "U")],
+        [(5, "e", 4, "U"), (3, "stale", 0, "U")],
+    ]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"b{i}"
+        spark.createDataFrame(
+            rows, "k long, v string, ver long, op string"
+        ).coalesce(1).write.parquet(str(staging))
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                dst = flat / f"{i:02d}_{f}"
+                os.rename(staging / f, dst)
+                os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema("k long, v string, ver long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    hist = str(tmp_path / "hist")
+    q = apply_cdc_stream(
+        stream, table, ["k"], "ver", str(tmp_path / "ck"), version_dir=hist
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    def snap(version):
+        return {
+            r["k"]: (r["v"], r["ver"])
+            for r in V.read_table(spark, hist, version=version).collect()
+        }
+
+    assert V.list_versions(hist) == [1, 2, 3]
+    assert snap(1) == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 2)}
+    assert snap(2) == {2: ("b2", 2), 3: ("c", 1), 4: ("d3", 3)}
+    assert snap(3) == {2: ("b2", 2), 3: ("c", 1), 4: ("d3", 3), 5: ("e", 4)}
+    assert snap(3) == {
+        r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table).collect()
+    }
+    net = {
+        r["k"]: r["op"]
+        for r in V.diff_versions(spark, hist, 1, 3, ["k"]).collect()
+    }
+    assert net == {1: "D", 4: "U", 5: "I"}
