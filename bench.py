@@ -182,6 +182,7 @@ HEADLINE = (
     "cohens_kappa",
     "pareto_frontier",
     "mutual_information",
+    "session_concurrency",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -216,6 +217,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "snapshot_diff", "json_extract_agg", "json_variant_extract",
         "numeric_correlations", "window_frames", "time_weighted_avg",
         "interval_attribution", "conversion_funnel",
+        "session_concurrency",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

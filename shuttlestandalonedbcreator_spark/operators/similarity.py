@@ -188,6 +188,13 @@ def ivf_topk(
         F.col(vec_col).alias("_v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     )
+    if base.limit(1).isEmpty():
+        # KMeans.fit throws on an empty dataset ("Nothing has been added
+        # to this summarizer") — an empty corpus slice is routine, so
+        # return the typed empty result instead
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="_cell")
     model = km.fit(base.select("_feat"))
     assigned = model.transform(base).select("_id", "_v", "_cell")
@@ -427,6 +434,12 @@ def matmul_topk(
     qrows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     ).collect()
+    if not qrows:
+        # an empty probe set is routine (empty partition/day/tenant) and
+        # np.stack([]) throws — return the typed empty result instead
+        return vectors.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     q_ids = np.array([r["qid"] for r in qrows])
     qm = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

@@ -5415,7 +5415,14 @@ def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs: list = []
     for i, r in enumerate(vocab_rows):
         pairs.extend([F.lit(r["token"]), F.lit(i + 1)])
-    vmap = F.create_map(*pairs)
+    if pairs:
+        vmap = F.create_map(*pairs)
+    else:
+        # empty corpus: create_map() with no args types as map<void,void>
+        # and map[token] fails analysis — build a typed empty map instead
+        vmap = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
     w = D.tokens(F.col("text"))
     ids = F.transform(w, lambda t: F.coalesce(vmap[t], F.lit(-1)))
     return docs.select(
@@ -5752,6 +5759,108 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("mi_nats"),
     )
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap sweep
+    line (capacity planning / rate-limit sizing over the sessionized
+    stream). Each session contributes (+1 at start, −1 at end); the
+    running sum of deltas IS the live-session count, and its per-day max
+    is the peak. A same-instant end/start pair counts as overlapping
+    (+1 sorts before −1) — pinned convention, identical on both engines.
+
+    Scale: the naive sweep is ONE unpartitioned ordered window over all
+    deltas — a single-task bottleneck. Partitioning by day makes the
+    window state bounded, at the cost of a carry-in: sessions that span
+    midnight must seed the day's counter. The carry is computed by
+    exploding each session into the days it crosses (bounded by session
+    span — the `id_gap_audit` block-stitch move applied to time), so no
+    day×session range join and no global sort ever happens."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    new_session = F.when(
+        lag_us.isNull() | ((us - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sid = (
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    sessions = (
+        ev.withColumn("_sid", sid)
+        .groupBy("user_id", "_sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = sessions.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+    deltas = deltas.withColumn("day", F.to_date("ts"))
+    carry = (
+        sessions.filter(F.to_date("s") < F.to_date("e"))
+        .select(
+            F.explode(
+                F.sequence(F.date_add(F.to_date("s"), 1), F.to_date("e"))
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("ts"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        deltas.join(carry, "day", "left")
+        .withColumn("_c", F.coalesce(F.col("carry_in"), F.lit(0)))
+        .withColumn("_run", F.col("_c") + F.sum("delta").over(wd))
+    )
+    return run.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        F.max("_c").alias("carry_in"),
+        F.max("_run").cast("long").alias("peak_concurrency"),
+    )
+
+
+SQL_SESSION_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM numbered GROUP BY 1, 2
+), deltas AS (
+  SELECT s AS ts, 1 AS delta, CAST(s AS DATE) AS day FROM sessions
+  UNION ALL
+  SELECT e AS ts, -1 AS delta, CAST(e AS DATE) AS day FROM sessions
+), carry_days AS (
+  SELECT CAST(unnest(generate_series(CAST(s AS DATE) + 1, CAST(e AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM sessions WHERE CAST(s AS DATE) < CAST(e AS DATE)
+), carry AS (
+  SELECT day, COUNT(*) AS carry_in FROM carry_days GROUP BY 1
+), run AS (
+  SELECT d.day, d.delta,
+         COALESCE(c.carry_in, 0) AS cin,
+         COALESCE(c.carry_in, 0)
+           + SUM(d.delta) OVER (PARTITION BY d.day ORDER BY d.ts ASC, d.delta DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+  FROM deltas d LEFT JOIN carry c ON d.day = c.day
+)
+SELECT day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       CAST(MAX(cin) AS BIGINT) AS carry_in,
+       CAST(MAX(rsum) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY day
+"""
 
 
 SQL_MUTUAL_INFORMATION = """
@@ -7150,4 +7259,7 @@ CATALOG: dict[str, QueryDef] = {
     "cohens_kappa": QueryDef(q_cohens_kappa, SQL_COHENS_KAPPA),
     "pareto_frontier": QueryDef(q_pareto_frontier, SQL_PARETO_FRONTIER),
     "mutual_information": QueryDef(q_mutual_information, SQL_MUTUAL_INFORMATION),
+    "session_concurrency": QueryDef(
+        q_session_concurrency, SQL_SESSION_CONCURRENCY
+    ),
 }

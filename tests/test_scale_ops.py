@@ -730,3 +730,55 @@ def test_mg_candidates_bounded_and_superset(spark):
     cands = [r["item"] for r in _mg_candidates(df, "item", k=5).collect()]
     assert len(cands) <= 5 * 4
     assert "big" in cands  # freq 500/1000 ≫ N/5
+
+
+def test_write_zordered_files_cover_small_rectangles(spark, sf_small, tmp_path):
+    """Z-ordered layout proof via parquet FOOTER stats: after
+    write_zordered on (l_orderkey, l_partkey), each output file's
+    min/max range must cover a small fraction of BOTH columns' global
+    span (a hyper-rectangle), while a plain repartition write covers
+    ~the full span in every file — i.e. min/max pruning works on either
+    column. Also round-trips the rows unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "z")
+    li.repartition(8).write.parquet(plain)
+    bucketing.write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=8)
+
+    got = spark.read.parquet(zpath)
+    assert got.count() == li.count()
+    assert set(got.columns) == {"l_orderkey", "l_partkey", "l_quantity"}
+
+    def avg_span_fraction(path, col):
+        mins, maxs, spans = [], [], []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            fmin = min(
+                md.row_group(rg).column(ci).statistics.min
+                for rg in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(rg).column(ci).statistics.max
+                for rg in range(md.num_row_groups)
+            )
+            mins.append(fmin)
+            maxs.append(fmax)
+            spans.append(fmax - fmin)
+        global_span = max(maxs) - min(mins)
+        return sum(spans) / len(spans) / max(global_span, 1)
+
+    for col in ("l_orderkey", "l_partkey"):
+        z_frac = avg_span_fraction(zpath, col)
+        plain_frac = avg_span_fraction(plain, col)
+        assert plain_frac > 0.9, (col, plain_frac)  # no layout → no pruning
+        assert z_frac < 0.6, (col, z_frac)          # rectangles → pruning
+        assert z_frac < plain_frac / 1.5, (col, z_frac, plain_frac)
