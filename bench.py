@@ -183,6 +183,8 @@ HEADLINE = (
     "pareto_frontier",
     "mutual_information",
     "session_concurrency",
+    "copurchase_lift",
+    "rfm_segmentation",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -217,7 +219,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "snapshot_diff", "json_extract_agg", "json_variant_extract",
         "numeric_correlations", "window_frames", "time_weighted_avg",
         "interval_attribution", "conversion_funnel",
-        "session_concurrency",
+        "session_concurrency", "copurchase_lift", "rfm_segmentation",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

@@ -5761,6 +5761,168 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for Recency (days
+    since last order), Frequency (order count), Monetary (lifetime
+    spend), concatenated into the classic 3-digit segment code. The
+    ntile windows sit ABOVE the per-customer aggregate (the
+    `nation_revenue_share` altitude rule): the global sort each ntile
+    needs runs over one row per CUSTOMER, not per order — and at 100 TB
+    you swap ntile for approx-percentile bucket bounds; the aggregate
+    below is unchanged. Deterministic: every ntile orders with a
+    c_custkey tiebreak, recency in whole days (exact ints), spend in
+    DECIMAL then double."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(bounded_broadcast(anchor, "one_row"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("_maxd"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", F.col("r_score"), F.col("f_score"), F.col("m_score")).alias(
+            "rfm_code"
+        ),
+    )
+
+
+SQL_RFM_SEGMENTATION = """
+WITH anchor AS (
+  SELECT MAX(o_orderdate) AS maxd FROM orders
+), per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(datediff('day', MAX(o_orderdate), (SELECT maxd FROM anchor)) AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         CAST(NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS INT) AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS INT) AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS INT) AS m_score
+  FROM per_cust
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_code
+FROM scored
+"""
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for part pairs co-ordered in the
+    same basket, support / confidence / lift — the co-occurrence shape
+    behind recommendations AND behind corpus co-citation / co-tag
+    analysis. Baskets are orders; the pair join is keyed on the ORDER
+    (one shuffle), so fan-out per basket is bounded by basket size
+    squared (TPC-H baskets are <=7 items), never corpus-quadratic.
+    Every statistic is a SINGLE division of exact int64 products
+    (lift = c12*N / (c1*c2)), shipped unrounded. Top-20 by lift with
+    (p1, p2) tiebreaks; min co-count 2 prunes the singleton tail."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 2)
+    )
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    scored = (
+        pairs.join(ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(bounded_broadcast(n_baskets, "one_row"))
+        .select(
+            "p1",
+            "p2",
+            "c12",
+            (F.col("c12").cast("double") / F.col("n_baskets").cast("double")).alias(
+                "support"
+            ),
+            (F.col("c12").cast("double") / F.col("c1").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c12") * F.col("n_baskets")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("p1"), F.asc("p2")
+    ).limit(20)
+
+
+SQL_COPURCHASE_LIFT = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c12
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), ic AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM items
+)
+SELECT p1, p2, CAST(c12 AS BIGINT) AS c12,
+       CAST(c12 AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+       CAST(c12 AS DOUBLE) / CAST(i1.c AS DOUBLE) AS confidence,
+       CAST(c12 * n.n_baskets AS DOUBLE) / CAST(i1.c * i2.c AS DOUBLE) AS lift
+FROM pairs
+JOIN ic i1 ON pairs.p1 = i1.l_partkey
+JOIN ic i2 ON pairs.p2 = i2.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, p1 ASC, p2 ASC
+LIMIT 20
+"""
+
+
 def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — the interval-overlap sweep
     line (capacity planning / rate-limit sizing over the sessionized
@@ -7262,4 +7424,6 @@ CATALOG: dict[str, QueryDef] = {
     "session_concurrency": QueryDef(
         q_session_concurrency, SQL_SESSION_CONCURRENCY
     ),
+    "copurchase_lift": QueryDef(q_copurchase_lift, SQL_COPURCHASE_LIFT),
+    "rfm_segmentation": QueryDef(q_rfm_segmentation, SQL_RFM_SEGMENTATION),
 }

@@ -356,12 +356,17 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             (threshold compare cnt*k > N)
 #   cohens_kappa            — broadcast 1-row chance-term aggregate
 #                             (Σ row_k·col_k joined to the totals row)
+#   copurchase_lift         — broadcast 1-row basket-total aggregate
+#                             (N in the lift denominator)
+#   rfm_segmentation        — broadcast 1-row anchor-date aggregate
 #   (sparse_cosine_topk has the same 1-row idf cross join, but it sits
 #   below the weights localCheckpoint so the visible plan doesn't carry
 #   the BNLJ — no allowlist entry needed)
 _NESTED_LOOP_ALLOWED = {
     "frequent_tokens",
     "cohens_kappa",
+    "copurchase_lift",
+    "rfm_segmentation",
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",
