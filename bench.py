@@ -185,6 +185,7 @@ HEADLINE = (
     "session_concurrency",
     "copurchase_lift",
     "rfm_segmentation",
+    "event_transition_matrix",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -220,6 +221,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "numeric_correlations", "window_frames", "time_weighted_avg",
         "interval_attribution", "conversion_funnel",
         "session_concurrency", "copurchase_lift", "rfm_segmentation",
+        "event_transition_matrix",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

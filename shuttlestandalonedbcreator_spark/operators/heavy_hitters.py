@@ -65,7 +65,10 @@ def _mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
                         del counters[key]
         yield pd.DataFrame({item_col: list(counters.keys())})
 
-    return df.select(item_col).mapInPandas(run, schema=f"{item_col} string")
+    # keep the item column's own type (a hardcoded string schema would
+    # null/garble long or binary item keys)
+    out_schema = df.select(item_col).schema
+    return df.select(item_col).mapInPandas(run, schema=out_schema)
 
 
 def frequent_items_exact(df: DataFrame, item_col: str, k: int) -> DataFrame:

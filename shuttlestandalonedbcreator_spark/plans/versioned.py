@@ -147,12 +147,26 @@ def diff_versions(
     Unchanged keys are filtered out, so output is O(changes)."""
     a = read_table(spark, path, v_from)
     b = read_table(spark, path, v_to)
-    val_cols = [c for c in b.columns if c not in key_cols]
+    # schema evolution between snapshots (mergeSchema-style added or
+    # dropped columns): compare over the UNION of value columns, with
+    # the side that lacks a column contributing typed NULLs — so adding
+    # a column with non-null values reads as an update, not an error
+    val_cols = [c for c in b.columns if c not in key_cols] + [
+        c for c in a.columns if c not in key_cols and c not in b.columns
+    ]
+
+    def _typed(df, other, c):
+        if c in df.columns:
+            return F.col(c)
+        return F.lit(None).cast(other.schema[c].dataType)
+
     a_t = a.select(
-        *key_cols, F.struct(*[F.col(c) for c in val_cols]).alias("_old")
+        *key_cols,
+        F.struct(*[_typed(a, b, c).alias(c) for c in val_cols]).alias("_old"),
     )
     b_t = b.select(
-        *key_cols, F.struct(*[F.col(c) for c in val_cols]).alias("_new")
+        *key_cols,
+        F.struct(*[_typed(b, a, c).alias(c) for c in val_cols]).alias("_new"),
     )
     j = a_t.join(b_t, key_cols, "full_outer")
     return (

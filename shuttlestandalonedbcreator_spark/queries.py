@@ -5763,6 +5763,52 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (behavioral modeling / anomaly baselines): lag gives each
+    event its predecessor type, one grouped count per (prev, next)
+    cell, and the row-conditional probability comes from a window over
+    the tiny matrix (single division of exact counts, unrounded). One
+    user_id shuffle for the lag; everything after runs on ≤|types|²
+    rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wr = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wr).cast("double")
+        ).alias("p_next_given_prev"),
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type AS next_type
+  FROM events
+), cells AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_next_given_prev
+FROM cells
+"""
+
+
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quartile scores for Recency (days
     since last order), Frequency (order count), Monetary (lifetime
@@ -7426,4 +7472,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "copurchase_lift": QueryDef(q_copurchase_lift, SQL_COPURCHASE_LIFT),
     "rfm_segmentation": QueryDef(q_rfm_segmentation, SQL_RFM_SEGMENTATION),
+    "event_transition_matrix": QueryDef(
+        q_event_transition_matrix, SQL_EVENT_TRANSITION_MATRIX
+    ),
 }

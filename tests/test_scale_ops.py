@@ -782,3 +782,16 @@ def test_write_zordered_files_cover_small_rectangles(spark, sf_small, tmp_path):
         assert plain_frac > 0.9, (col, plain_frac)  # no layout → no pruning
         assert z_frac < 0.6, (col, z_frac)          # rectangles → pruning
         assert z_frac < plain_frac / 1.5, (col, z_frac, plain_frac)
+
+
+def test_frequent_items_exact_long_items(spark):
+    """Item keys keep their own type through the MG pre-pass — long ids
+    must come back as longs, not strings."""
+    from shuttlestandalonedbcreator_spark.operators.heavy_hitters import (
+        frequent_items_exact,
+    )
+
+    rows = [(7,)] * 60 + [(i + 100,) for i in range(40)]
+    df = spark.createDataFrame(rows, "item long").repartition(4)
+    got = {r["item"]: r["cnt"] for r in frequent_items_exact(df, "item", k=4).collect()}
+    assert got == {7: 60}

@@ -103,3 +103,19 @@ def test_read_errors(spark, tmp_path):
     V.write_version(spark, _rows(spark, [(1, "a")]), t)
     with pytest.raises(ValueError):
         V.read_table(spark, t, version=7)
+
+
+def test_diff_versions_across_schema_evolution(spark, tmp_path):
+    """A column added between snapshots diffs as updates where its value
+    is non-null (absent side contributes typed NULLs), never an
+    analysis error."""
+    t = str(tmp_path / "tbl")
+    V.write_version(spark, _rows(spark, [(1, "a"), (2, "b")]), t)
+    evolved = spark.createDataFrame(
+        [(1, "a", 9), (2, "b", None)], "k long, val string, extra long"
+    )
+    V.write_version(spark, evolved, t)
+    diff = V.diff_versions(spark, t, 1, 2, ["k"])
+    got = {(r["k"], r["op"]) for r in diff.collect()}
+    # key 1 gains extra=9 -> U; key 2's extra is NULL on both sides -> unchanged
+    assert got == {(1, "U")}
