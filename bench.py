@@ -186,6 +186,7 @@ HEADLINE = (
     "copurchase_lift",
     "rfm_segmentation",
     "event_transition_matrix",
+    "dup_graph_triangles",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -235,7 +236,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "edit_distance_neardup", "containment_neardup", "canonical_pick",
         "cross_source_canonical", "boilerplate_ngrams",
         "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
-        "dedup_cascade",
+        "dedup_cascade", "dup_graph_triangles",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",

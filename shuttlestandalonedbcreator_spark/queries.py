@@ -5764,6 +5764,107 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the near-dup
+    graph — the structural health check on a dedup pass (a clique-heavy
+    graph means template families; a wedge-heavy, triangle-poor one
+    means chained false positives from transitive matching). Edges are
+    the exact n-gram Jaccard pairs (id_a < id_b). Triangles via the
+    standard two-join node-iterator on the ORDERED edge list (each
+    triangle a<b<c counted exactly once): e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) —
+    join cost is Σ deg², the wedge count, never all-pairs. Coefficient
+    = 3·triangles / wedges, computed as the single integer division
+    6T / Σ d(d−1). The edge list feeds three join sides plus the degree
+    pass, so it is checkpointed once."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    edges = edges.localCheckpoint(eager=True)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("v"))
+        .unionByName(edges.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges2 = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("_dd"),
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(bounded_broadcast(tri, "one_row"))
+        .crossJoin(bounded_broadcast(wedges2, "one_row"))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.when(F.col("_dd") > 0,
+                   (6 * F.col("n_triangles")).cast("double")
+                   / F.col("_dd").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coefficient"),
+        )
+    )
+
+
+SQL_DUP_GRAPH_TRIANGLES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), edges AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.id_b = e2.id_a
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT id_a AS v FROM edges UNION ALL SELECT id_b AS v FROM edges
+  ) GROUP BY v
+), wed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1)) AS BIGINT) AS dd
+  FROM deg
+)
+SELECT wed.n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       tri.n_triangles,
+       CASE WHEN wed.dd > 0
+            THEN CAST(6 * tri.n_triangles AS DOUBLE) / CAST(wed.dd AS DOUBLE)
+            ELSE 0.0 END AS clustering_coefficient
+FROM tri CROSS JOIN wed
+"""
+
+
 def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (behavioral modeling / anomaly baselines): lag gives each
@@ -7474,5 +7575,8 @@ CATALOG: dict[str, QueryDef] = {
     "rfm_segmentation": QueryDef(q_rfm_segmentation, SQL_RFM_SEGMENTATION),
     "event_transition_matrix": QueryDef(
         q_event_transition_matrix, SQL_EVENT_TRANSITION_MATRIX
+    ),
+    "dup_graph_triangles": QueryDef(
+        q_dup_graph_triangles, SQL_DUP_GRAPH_TRIANGLES
     ),
 }

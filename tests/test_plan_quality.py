@@ -359,6 +359,8 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   copurchase_lift         — broadcast 1-row basket-total aggregate
 #                             (N in the lift denominator)
 #   rfm_segmentation        — broadcast 1-row anchor-date aggregate
+#   dup_graph_triangles     — two 1-row census cross joins (triangle +
+#                             wedge totals over the checkpointed edges)
 #   (sparse_cosine_topk has the same 1-row idf cross join, but it sits
 #   below the weights localCheckpoint so the visible plan doesn't carry
 #   the BNLJ — no allowlist entry needed)
@@ -367,6 +369,7 @@ _NESTED_LOOP_ALLOWED = {
     "cohens_kappa",
     "copurchase_lift",
     "rfm_segmentation",
+    "dup_graph_triangles",
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",

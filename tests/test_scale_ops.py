@@ -795,3 +795,31 @@ def test_frequent_items_exact_long_items(spark):
     df = spark.createDataFrame(rows, "item long").repartition(4)
     got = {r["item"]: r["cnt"] for r in frequent_items_exact(df, "item", k=4).collect()}
     assert got == {7: 60}
+
+
+def test_dynamic_partition_pruning_through_partitioned_layout(spark, sf_small, tmp_path):
+    """Hive-layout fact + filtered dim join must plan DYNAMIC partition
+    pruning: the fact scan's PartitionFilters carry a runtime
+    dynamicpruning subquery fed by the dim's filter, so only the
+    surviving event_type directories are read — at 100 TB the
+    difference between scanning 1/5 of the table and all of it."""
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+
+    fact_dir = str(tmp_path / "events_part")
+    load_table(spark, sf_small, "events").write.partitionBy("event_type").parquet(
+        fact_dir
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("purchase", 0), ("signup", 0), ("error", 0)],
+        "event_type string, monitored int",
+    )
+    joined = fact.join(dim.filter(F.col("monitored") == 1), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only covers the monitored partition
+    total = load_table(spark, sf_small, "events")
+    want = total.filter(F.col("event_type") == "click").count()
+    assert joined.collect()[0]["n"] == want
