@@ -187,6 +187,7 @@ HEADLINE = (
     "rfm_segmentation",
     "event_transition_matrix",
     "dup_graph_triangles",
+    "approx_topk_audit",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -267,6 +268,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "incremental_neardup", "exact_percentiles", "below_avg_qty",
         "window_distribution", "rolling_hour_count", "tfidf_top_terms",
         "multimodal_metadata", "multimodal_frame_sample",
+        "approx_topk_audit",
     ),
 }
 

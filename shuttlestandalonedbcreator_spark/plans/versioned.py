@@ -29,6 +29,11 @@ version n keeps reading ``v{n}``'s files regardless of later commits;
 ``vacuum`` is the only destructive operation and refuses to drop the
 committed version.
 
+SINGLE-WRITER commit protocol: concurrent ``write_version`` calls race
+on the sweep + pointer swap (the same reason every lakehouse format
+needs a catalog lock or CAS for its commit) — serialize writers
+externally; readers need no coordination.
+
 Scale: the version pointer is one tiny file — commit cost is the
 snapshot write itself (use ``merge_upsert_partitioned`` to BUILD the
 next snapshot incrementally; this module only governs naming/commit).

@@ -5765,6 +5765,57 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_approx_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters via Spark 4's `approx_top_k` (one
+    bounded-memory aggregate, no per-item shuffle — the engine-native
+    sibling of the Misra-Gries pre-pass in `frequent_tokens`), audited
+    against the exact counts with TRUE-pinned contract booleans (the
+    `approx_aggregates_audit` pattern — sketch internals aren't
+    SQL-expressible, their GUARANTEES are): with tracking capacity
+    (10k) above the vocabulary size the sketch must be exact, so every
+    sketched count equals the exact count and the exact top-10 is
+    covered by the sketched top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("token"))
+    toks = toks.localCheckpoint(eager=True)  # feeds sketch + exact + top10
+    sk = (
+        toks.agg(F.expr("approx_top_k(token, 20)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("est"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cmp = sk.join(exact, "token", "left")
+    top10 = (
+        exact.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(10)
+        .join(sk.select("token"), "token", "left_anti")
+    )
+    return (
+        cmp.agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.min(F.col("est") == F.col("cnt")).alias("all_counts_exact"),
+        )
+        .crossJoin(
+            bounded_broadcast(
+                top10.agg((F.count(F.lit(1)) == 0).alias("covers_true_top10")),
+                "one_row",
+            )
+        )
+    )
+
+
+SQL_APPROX_TOPK_AUDIT = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT CAST(LEAST(20, (SELECT COUNT(DISTINCT token) FROM toks)) AS BIGINT) AS n_sketch,
+       TRUE AS all_counts_exact,
+       TRUE AS covers_true_top10
+"""
+
+
 def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census + global clustering coefficient of the near-dup
     graph — the structural health check on a dedup pass (a clique-heavy
@@ -7579,4 +7630,5 @@ CATALOG: dict[str, QueryDef] = {
     "dup_graph_triangles": QueryDef(
         q_dup_graph_triangles, SQL_DUP_GRAPH_TRIANGLES
     ),
+    "approx_topk_audit": QueryDef(q_approx_topk_audit, SQL_APPROX_TOPK_AUDIT),
 }

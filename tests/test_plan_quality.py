@@ -361,6 +361,7 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   rfm_segmentation        — broadcast 1-row anchor-date aggregate
 #   dup_graph_triangles     — two 1-row census cross joins (triangle +
 #                             wedge totals over the checkpointed edges)
+#   approx_topk_audit       — broadcast 1-row coverage-flag aggregate
 #   (sparse_cosine_topk has the same 1-row idf cross join, but it sits
 #   below the weights localCheckpoint so the visible plan doesn't carry
 #   the BNLJ — no allowlist entry needed)
@@ -370,6 +371,7 @@ _NESTED_LOOP_ALLOWED = {
     "copurchase_lift",
     "rfm_segmentation",
     "dup_graph_triangles",
+    "approx_topk_audit",
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",
