@@ -410,6 +410,25 @@ def _datetime_query(rng: random.Random) -> str:
     return f"SELECT event_id, {', '.join(exprs)} FROM events WHERE {where}"
 
 
+def _cte_query(rng: random.Random) -> str:
+    """A grouped CTE referenced TWICE (self-join on the group key) —
+    exercises the no-materialization re-evaluation path: both
+    references must compute identical results even though Spark
+    re-plans the subtree per reference."""
+    table = rng.choice(list(_TABLES))
+    cols = _TABLES[table]
+    key = rng.choice(cols["group"])
+    val = rng.choice(cols["num"])
+    p = _predicate(rng, cols)
+    cmp_op = rng.choice(["<=", ">=", "="])
+    return (
+        f"WITH agg AS (SELECT {key} AS k, COUNT(*) AS n, MIN({val}) AS mn "
+        f"FROM {table} WHERE {p} GROUP BY {key}) "
+        f"SELECT a.k, a.n, a.mn, b.n AS n2 "
+        f"FROM agg a JOIN agg b ON a.k = b.k AND a.n {cmp_op} b.n"
+    )
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
@@ -426,6 +445,7 @@ _QUERIES = (
     + [_scalar_subquery_query(random.Random(_SEED + 12000 + i)) for i in range(5)]
     + [_full_outer_query(random.Random(_SEED + 13000 + i)) for i in range(5)]
     + [_datetime_query(random.Random(_SEED + 14000 + i)) for i in range(5)]
+    + [_cte_query(random.Random(_SEED + 15000 + i)) for i in range(5)]
 )
 
 
@@ -439,7 +459,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 80))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 85))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]

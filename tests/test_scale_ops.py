@@ -760,6 +760,12 @@ def test_write_zordered_files_cover_small_rectangles(spark, sf_small, tmp_path):
         mins, maxs, spans = [], [], []
         for f in sorted(glob.glob(f"{path}/*.parquet")):
             md = pq.read_metadata(f)
+            if md.num_row_groups == 0:
+                # repartitionByRange samples its boundaries with an
+                # RDD-id-derived seed, so an occasional EMPTY partition
+                # (and its 0-row-group file) is suite-order dependent —
+                # skip it, it covers no value range at all
+                continue
             names = [md.schema.column(i).name for i in range(md.num_columns)]
             ci = names.index(col)
             fmin = min(

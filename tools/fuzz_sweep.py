@@ -31,6 +31,7 @@ def main() -> int:
     from shuttlestandalonedbcreator_spark.sources.registry import register_views
     from test_differential_fuzz import (
         _case_agg_query,
+        _cte_query,
         _datetime_query,
         _distinct_query,
         _exists_query,
@@ -57,7 +58,8 @@ def main() -> int:
     gens = [_query, _join_query, _topk_query, _scalar_query, _window_query,
             _setop_query, _exists_query, _frame_window_query, _distinct_query,
             _grouping_sets_query, _case_agg_query, _in_subquery_query,
-            _scalar_subquery_query, _full_outer_query, _datetime_query]
+            _scalar_subquery_query, _full_outer_query, _datetime_query,
+            _cte_query]
     divergences = errors = 0
     for seed in range(base, base + n_seeds):
         sql = random.Random(seed).choice(gens)(random.Random(seed))
