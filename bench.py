@@ -188,6 +188,7 @@ HEADLINE = (
     "event_transition_matrix",
     "dup_graph_triangles",
     "approx_topk_audit",
+    "rolling_anomaly_zscore",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -230,6 +231,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
         "classifier_calibration", "cohens_kappa", "mutual_information",
+        "rolling_anomaly_zscore",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",

@@ -5766,6 +5766,73 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against the mean
+    and variance of its event_type's PRECEDING 20 values (the online
+    monitoring shape — no global stats leak from the future into the
+    score). All frame aggregates run over integer MILLI-UNIT values, so
+    the sliding sums are exact int64 on both engines (double frame sums
+    are the classic incremental-add/remove vs recompute drift trap);
+    the z statistic is assembled from those exact sums with one sqrt +
+    one division: z = (n·v − Σ) / sqrt(n·(n·Σv² − Σ²)). One shuffle on
+    event_type; frame state is 20 rows per partition. Emits only the
+    |z| > 2.5 anomalies plus their evidence — O(anomalies) output."""
+    ev = _t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    base = ev.select(
+        "event_id", "event_type", "ts", vq.alias("_v")
+    ).withColumns(
+        {
+            "_n": F.count("_v").over(w),
+            "_s": F.sum("_v").over(w),
+            "_s2": F.sum(F.col("_v") * F.col("_v")).over(w),
+        }
+    )
+    var_num = F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")
+    z = (
+        (F.col("_n") * F.col("_v") - F.col("_s")).cast("double")
+        / F.sqrt((F.col("_n") * var_num).cast("double"))
+    )
+    return (
+        base.filter((F.col("_n") >= 10) & (var_num > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("_v").cast("double") / 1000.0).alias("value_milli"),
+            "z",
+        )
+    )
+
+
+SQL_ROLLING_ANOMALY_ZSCORE = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type,
+       CAST(v AS DOUBLE) / 1000.0 AS value_milli,
+       CAST(n * v - s AS DOUBLE) / sqrt(CAST(n * (n * s2 - s * s) AS DOUBLE)) AS z
+FROM base
+WHERE n >= 10 AND (n * s2 - s * s) > 0
+  AND abs(CAST(n * v - s AS DOUBLE) / sqrt(CAST(n * (n * s2 - s * s) AS DOUBLE))) > 2.5
+"""
+
+
 def q_approx_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based heavy hitters via Spark 4's `approx_top_k` (one
     bounded-memory aggregate, no per-item shuffle — the engine-native
@@ -7631,4 +7698,7 @@ CATALOG: dict[str, QueryDef] = {
         q_dup_graph_triangles, SQL_DUP_GRAPH_TRIANGLES
     ),
     "approx_topk_audit": QueryDef(q_approx_topk_audit, SQL_APPROX_TOPK_AUDIT),
+    "rolling_anomaly_zscore": QueryDef(
+        q_rolling_anomaly_zscore, SQL_ROLLING_ANOMALY_ZSCORE
+    ),
 }
