@@ -189,6 +189,7 @@ HEADLINE = (
     "dup_graph_triangles",
     "approx_topk_audit",
     "rolling_anomaly_zscore",
+    "revenue_concentration",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -224,7 +225,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "numeric_correlations", "window_frames", "time_weighted_avg",
         "interval_attribution", "conversion_funnel",
         "session_concurrency", "copurchase_lift", "rfm_segmentation",
-        "event_transition_matrix",
+        "event_transition_matrix", "revenue_concentration",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

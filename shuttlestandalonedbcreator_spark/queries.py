@@ -5767,6 +5767,61 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration: how many customers carry 80% of
+    revenue (the skew diagnostic behind partitioning and key-salting
+    decisions — the same math that predicts a hot-key shuffle). Revenue
+    is exact integer CENTS end-to-end: the cumulative sum over
+    customers (ordered by revenue desc, custkey tiebreak) and the 80%
+    crossing test cum·5 < total·4 are pure int64 — no float enters
+    until the final count ratios. The running window sits ABOVE the
+    per-customer aggregate (reduced cardinality, the
+    `nation_revenue_share` altitude rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_cust.agg(F.sum("rev").alias("_tot"))
+    ranked = per_cust.withColumn("cum", F.sum("rev").over(w)).crossJoin(
+        bounded_broadcast(tot, "one_row")
+    )
+    return ranked.agg(
+        (
+            F.sum((F.col("cum") * 5 < F.col("_tot") * 4).cast("long")) + 1
+        ).alias("n_top_customers"),
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            (F.sum((F.col("cum") * 5 < F.col("_tot") * 4).cast("long")) + 1).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_customers_for_80pct"),
+    )
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(rev) OVER () AS BIGINT) AS tot
+  FROM per_cust
+)
+SELECT CAST(SUM(CASE WHEN cum * 5 < tot * 4 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_top_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN cum * 5 < tot * 4 THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS frac_customers_for_80pct
+FROM ranked
+"""
+
+
 def q_rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags: each event scored against the mean
     and variance of its event_type's PRECEDING 20 values (the online
@@ -7700,5 +7755,8 @@ CATALOG: dict[str, QueryDef] = {
     "approx_topk_audit": QueryDef(q_approx_topk_audit, SQL_APPROX_TOPK_AUDIT),
     "rolling_anomaly_zscore": QueryDef(
         q_rolling_anomaly_zscore, SQL_ROLLING_ANOMALY_ZSCORE
+    ),
+    "revenue_concentration": QueryDef(
+        q_revenue_concentration, SQL_REVENUE_CONCENTRATION
     ),
 }

@@ -362,6 +362,7 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   dup_graph_triangles     — two 1-row census cross joins (triangle +
 #                             wedge totals over the checkpointed edges)
 #   approx_topk_audit       — broadcast 1-row coverage-flag aggregate
+#   revenue_concentration   — broadcast 1-row revenue-total aggregate
 #   (sparse_cosine_topk has the same 1-row idf cross join, but it sits
 #   below the weights localCheckpoint so the visible plan doesn't carry
 #   the BNLJ — no allowlist entry needed)
@@ -372,6 +373,7 @@ _NESTED_LOOP_ALLOWED = {
     "rfm_segmentation",
     "dup_graph_triangles",
     "approx_topk_audit",
+    "revenue_concentration",
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",
