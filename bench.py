@@ -190,6 +190,8 @@ HEADLINE = (
     "approx_topk_audit",
     "rolling_anomaly_zscore",
     "revenue_concentration",
+    "price_proximity_join",
+    "lexical_diversity",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -226,6 +228,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "interval_attribution", "conversion_funnel",
         "session_concurrency", "copurchase_lift", "rfm_segmentation",
         "event_transition_matrix", "revenue_concentration",
+        "price_proximity_join",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -253,7 +256,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "unigram_surprisal", "token_id_encode", "pii_scrub", "doc_chunking",
         "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
         "bigram_perplexity", "winnowing_fingerprints",
-        "sparse_cosine_topk", "frequent_tokens",
+        "sparse_cosine_topk", "frequent_tokens", "lexical_diversity",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

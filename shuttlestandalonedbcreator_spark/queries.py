@@ -5768,6 +5768,134 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_price_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-proximity self-join: part pairs whose retail prices differ by
+    at most ε=0.50 — the 1-D near-neighbor join (record linkage on a
+    numeric key, price-band competitor matching). The naive form is a
+    quadratic |a−b| ≤ ε theta-join; the scale form buckets each value
+    at width ε and joins only same-and-adjacent buckets (every
+    qualifying pair differs by ≤ ε so it lands in neighbor buckets;
+    the residual |a−b| ≤ ε filter removes the false candidates).
+    Prices compare in exact integer CENTS. One shuffle keyed on the
+    bucket; fan-out bounded by bucket occupancy, never n². Output:
+    pair count + mean gap per price decile of the lower part (compact,
+    deterministic)."""
+    part = _t(spark, sf_dir, "part")
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+    eps = 50  # cents
+    base = part.select(F.col("p_partkey").alias("pk"), cents.alias("c")).withColumn(
+        "b", F.floor(F.col("c") / eps).cast("long")
+    )
+    base = base.localCheckpoint(eager=True)  # feeds both join sides
+    a = base.alias("a")
+    neighbor = base.select(
+        "pk", "c", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)).alias("b")
+    ).alias("nb")
+    pairs = a.join(
+        neighbor,
+        (F.col("a.b") == F.col("nb.b"))
+        & (F.col("a.pk") < F.col("nb.pk"))
+        & (F.abs(F.col("a.c") - F.col("nb.c")) <= eps),
+    ).select(
+        F.col("a.pk").alias("id_a"),
+        F.col("a.c").alias("c_a"),
+        F.abs(F.col("a.c") - F.col("nb.c")).alias("gap"),
+    )
+    # dedup: a pair can match in two buckets only if it straddles a
+    # boundary AND via the neighbor explode — (a.b == nb.b) appears for
+    # at most one exploded value per (a, nb) pair, so no dedup needed:
+    # the explode emits nb at three DISTINCT bucket ids.
+    decile = F.least(F.floor(F.col("c_a") / 100000), F.lit(9)).cast("int")
+    return pairs.groupBy(decile.alias("price_decile")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_cents"),
+    )
+
+
+SQL_PRICE_PROXIMITY_JOIN = """
+WITH base AS (
+  SELECT p_partkey AS pk,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM part
+), pairs AS (
+  SELECT a.pk AS id_a, a.c AS c_a, abs(a.c - b.c) AS gap
+  FROM base a JOIN base b
+    ON a.pk < b.pk AND abs(a.c - b.c) <= 50
+)
+SELECT CAST(least(floor(c_a / 100000), 9) AS INTEGER) AS price_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gap_cents
+FROM pairs GROUP BY 1
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and hapax
+    fraction (tokens occurring exactly once) — the cheap vocabulary-
+    richness gates next to the Gopher repetition filters (low TTR =
+    repetitive/generated text). Pure per-row HOF math — tokenize once,
+    count distinct types and hapaxes inside the array — zero shuffles,
+    zero joins; ratios are single divisions of exact ints."""
+    docs = _t(spark, sf_dir, "documents")
+    # let-bind the token array (HOF CSE rule): evaluate tokens() once
+    toks = D.tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.explode(F.array(F.struct(toks.alias("w")))).alias("_t"),
+    ).select(
+        "doc_id",
+        F.size(F.col("_t.w")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.col("_t.w"))).cast("long").alias("n_types"),
+        F.size(
+            F.filter(
+                F.array_distinct(F.col("_t.w")),
+                lambda t: F.size(F.filter(F.col("_t.w"), lambda x: x == t)) == 1,
+            )
+        ).cast("long").alias("n_hapax"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("type_token_ratio"),
+        F.when(
+            F.col("n_types") > 0,
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("hapax_frac"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+         CAST(len(list_filter(list_distinct(w),
+              t -> len(list_filter(w, x -> x = t)) = 1)) AS BIGINT) AS n_hapax
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN n_types > 0
+            THEN CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+            ELSE 0.0 END AS hapax_frac
+FROM m
+"""
+
+
 def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto 80/20 concentration: how many customers carry 80% of
     revenue (the skew diagnostic behind partitioning and key-salting
@@ -7759,4 +7887,8 @@ CATALOG: dict[str, QueryDef] = {
     "revenue_concentration": QueryDef(
         q_revenue_concentration, SQL_REVENUE_CONCENTRATION
     ),
+    "price_proximity_join": QueryDef(
+        q_price_proximity_join, SQL_PRICE_PROXIMITY_JOIN
+    ),
+    "lexical_diversity": QueryDef(q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
 }
