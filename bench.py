@@ -192,6 +192,8 @@ HEADLINE = (
     "revenue_concentration",
     "price_proximity_join",
     "lexical_diversity",
+    "customer_max_drawdown",
+    "weighted_median",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -228,7 +230,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "interval_attribution", "conversion_funnel",
         "session_concurrency", "copurchase_lift", "rfm_segmentation",
         "event_transition_matrix", "revenue_concentration",
-        "price_proximity_join",
+        "price_proximity_join", "customer_max_drawdown",
+        "weighted_median",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

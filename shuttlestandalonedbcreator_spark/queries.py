@@ -5769,6 +5769,156 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_customer_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each customer's cumulative spend trajectory
+    treated as a series of monthly NET changes (orders add, the
+    synthetic refund flag subtracts): running peak via a cumulative
+    max window, drawdown = peak − current, report each customer's
+    worst. The whole pipeline is exact integer cents — running sums,
+    running max, and the final max are all int64; only the output
+    drawdown_frac is a single division. Two stacked windows on ONE
+    customer partition ordering (peak needs the running balance), then
+    a grouped max — no self-joins. Top-20 by (drawdown desc, custkey)
+    for a bounded result."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    # deterministic synthetic sign: ~1/4 of orders act as refunds
+    signed = F.when(F.col("o_orderkey") % 4 == 0, -cents).otherwise(cents)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # running peak must follow the SAME event order as bal — reuse the
+    # order columns, not bal
+    w_peak = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    traj = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum(signed).over(w).alias("bal"),
+    ).select(
+        "o_custkey",
+        "bal",
+        F.max("bal").over(w_peak).alias("peak"),
+    )
+    dd = traj.groupBy("o_custkey").agg(
+        F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+    )
+    out = dd.filter(F.col("peak_cents") > 0).select(
+        "o_custkey",
+        "max_drawdown_cents",
+        "peak_cents",
+        (
+            F.col("max_drawdown_cents").cast("double")
+            / F.col("peak_cents").cast("double")
+        ).alias("drawdown_frac"),
+    )
+    return out.orderBy(
+        F.desc("max_drawdown_cents"), F.asc("o_custkey")
+    ).limit(20)
+
+
+SQL_CUSTOMER_MAX_DRAWDOWN = """
+WITH signed AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN -CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
+  FROM orders
+), bal_t AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(SUM(v) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bal
+  FROM signed
+), traj AS (
+  SELECT o_custkey, bal,
+         CAST(MAX(bal) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+  FROM bal_t
+), dd AS (
+  SELECT o_custkey,
+         CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents,
+         CAST(MAX(peak) AS BIGINT) AS peak_cents
+  FROM traj GROUP BY o_custkey
+)
+SELECT o_custkey, max_drawdown_cents, peak_cents,
+       CAST(max_drawdown_cents AS DOUBLE) / CAST(peak_cents AS DOUBLE) AS drawdown_frac
+FROM dd WHERE peak_cents > 0
+ORDER BY max_drawdown_cents DESC, o_custkey ASC
+LIMIT 20
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: per return flag, the lineitem price at
+    which half the shipped QUANTITY sits on either side — the order
+    statistic that resists the outlier skew a plain mean absorbs.
+    Classic cumulative-weight construction: order by value, running
+    weight sum, pick the first row where 2·cumw ≥ total weight. All
+    weights/cumulative sums are exact int64 (quantities are integral,
+    prices in cents); the pick is a pure integer comparison with a
+    row_number tiebreak. One shuffle on the group key; the windows and
+    the pick all ride the same partition ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.asc("price_c"), F.asc("qty")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy("l_returnflag")
+    cum = base.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("qty").over(w).alias("cumw"),
+        F.sum("qty").over(wg).alias("totw"),
+    )
+    hits = cum.filter(2 * F.col("cumw") >= F.col("totw"))
+    wpick = Window.partitionBy("l_returnflag").orderBy(
+        F.asc("price_c"), F.asc("cumw")
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("price_c").cast("double") / 100.0).alias("weighted_median_price"),
+            F.col("totw").alias("total_weight"),
+        )
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, price_c,
+         CAST(SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c ASC, qty ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+         CAST(SUM(qty) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+  FROM base
+), hits AS (
+  SELECT l_returnflag, price_c, cumw, totw,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price_c ASC, cumw ASC) AS rn
+  FROM cum WHERE 2 * cumw >= totw
+)
+SELECT l_returnflag,
+       CAST(price_c AS DOUBLE) / 100.0 AS weighted_median_price,
+       totw AS total_weight
+FROM hits WHERE rn = 1
+"""
+
+
 def q_price_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-proximity self-join: part pairs whose retail prices differ by
     at most ε=0.50 — the 1-D near-neighbor join (record linkage on a
@@ -7891,4 +8041,8 @@ CATALOG: dict[str, QueryDef] = {
         q_price_proximity_join, SQL_PRICE_PROXIMITY_JOIN
     ),
     "lexical_diversity": QueryDef(q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "customer_max_drawdown": QueryDef(
+        q_customer_max_drawdown, SQL_CUSTOMER_MAX_DRAWDOWN
+    ),
+    "weighted_median": QueryDef(q_weighted_median, SQL_WEIGHTED_MEDIAN),
 }
