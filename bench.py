@@ -194,6 +194,7 @@ HEADLINE = (
     "lexical_diversity",
     "customer_max_drawdown",
     "weighted_median",
+    "trend_slope_by_type",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -231,7 +232,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "session_concurrency", "copurchase_lift", "rfm_segmentation",
         "event_transition_matrix", "revenue_concentration",
         "price_proximity_join", "customer_max_drawdown",
-        "weighted_median",
+        "weighted_median", "trend_slope_by_type",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

@@ -5770,6 +5770,76 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per event_type: slope of value against
+    hours-since-first-event, plus Pearson r — the grouped regression
+    every metric dashboard fits, without MLlib and without iteration.
+    Two passes over one group key: min(ts) per type (tiny, broadcast
+    back), then a single grouped aggregate of the five integer moment
+    sums (x in whole hours, y in milli-units — both int64-exact, sized
+    so every product fits). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE
+    division of exact ints; r's denominator multiplies the two exact
+    variance terms as DOUBLES (their int64 product could overflow) —
+    identical trees on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.groupBy("event_type").agg(F.min("ts").alias("_t0"))
+    base = ev.join(bounded_broadcast(t0, "domain"), "event_type").select(
+        "event_type",
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_t0")))
+            / F.lit(3600000000.0)
+        ).cast("long").alias("x"),
+        F.floor(F.col("value") * 1000.0 + 0.5).cast("long").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return m.filter((den_x > 0) & (den_y > 0)).select(
+        "event_type",
+        "n",
+        (num.cast("double") / den_x.cast("double")).alias("slope_milli_per_hour"),
+        (
+            num.cast("double")
+            / F.sqrt(den_x.cast("double") * den_y.cast("double"))
+        ).alias("pearson_r"),
+    )
+
+
+SQL_TREND_SLOPE_BY_TYPE = """
+WITH t0 AS (
+  SELECT event_type, MIN(ts) AS t0 FROM events GROUP BY event_type
+), base AS (
+  SELECT e.event_type,
+         CAST(floor((epoch_us(e.ts) - epoch_us(t0.t0)) / 3600000000.0) AS BIGINT) AS x,
+         CAST(floor(e.value * 1000.0 + 0.5) AS BIGINT) AS y
+  FROM events e JOIN t0 ON e.event_type = t0.event_type
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sx2 - sx * sx AS DOUBLE) AS slope_milli_per_hour,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) * CAST(n * sy2 - sy * sy AS DOUBLE)) AS pearson_r
+FROM m WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+"""
+
+
 def q_customer_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of each customer's cumulative spend trajectory
     treated as a series of monthly NET changes (orders add, the
@@ -8045,4 +8115,7 @@ CATALOG: dict[str, QueryDef] = {
         q_customer_max_drawdown, SQL_CUSTOMER_MAX_DRAWDOWN
     ),
     "weighted_median": QueryDef(q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "trend_slope_by_type": QueryDef(
+        q_trend_slope_by_type, SQL_TREND_SLOPE_BY_TYPE
+    ),
 }
