@@ -195,6 +195,7 @@ HEADLINE = (
     "customer_max_drawdown",
     "weighted_median",
     "trend_slope_by_type",
+    "cumulative_distinct_users",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -233,6 +234,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "event_transition_matrix", "revenue_concentration",
         "price_proximity_join", "customer_max_drawdown",
         "weighted_median", "trend_slope_by_type",
+        "cumulative_distinct_users",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",

@@ -5771,6 +5771,44 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric whose
+    naive form (COUNT(DISTINCT) over an expanding window) re-scans every
+    prefix and is quadratic. The first-touch identity makes it linear:
+    a user contributes to exactly ONE day (their first), so min(ts) per
+    user → count per first-day → running sum over the ~30-row day table.
+    One shuffle on user_id, one on day, a window over days only."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+SQL_CUMULATIVE_DISTINCT_USERS = """
+WITH first AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM first GROUP BY first_day
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
 def q_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form OLS trend per event_type: slope of value against
     hours-since-first-event, plus Pearson r — the grouped regression
@@ -8117,5 +8155,8 @@ CATALOG: dict[str, QueryDef] = {
     "weighted_median": QueryDef(q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "trend_slope_by_type": QueryDef(
         q_trend_slope_by_type, SQL_TREND_SLOPE_BY_TYPE
+    ),
+    "cumulative_distinct_users": QueryDef(
+        q_cumulative_distinct_users, SQL_CUMULATIVE_DISTINCT_USERS
     ),
 }
