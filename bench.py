@@ -196,6 +196,8 @@ HEADLINE = (
     "weighted_median",
     "trend_slope_by_type",
     "cumulative_distinct_users",
+    "benford_audit",
+    "ks_drift",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -241,7 +243,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
         "classifier_calibration", "cohens_kappa", "mutual_information",
-        "rolling_anomaly_zscore",
+        "rolling_anomaly_zscore", "benford_audit", "ks_drift",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",

@@ -5772,6 +5772,134 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data screen (synthetic uniform data FAILS Benford loudly,
+    which is exactly what the audit should report here). The first
+    significant digit comes from the CENTS integer's string form (no
+    log10 float path), counts are one tiny grouped aggregate, and the
+    observed fraction plus its deviation from log10(1+1/d) are single
+    divisions / fixed literals per digit row."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.select(digit.alias("d"))
+        .filter(F.col("d") >= 1)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    import math
+
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]), F.col("d")
+    )
+    return counts.select(
+        "d",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "observed_frac"
+        ),
+        expected.alias("benford_frac"),
+        (
+            F.abs(
+                F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+                - expected
+            )
+        ).alias("abs_deviation"),
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders
+), digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS d FROM cents
+), counts AS (
+  SELECT d, COUNT(*) AS n FROM digits WHERE d >= 1 GROUP BY d
+), expect AS (
+  SELECT * FROM (VALUES (1, log10(1 + 1.0/1)), (2, log10(1 + 1.0/2)),
+                        (3, log10(1 + 1.0/3)), (4, log10(1 + 1.0/4)),
+                        (5, log10(1 + 1.0/5)), (6, log10(1 + 1.0/6)),
+                        (7, log10(1 + 1.0/7)), (8, log10(1 + 1.0/8)),
+                        (9, log10(1 + 1.0/9))) AS t(d, benford_frac)
+)
+SELECT c.d, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(SUM(c.n) OVER () AS DOUBLE) AS observed_frac,
+       e.benford_frac,
+       abs(CAST(c.n AS DOUBLE) / CAST(SUM(c.n) OVER () AS DOUBLE) - e.benford_frac) AS abs_deviation
+FROM counts c JOIN expect e ON c.d = e.d
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type —
+    PSI's sibling that needs NO binning model: D = max |CDF_ref −
+    CDF_cur| over the value support. Same single-scan shape as the PSI
+    entry (period pivoted INSIDE one aggregate over (type, value)),
+    then running sums per type give both empirical CDFs; every CDF
+    point is a single division of exact counts and D is a max over
+    bit-identical doubles. Values quantize to cents for an exact
+    support; one shuffle on (type, value), one window per type."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    vq = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    counts = (
+        ev.select(
+            "event_type",
+            vq.alias("v"),
+            (F.col("ts") < mid).cast("long").alias("_ref"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum("_ref").alias("n_ref"),
+            F.sum(1 - F.col("_ref")).alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("event_type")
+    cdf = counts.select(
+        "event_type",
+        (
+            F.sum("n_ref").over(w).cast("double")
+            / F.sum("n_ref").over(wg).cast("double")
+        ).alias("cdf_ref"),
+        (
+            F.sum("n_cur").over(w).cast("double")
+            / F.sum("n_cur").over(wg).cast("double")
+        ).alias("cdf_cur"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max(F.abs(F.col("cdf_ref") - F.col("cdf_cur"))).alias("ks_statistic")
+    )
+
+
+SQL_KS_DRIFT = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM events GROUP BY 1, 2
+), cdf AS (
+  SELECT event_type,
+         CAST(SUM(n_ref) OVER (PARTITION BY event_type ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(n_ref) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf_ref,
+         CAST(SUM(n_cur) OVER (PARTITION BY event_type ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(SUM(n_cur) OVER (PARTITION BY event_type) AS DOUBLE) AS cdf_cur
+  FROM counts
+)
+SELECT event_type, MAX(abs(cdf_ref - cdf_cur)) AS ks_statistic
+FROM cdf GROUP BY event_type
+"""
+
+
 def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day — the growth-curve metric whose
     naive form (COUNT(DISTINCT) over an expanding window) re-scans every
@@ -8159,4 +8287,6 @@ CATALOG: dict[str, QueryDef] = {
     "cumulative_distinct_users": QueryDef(
         q_cumulative_distinct_users, SQL_CUMULATIVE_DISTINCT_USERS
     ),
+    "benford_audit": QueryDef(q_benford_audit, SQL_BENFORD_AUDIT),
+    "ks_drift": QueryDef(q_ks_drift, SQL_KS_DRIFT),
 }
