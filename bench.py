@@ -198,6 +198,11 @@ HEADLINE = (
     "cumulative_distinct_users",
     "benford_audit",
     "ks_drift",
+    "scd2_dimension",
+    "proration_allocate",
+    "pmi_collocations",
+    "gini_revenue",
+    "session_paths",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -236,7 +241,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "event_transition_matrix", "revenue_concentration",
         "price_proximity_join", "customer_max_drawdown",
         "weighted_median", "trend_slope_by_type",
-        "cumulative_distinct_users",
+        "cumulative_distinct_users", "scd2_dimension",
+        "proration_allocate", "gini_revenue", "session_paths",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -265,6 +271,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
         "bigram_perplexity", "winnowing_fingerprints",
         "sparse_cosine_topk", "frequent_tokens", "lexical_diversity",
+        "pmi_collocations",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

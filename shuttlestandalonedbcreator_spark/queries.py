@@ -8022,6 +8022,347 @@ FROM per_view GROUP BY 1
 """
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log — the lakehouse
+    staple that turns a mutation stream into effective-dated history
+    rows: per user, consecutive runs of the same attribute value
+    (event_type here) collapse to one row with [valid_from, valid_to)
+    and the open row flagged current.
+
+    Plan: change-point detection (value IS DISTINCT FROM lag) and the
+    validity/lead/version windows all share ONE partitioning on user_id
+    — a single exchange end to end; the filter between the two window
+    passes preserves the hash partitioning so Spark reuses it. Validity
+    bounds ship as epoch MICROS (exact int64 on both engines — the
+    loader truncates nanos identically). Deterministic order: (ts,
+    event_id), event_id unique."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("_prev"),
+    )
+    changes = marked.filter(~F.col("_prev").eqNullSafe(F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    valid_to = F.lead(F.unix_micros(F.col("ts"))).over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_DIMENSION = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to_us,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS version,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+FROM changes
+"""
+
+
+def q_proration_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money proration with largest-remainder rounding — allocate
+    each order's total across its line items proportional to extended
+    price, in integer cents, such that the allocations SUM EXACTLY to
+    the order total (the invoice/ledger constraint naive per-row
+    rounding violates by ±n cents). share_i = floor(T·w_i/W); the
+    leftover T − Σshare cents go one each to the lines with the largest
+    remainders (T·w_i mod W desc, linenumber asc tiebreak).
+
+    Plan: one fact-fact join on orderkey (both sides pre-projected to
+    key + cents), then the weight total, the floor-share running sum,
+    and the remainder rank all share ONE window partitioning on
+    orderkey. All arithmetic is int64 (T·w_i ≤ ~5e14 — order totals are
+    per-order quantities, they don't grow with SF); `div`/`%` are exact
+    on both engines; output is pure integers, no float anywhere."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_T"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_w"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).drop("o_orderkey")
+    wp = Window.partitionBy("l_orderkey")
+    tw = F.col("_T") * F.col("_w")
+    with_shares = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "_T",
+        F.expr("_T * _w div sum(_w) over (partition by l_orderkey)").alias(
+            "_share"
+        ),
+        (tw % F.sum("_w").over(wp)).alias("_mod"),
+    )
+    rk = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("_mod"), F.asc("l_linenumber")
+    )
+    return with_shares.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("_share")
+            + (
+                F.row_number().over(rk)
+                <= F.col("_T") - F.sum("_share").over(wp)
+            ).cast("long")
+        ).alias("alloc_cents"),
+    )
+
+
+SQL_PRORATION_ALLOCATE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS T
+  FROM orders
+), li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+  FROM lineitem
+), shares AS (
+  SELECT l_orderkey, l_linenumber, T,
+         T * w // SUM(w) OVER (PARTITION BY l_orderkey) AS share,
+         (T * w) % SUM(w) OVER (PARTITION BY l_orderkey) AS md
+  FROM li JOIN o ON l_orderkey = o_orderkey
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(share + CASE WHEN ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY md DESC, l_linenumber ASC)
+                          <= T - SUM(share) OVER (PARTITION BY l_orderkey)
+                    THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+FROM shares
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction via pointwise mutual information over
+    adjacent token pairs — the classic phrase-mining pass ("new york"
+    scores high, "of the" scores low) a tokenizer-training pipeline
+    runs before merging multiword units.
+
+    PMI = ln p(ab)/(p(a)p(b)) decomposed into single-int logs:
+    ln c_ab − ln B − ln c_a − ln c_b + 2·ln N (N tokens, B bigrams) —
+    each term is ln of one exact int64, the SAME expression tree on
+    both engines, rounded once at the end (multi-op float chain rule).
+    No product of counts is ever formed, so nothing can overflow at any
+    scale. Plan: bigram + unigram counts are two keyed aggregates with
+    map-side partials; the two 1-row totals ride as broadcast scalars;
+    the unigram side joins twice (w1, w2) on its own key. min_count=5
+    keeps the output collocations, not noise."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
+    cnt_w = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w"))
+    n_total = cnt_w.agg(F.sum("c_w").alias("_N"))
+    bg_list = F.get(
+        F.transform(
+            F.array(D.tokens(F.col("text"))),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        0,
+    )
+    bg = docs.select(F.explode(bg_list).alias("g")).select("g.w1", "g.w2")
+    cnt_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    b_total = cnt_bg.agg(F.sum("pair_count").alias("_B"))
+    pmi = (
+        F.log(F.col("pair_count").cast("double"))
+        - F.log(F.col("_B").cast("double"))
+        - F.log(F.col("c_a").cast("double"))
+        - F.log(F.col("c_b").cast("double"))
+        + F.lit(2.0) * F.log(F.col("_N").cast("double"))
+    )
+    return (
+        cnt_bg.filter(F.col("pair_count") >= 5)
+        .join(cnt_w.select(F.col("tok").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(cnt_w.select(F.col("tok").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(bounded_broadcast(n_total, "one_row"))
+        .crossJoin(bounded_broadcast(b_total, "one_row"))
+        .select("w1", "w2", "pair_count", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+), cnt_w AS (
+  SELECT tok, COUNT(*) AS c_w FROM toks GROUP BY 1
+), n_total AS (
+  SELECT CAST(SUM(c_w) AS BIGINT) AS N_ FROM cnt_w
+), words AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM words, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+), cnt_bg AS (
+  SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2
+), b_total AS (
+  SELECT CAST(SUM(pair_count) AS BIGINT) AS B_ FROM cnt_bg
+)
+SELECT g.w1, g.w2, g.pair_count,
+       round(ln(CAST(g.pair_count AS DOUBLE)) - ln(CAST(B_ AS DOUBLE))
+             - ln(CAST(a.c_w AS DOUBLE)) - ln(CAST(b.c_w AS DOUBLE))
+             + 2.0 * ln(CAST(N_ AS DOUBLE)), 6) AS pmi
+FROM cnt_bg g
+JOIN cnt_w a ON g.w1 = a.tok
+JOIN cnt_w b ON g.w2 = b.tok
+CROSS JOIN n_total CROSS JOIN b_total
+WHERE g.pair_count >= 5
+"""
+
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality audit
+    (how concentrated is spend?) next to revenue_concentration's 80/20
+    crossing. Rank identity on sorted cents x_1≤…≤x_n:
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — every term an exact int64,
+    G itself ONE division of exact ints (unrounded rule).
+
+    Scale shape: the global rank runs over the PER-CUSTOMER aggregate
+    (n = customers, already reduced by the first groupBy), not raw
+    orders — the single-partition window is bounded by dimension
+    cardinality, the same bound the reference's in-memory summary
+    accepts. Overflow: n·Σcents needs n·total < 2^63 — at sf1 that is
+    ~1.5e5·2.3e13 ≈ 3.4e18, inside int64; the docstring is the bound's
+    audit trail."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("_s1"),
+    )
+    num = F.lit(2) * F.col("_s1") - (F.col("n_customers") + 1) * F.col("total_cents")
+    den = F.col("n_customers") * F.col("total_cents")
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+SQL_GINI_REVENUE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM per_cust
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM(i * cents) AS BIGINT) AS s1
+  FROM ranked
+)
+SELECT n_customers, total_cents,
+       CAST(2 * s1 - (n_customers + 1) * total_cents AS DOUBLE)
+         / CAST(n_customers * total_cents AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths — the ordered event-type sequences users
+    actually walk (clickstream path analysis), built on the SAME 30-min
+    gap sessionization as `sessionization` so the two entries agree on
+    what a session is.
+
+    Plan: the gap flag, the running session id, and the per-session
+    ordered path all share one partitioning on user_id; the path is
+    assembled by sorting (ts, event_id, type) structs INSIDE the
+    collected array (array_sort — deterministic, event_id unique) so no
+    engine-specific collect order can leak into the string. Path counts
+    are one more keyed aggregate; the final top-k is
+    TakeOrderedAndProject with (count desc, path asc) — total order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    new_session = F.when(
+        lag_us.isNull() | ((us - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sid = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    paths = (
+        ev.withColumn("_sid", sid)
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+  FROM sessions GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -8289,4 +8630,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "benford_audit": QueryDef(q_benford_audit, SQL_BENFORD_AUDIT),
     "ks_drift": QueryDef(q_ks_drift, SQL_KS_DRIFT),
+    "scd2_dimension": QueryDef(q_scd2_dimension, SQL_SCD2_DIMENSION),
+    "proration_allocate": QueryDef(q_proration_allocate, SQL_PRORATION_ALLOCATE),
+    "pmi_collocations": QueryDef(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "gini_revenue": QueryDef(q_gini_revenue, SQL_GINI_REVENUE),
+    "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
 }

