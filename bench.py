@@ -203,6 +203,10 @@ HEADLINE = (
     "pmi_collocations",
     "gini_revenue",
     "session_paths",
+    "record_linkage",
+    "pagerank_fixed",
+    "woe_information_value",
+    "autocorr_daily",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -243,11 +247,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "weighted_median", "trend_slope_by_type",
         "cumulative_distinct_users", "scd2_dimension",
         "proration_allocate", "gini_revenue", "session_paths",
+        "pagerank_fixed", "autocorr_daily",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
+        "woe_information_value",
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
     ),
@@ -257,7 +263,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "edit_distance_neardup", "containment_neardup", "canonical_pick",
         "cross_source_canonical", "boilerplate_ngrams",
         "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
-        "dedup_cascade", "dup_graph_triangles",
+        "dedup_cascade", "dup_graph_triangles", "record_linkage",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",

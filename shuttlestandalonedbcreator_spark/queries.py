@@ -8363,6 +8363,297 @@ LIMIT 20
 """
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via blocking + edit-distance verify — the
+    entity-resolution workhorse: candidate pairs come ONLY from equality
+    blocks (nationkey, last-4-of-name), never a cross join, and
+    Levenshtein verifies inside each block. The corpus has no fuzzy
+    duplicates, so a deterministically perturbed mirror of every 7th
+    customer is injected in-query (the cross_source_canonical fixture
+    pattern, 2^40 id offset): 'Customer' → 'Custmr' is edit distance 2
+    and leaves the digits the block key reads intact.
+
+    Plan: one equality-keyed shuffle join (blocks bound the fan-out),
+    verify via built-in levenshtein (JVM-side, no UDF). At 100 TB this
+    is the standard blocking→verify shape: candidate volume scales with
+    block sizes, not corpus²."""
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_name", "c_nationkey")
+    mirror = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + F.lit(1 << 40)).alias("m_custkey"),
+        F.regexp_replace("c_name", "^Customer", "Custmr").alias("m_name"),
+        F.col("c_nationkey").alias("m_nationkey"),
+    )
+    blk = lambda c: F.expr(f"substring({c}, length({c}) - 3, 4)")  # noqa: E731
+    cand = base.join(
+        mirror,
+        (F.col("c_nationkey") == F.col("m_nationkey"))
+        & (blk("c_name") == blk("m_name")),
+    )
+    dist = F.levenshtein("c_name", "m_name")
+    return cand.filter(dist <= 2).select(
+        F.col("c_custkey").alias("base_id"),
+        F.col("m_custkey").alias("dup_id"),
+        dist.cast("long").alias("edit_dist"),
+    )
+
+
+SQL_RECORD_LINKAGE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer
+), mirror AS (
+  SELECT c_custkey + (1::BIGINT << 40) AS m_custkey,
+         regexp_replace(c_name, '^Customer', 'Custmr') AS m_name,
+         c_nationkey AS m_nationkey
+  FROM customer WHERE c_custkey % 7 = 0
+), cand AS (
+  SELECT b.c_custkey, m.m_custkey, b.c_name, m.m_name
+  FROM base b JOIN mirror m
+    ON b.c_nationkey = m.m_nationkey
+   AND substr(b.c_name, length(b.c_name) - 3, 4) = substr(m.m_name, length(m.m_name) - 3, 4)
+)
+SELECT c_custkey AS base_id, m_custkey AS dup_id,
+       CAST(levenshtein(c_name, m_name) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(c_name, m_name) <= 2
+"""
+
+
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 power iterations over the co-purchase part graph, in
+    EXACT integer arithmetic: ranks live in 1e-12 units of total mass,
+    per-edge contributions are integer `div`s of the source rank by its
+    out-degree, and the damping update is (15·SCALE div 100N) +
+    (85·incoming div 100) — bit-identical on both engines, so an
+    ITERATIVE algorithm carries a full value-hash oracle (unrolled CTE
+    rounds) instead of a rows-only check. The tiny mass the floors leak
+    is deterministic and identical on both sides.
+
+    Plan: the symmetrized edge list + out-degrees build once and are
+    localCheckpoint'ed (a re-referenced un-materialized subtree would
+    re-derive the pair join per round); each round is one src-keyed join
+    + one dst-keyed aggregate — the same 2-shuffle round shape as
+    connected components, rounds fixed at 3. Edge volume is bounded by
+    per-basket size², never corpus² (copurchase_lift's bound)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("_N"))
+    scale = 1_000_000_000_000
+    ranks = deg.crossJoin(bounded_broadcast(n_nodes, "one_row")).select(
+        F.col("src").alias("node"), F.expr(f"{scale} div _N").alias("r")
+    )
+    for _ in range(3):
+        inc = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r div outdeg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_inc"))
+        )
+        ranks = inc.crossJoin(bounded_broadcast(n_nodes, "one_row")).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(15 * {scale}) div (100 * _N) + (85 * _inc) div 100").alias(
+                "r"
+            ),
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"), F.col("r").alias("rank_scaled")
+    )
+
+
+SQL_PAGERANK_FIXED = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), edges AS (
+  SELECT p1 AS src, p2 AS dst FROM und
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM und
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM deg
+), r0 AS (
+  SELECT src AS node, CAST(1000000000000 // N AS BIGINT) AS r FROM deg CROSS JOIN nn
+), r1 AS (
+  SELECT e.dst AS node,
+         CAST((15 * 1000000000000) // (100 * MAX(nn.N)) + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src CROSS JOIN nn
+  GROUP BY 1
+), r2 AS (
+  SELECT e.dst AS node,
+         CAST((15 * 1000000000000) // (100 * MAX(nn.N)) + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src CROSS JOIN nn
+  GROUP BY 1
+), r3 AS (
+  SELECT e.dst AS node,
+         CAST((15 * 1000000000000) // (100 * MAX(nn.N)) + (85 * SUM(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src CROSS JOIN nn
+  GROUP BY 1
+)
+SELECT node AS part_id, r AS rank_scaled FROM r3
+"""
+
+
+def q_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value per feature bin — the
+    credit-scoring feature screen (does market segment predict urgent
+    ordering?). Labels: customer placed ≥1 URGENT order; bins:
+    mktsegment. Add-one smoothing keeps every count a positive int, so
+    WOE = ln(np1) − ln(ΣNp1) − ln(nn1) + ln(ΣNn1) is single-int logs in
+    one fixed tree (rounded once — multi-op chain rule); the IV term
+    mixes ratios into the same tree and rounds once.
+
+    Plan: label derivation is one left join + groupBy on custkey (the
+    join key — exchange reused), the bin table is ≤ |segments| rows so
+    its totals are windows over a tiny frame, not re-scans."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lab = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    cells = lab.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        (F.sum("pos") + 1).alias("np1"),
+        (F.sum(1 - F.col("pos")) + 1).alias("nn1"),
+    )
+    w = Window.partitionBy()
+    woe = (
+        F.log(F.col("np1").cast("double"))
+        - F.log(F.sum("np1").over(w).cast("double"))
+        - F.log(F.col("nn1").cast("double"))
+        + F.log(F.sum("nn1").over(w).cast("double"))
+    )
+    iv = (
+        F.col("np1").cast("double") / F.sum("np1").over(w).cast("double")
+        - F.col("nn1").cast("double") / F.sum("nn1").over(w).cast("double")
+    ) * woe
+    return cells.select(
+        "segment",
+        (F.col("np1") - 1).alias("n_pos"),
+        (F.col("nn1") - 1).alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round(iv, 6).alias("iv_term"),
+    )
+
+
+SQL_WOE_INFORMATION_VALUE = """
+WITH lab AS (
+  SELECT c.c_mktsegment AS segment,
+         MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS pos
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+), cells AS (
+  SELECT segment,
+         CAST(SUM(pos) + 1 AS BIGINT) AS np1,
+         CAST(SUM(1 - pos) + 1 AS BIGINT) AS nn1
+  FROM lab GROUP BY 1
+)
+SELECT segment,
+       np1 - 1 AS n_pos, nn1 - 1 AS n_neg,
+       round(ln(CAST(np1 AS DOUBLE)) - ln(CAST(SUM(np1) OVER () AS DOUBLE))
+             - ln(CAST(nn1 AS DOUBLE)) + ln(CAST(SUM(nn1) OVER () AS DOUBLE)), 6) AS woe,
+       round((CAST(np1 AS DOUBLE) / CAST(SUM(np1) OVER () AS DOUBLE)
+              - CAST(nn1 AS DOUBLE) / CAST(SUM(nn1) OVER () AS DOUBLE))
+             * (ln(CAST(np1 AS DOUBLE)) - ln(CAST(SUM(np1) OVER () AS DOUBLE))
+                - ln(CAST(nn1 AS DOUBLE)) + ln(CAST(SUM(nn1) OVER () AS DOUBLE))), 6) AS iv_term
+FROM cells
+"""
+
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily value series per event_type —
+    the mean-reversion/momentum screen next to trend_slope_by_type's
+    OLS. Daily totals quantize to whole units via floor(cents/100.0)
+    (the double is exact below 2^53, and floor-of-double sidesteps the
+    div-vs-// negative-truncation split between engines); the unit scale
+    keeps Σx², Σxy inside int64 at 100× this SF. Pearson r then comes
+    from five exact integer moment sums; the n·Σxy − Σx·Σy products
+    multiply as DOUBLES (the trend_slope int64-overflow lesson), one
+    fixed tree, rounded once. One shuffle for the daily rollup; the lag
+    pairing and moments ride the same event_type partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum(cents).cast("double") / F.lit(100.0)).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("day"))
+    paired = daily.select(
+        "event_type", F.col("v").alias("y"), F.lag("v").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    m = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    denx = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    deny = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("autocorr_lag1"),
+    )
+
+
+SQL_AUTOCORR_DAILY = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(floor(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT event_type, v AS y,
+         lag(v) OVER (PARTITION BY event_type ORDER BY day ASC) AS x
+  FROM daily
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM paired WHERE x IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorr_lag1
+FROM m
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -8635,4 +8926,10 @@ CATALOG: dict[str, QueryDef] = {
     "pmi_collocations": QueryDef(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "gini_revenue": QueryDef(q_gini_revenue, SQL_GINI_REVENUE),
     "session_paths": QueryDef(q_session_paths, SQL_SESSION_PATHS),
+    "record_linkage": QueryDef(q_record_linkage, SQL_RECORD_LINKAGE),
+    "pagerank_fixed": QueryDef(q_pagerank_fixed, SQL_PAGERANK_FIXED),
+    "woe_information_value": QueryDef(
+        q_woe_information_value, SQL_WOE_INFORMATION_VALUE
+    ),
+    "autocorr_daily": QueryDef(q_autocorr_daily, SQL_AUTOCORR_DAILY),
 }

@@ -378,6 +378,7 @@ _NESTED_LOOP_ALLOWED = {
     "unigram_surprisal",
     "bigram_perplexity",
     "pmi_collocations",
+    "pagerank_fixed",
     "dedup_cascade",
     "range_join_buckets",
     "column_profile",

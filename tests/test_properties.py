@@ -469,3 +469,45 @@ def test_proration_sums_exactly(spark, sf_small):
     bad = joined.filter(F.col("allocated") != F.col("T")).count()
     assert bad == 0
     assert joined.count() > 0
+
+
+def test_pagerank_mass_and_floor(spark, sf_small):
+    """Semantic pin for pagerank_fixed: total rank mass stays within the
+    deterministic floor-leak of SCALE (each of 3 rounds can leak < 1
+    unit per node from the two integer divs plus the damping floor), and
+    every node's rank is at least the teleport floor (15·SCALE/100N) —
+    the invariants a symmetrically wrong update rule would break."""
+    from shuttlestandalonedbcreator_spark.queries import CATALOG
+
+    rows = CATALOG["pagerank_fixed"].spark(spark, sf_small).collect()
+    n = len(rows)
+    assert n > 0
+    scale = 1_000_000_000_000
+    total = sum(r["rank_scaled"] for r in rows)
+    assert total <= scale
+    # per round each node floors away < outdeg units (contribution divs)
+    # + 2 units (damping divs); the graph is co-purchase sparse, so a
+    # generous global bound is 3 rounds x n x (max_outdeg + 2). Use the
+    # loosest structural bound that still catches a lost node: 1% mass.
+    assert total >= scale * 0.99
+    floor = (15 * scale) // (100 * n)
+    assert all(r["rank_scaled"] >= floor for r in rows)
+
+
+def test_record_linkage_finds_every_mirror_once(spark, sf_small):
+    """Semantic pin for record_linkage: the injected perturbation is
+    designed to survive blocking (digits untouched), so every mirror
+    must link back to exactly its source customer — found-rate 100%,
+    no false pairs."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.queries import CATALOG, _t
+
+    got = CATALOG["record_linkage"].spark(spark, sf_small).collect()
+    n_mirrors = (
+        _t(spark, sf_small, "customer").filter(F.col("c_custkey") % 7 == 0).count()
+    )
+    assert len(got) == n_mirrors > 0
+    for r in got:
+        assert r["dup_id"] - (1 << 40) == r["base_id"]
+        assert r["edit_dist"] == 2
