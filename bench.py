@@ -207,6 +207,10 @@ HEADLINE = (
     "pagerank_fixed",
     "woe_information_value",
     "autocorr_daily",
+    "token_burstiness",
+    "stratified_split_exact",
+    "mom_growth",
+    "abc_classification",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -247,7 +251,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "weighted_median", "trend_slope_by_type",
         "cumulative_distinct_users", "scd2_dimension",
         "proration_allocate", "gini_revenue", "session_paths",
-        "pagerank_fixed", "autocorr_daily",
+        "pagerank_fixed", "autocorr_daily", "mom_growth",
+        "abc_classification",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -277,12 +282,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "length_percentile_gate", "url_canonicalize", "bpe_train_merges",
         "bigram_perplexity", "winnowing_fingerprints",
         "sparse_cosine_topk", "frequent_tokens", "lexical_diversity",
-        "pmi_collocations",
+        "pmi_collocations", "token_burstiness",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",
         "weighted_sample", "mixture_sample", "per_source_cap",
         "shuffle_shards", "benchmark_decontamination", "pareto_frontier",
+        "stratified_split_exact",
     ),
     "udf": ("pandas_udaf_weighted", "groupwise_minmax_norm"),
     "coverage": (

@@ -8654,6 +8654,232 @@ FROM m
 """
 
 
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor) — Var/mean of per-document counts
+    including the zero-count docs: content words are bursty (they recur
+    within the few docs they appear in), function words are Poisson-ish.
+    A corpus-statistics pass tokenizer/vocab design reads alongside df
+    and tf. With S=Σc, S2=Σc² over present docs and D total docs, the
+    population identity Fano = (D·S2 − S²)/(D·S) needs no per-doc
+    zero rows. Products multiply as DOUBLES (S² overflows int64 on hot
+    tokens at large SF — the trend_slope lesson); one fixed tree,
+    shipped via that tree unrounded... rounded once (multi-op chain).
+    Plan: (token, doc) tf then token stats — two keyed aggregates with
+    map-side partials; D rides as a broadcast 1-row aggregate; top-50
+    by Fano with token tiebreak, df ≥ 20 floors the noise."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total_count"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    )
+    d_total = docs.agg(F.count(F.lit(1)).alias("_D"))
+    fano = (
+        F.col("_D").cast("double") * F.col("_s2").cast("double")
+        - F.col("total_count").cast("double") * F.col("total_count").cast("double")
+    ) / (F.col("_D").cast("double") * F.col("total_count").cast("double"))
+    return (
+        stats.filter(F.col("df") >= 20)
+        .crossJoin(bounded_broadcast(d_total, "one_row"))
+        .select("tok", "df", "total_count", F.round(fano, 6).alias("fano"))
+        .orderBy(F.desc("fano"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+SQL_TOKEN_BURSTINESS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS total_count, CAST(SUM(c*c) AS BIGINT) AS s2
+  FROM tf GROUP BY 1
+), d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS D FROM documents
+)
+SELECT tok, df, total_count,
+       round((CAST(D AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(total_count AS DOUBLE) * CAST(total_count AS DOUBLE))
+             / (CAST(D AS DOUBLE) * CAST(total_count AS DOUBLE)), 6) AS fano
+FROM stats CROSS JOIN d
+WHERE df >= 20
+ORDER BY fano DESC, tok ASC
+LIMIT 50
+"""
+
+
+def q_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split with EXACT global size: the hash-deterministic
+    80/20 split (`train_val_test_split`) hits 80% only in expectation;
+    this entry makes the global train count exactly floor(0.8·N) while
+    keeping strata proportional — per-stratum quota floor(0.8·n) plus a
+    largest-remainder top-up across strata (the proration_allocate
+    identity applied to sampling). Assignment stays hash-deterministic
+    and growth-stable WITHIN a stratum: rows rank by md5(doc_id), the
+    first k go to train — no RNG state, task retries agree.
+
+    Plan: one rank window per stratum; quotas live on a per-stratum
+    frame (bounded by |langs| — a domain), topped up via one tiny
+    ordered window, joined back hint-free (AQE broadcasts by size)."""
+    docs = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("lang").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(wr).cast("long").alias("_rk")
+    )
+    sizes = ranked.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    # totals as windows over the strata frame (bounded by |langs|): no
+    # self-join, no broadcast needed
+    wq = Window.orderBy(F.desc("_rem"), F.asc("lang"))
+    wall = Window.partitionBy()
+    quotas = (
+        sizes.select(
+            "lang",
+            "_n",
+            F.expr("_n * 80 div 100").alias("_base"),
+            F.expr("(_n * 80) % 100").alias("_rem"),
+        )
+        .select(
+            "lang",
+            (
+                F.col("_base")
+                + (
+                    F.row_number().over(wq)
+                    <= F.expr("sum(_n) over () * 80 div 100")
+                    - F.sum("_base").over(wall)
+                ).cast("long")
+            ).alias("_k"),
+        )
+    )
+    return ranked.join(quotas, "lang").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("_rk") <= F.col("_k"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+SQL_STRATIFIED_SPLIT_EXACT = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents
+), sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM ranked GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_n, CAST(SUM(n * 80 // 100) AS BIGINT) AS base_sum FROM sizes
+), quotas AS (
+  SELECT lang, n * 80 // 100
+         + CASE WHEN ROW_NUMBER() OVER (ORDER BY (n * 80) % 100 DESC, lang ASC)
+                 <= total_n * 80 // 100 - base_sum THEN 1 ELSE 0 END AS k
+  FROM sizes CROSS JOIN tot
+)
+SELECT r.doc_id, r.lang,
+       CASE WHEN r.rk <= q.k THEN 'train' ELSE 'eval' END AS split
+FROM ranked r JOIN quotas q USING (lang)
+"""
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per market segment — the
+    reporting staple. Monthly totals are exact cents (one groupBy on
+    (segment, month) after a custkey-keyed dim join); the ratio is ONE
+    division of exact int64s, shipped UNROUNDED (single-division rule);
+    the first month's ratio is NULL on both engines (lag null)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.asc("month"))
+    return monthly.select(
+        "segment",
+        "month",
+        "cents",
+        (
+            F.col("cents").cast("double") / F.lag("cents").over(w).cast("double")
+        ).alias("mom_ratio"),
+    )
+
+
+SQL_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, month, cents,
+       CAST(cents AS DOUBLE) / CAST(lag(cents) OVER (PARTITION BY segment ORDER BY month ASC) AS DOUBLE) AS mom_ratio
+FROM monthly
+"""
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — parts bucketed by cumulative
+    revenue share (A: first 80% of revenue, B: to 95%, C: the tail),
+    the operations-research sibling of revenue_concentration. Class
+    boundaries compare in INTEGER cross-multiplication (cum·100 ≤
+    tot·80 — no float thresholds, no rounding hazard; tot·100 stays
+    far inside int64 at any SF). The running sum is a global window
+    over the PER-PART aggregate (bounded by the part dimension, the
+    same justification as gini_revenue); (revenue desc, partkey)
+    is a total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("revenue_cents"))
+    wcum = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    cum = F.sum("revenue_cents").over(wcum)
+    tot = F.sum("revenue_cents").over(wtot)
+    return per_part.select(
+        "l_partkey",
+        "revenue_cents",
+        F.when(cum * 100 <= tot * 80, F.lit("A"))
+        .when(cum * 100 <= tot * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+SQL_ABC_CLASSIFICATION = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, revenue_cents,
+         CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(revenue_cents) OVER () AS BIGINT) AS tot
+  FROM per_part
+)
+SELECT l_partkey, revenue_cents,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -8932,4 +9158,12 @@ CATALOG: dict[str, QueryDef] = {
         q_woe_information_value, SQL_WOE_INFORMATION_VALUE
     ),
     "autocorr_daily": QueryDef(q_autocorr_daily, SQL_AUTOCORR_DAILY),
+    "token_burstiness": QueryDef(q_token_burstiness, SQL_TOKEN_BURSTINESS),
+    "stratified_split_exact": QueryDef(
+        q_stratified_split_exact, SQL_STRATIFIED_SPLIT_EXACT
+    ),
+    "mom_growth": QueryDef(q_mom_growth, SQL_MOM_GROWTH),
+    "abc_classification": QueryDef(
+        q_abc_classification, SQL_ABC_CLASSIFICATION
+    ),
 }

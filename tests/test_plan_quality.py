@@ -379,6 +379,7 @@ _NESTED_LOOP_ALLOWED = {
     "bigram_perplexity",
     "pmi_collocations",
     "pagerank_fixed",
+    "token_burstiness",
     "dedup_cascade",
     "range_join_buckets",
     "column_profile",

@@ -511,3 +511,24 @@ def test_record_linkage_finds_every_mirror_once(spark, sf_small):
     for r in got:
         assert r["dup_id"] - (1 << 40) == r["base_id"]
         assert r["edit_dist"] == 2
+
+
+def test_stratified_split_exact_counts(spark, sf_small):
+    """Semantic pin for stratified_split_exact: the GLOBAL train count
+    is exactly floor(0.8*N) (the property the plain hash split only has
+    in expectation), every stratum's train count is floor(0.8*n) or one
+    more, and assignment within a stratum is the md5-rank prefix (so
+    it is deterministic and growth-stable)."""
+    from shuttlestandalonedbcreator_spark.queries import CATALOG
+
+    rows = CATALOG["stratified_split_exact"].spark(spark, sf_small).collect()
+    n_total = len(rows)
+    train = [r for r in rows if r["split"] == "train"]
+    assert len(train) == n_total * 80 // 100
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        k = sum(1 for r in rs if r["split"] == "train")
+        base = len(rs) * 80 // 100
+        assert k in (base, base + 1), (lang, k, base)
