@@ -211,6 +211,10 @@ HEADLINE = (
     "stratified_split_exact",
     "mom_growth",
     "abc_classification",
+    "decile_lift",
+    "spearman_corr",
+    "conversion_lag_quantiles",
+    "graph_degree_distribution",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -252,13 +256,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "cumulative_distinct_users", "scd2_dimension",
         "proration_allocate", "gini_revenue", "session_paths",
         "pagerank_fixed", "autocorr_daily", "mom_growth",
-        "abc_classification",
+        "abc_classification", "conversion_lag_quantiles",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
-        "woe_information_value",
+        "woe_information_value", "decile_lift", "spearman_corr",
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
     ),
@@ -269,6 +273,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "cross_source_canonical", "boilerplate_ngrams",
         "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
         "dedup_cascade", "dup_graph_triangles", "record_linkage",
+        "graph_degree_distribution",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",

@@ -8880,6 +8880,257 @@ FROM ranked
 """
 
 
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model gains table — the deployment-facing eval next to
+    classifier_auc: score deciles (ntile over score desc) with per-decile
+    positive rate, lift over base rate, and cumulative capture. Same toy
+    scorer as classifier_auc (stopword ratio vs lang='en') so the two
+    evals describe one model. NTILE agrees across engines given a TOTAL
+    order (the rfm_segmentation lesson): ties break on doc_id. Lift =
+    n_pos·N/(n·P) and capture = cum_pos/P are single divisions of exact
+    int64 products, shipped UNROUNDED.
+
+    Scale note: ntile needs a global sort of the SCORED set — right for
+    eval corpora (bounded by construction); at 100 TB score a sample or
+    derive decile edges from approx percentiles first."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        T.stopword_ratio(F.col("text")).alias("_s"),
+        (F.col("lang") == "en").cast("long").alias("_pos"),
+        "doc_id",
+    )
+    wd = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    cells = (
+        scored.select(F.ntile(10).over(wd).cast("long").alias("decile"), "_pos")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_pos").alias("n_pos"))
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        "decile",
+        "n",
+        "n_pos",
+        (
+            (F.col("n_pos") * F.sum("n").over(wall)).cast("double")
+            / (F.col("n") * F.sum("n_pos").over(wall)).cast("double")
+        ).alias("lift"),
+        (
+            F.sum("n_pos").over(wcum).cast("double")
+            / F.sum("n_pos").over(wall).cast("double")
+        ).alias("cum_capture"),
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS s
+  FROM toks
+), cells AS (
+  SELECT CAST(NTILE(10) OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS decile, pos
+  FROM scored
+), agg AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM cells GROUP BY 1
+)
+SELECT decile, n, n_pos,
+       CAST(n_pos * SUM(n) OVER () AS DOUBLE)
+         / CAST(n * SUM(n_pos) OVER () AS DOUBLE) AS lift,
+       CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(n_pos) OVER () AS DOUBLE) AS cum_capture
+FROM agg
+"""
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per market segment between a customer's
+    account balance and their order revenue — the outlier-robust
+    dependence check (Pearson on money is dominated by whales). Both
+    rankings break ties deterministically on custkey (documented:
+    tiebroken Spearman, not tie-averaged), which makes each rank a
+    PERMUTATION, so the classic exact identity applies: ρ = 1 −
+    6·Σd²/(n(n²−1)) — all int64 (Σd² ≤ n³, n is per-segment customers),
+    one division, shipped unrounded.
+
+    Plan: revenue is one custkey-keyed aggregate joined back to
+    customers on the same key; the two rank windows share the segment
+    partitioning; the moment sums are one more grouped aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("_rev"))
+    j = cust.join(rev, cust.c_custkey == rev.o_custkey).select(
+        "c_mktsegment", "c_custkey", "c_acctbal", "_rev"
+    )
+    wx = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    wy = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("_rev"), F.asc("c_custkey")
+    )
+    ranked = j.select(
+        "c_mktsegment",
+        (F.row_number().over(wx).cast("long") - F.row_number().over(wy).cast("long")).alias("_d"),
+    )
+    m = ranked.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sd2"),
+    )
+    return m.select(
+        "segment",
+        "n",
+        (
+            F.lit(1.0)
+            - (F.lit(6) * F.col("_sd2")).cast("double")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double")
+        ).alias("spearman_rho"),
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal, rev.r
+  FROM customer c JOIN rev ON c.c_custkey = rev.o_custkey
+), ranked AS (
+  SELECT c_mktsegment,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT)
+         - CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY r ASC, c_custkey ASC) AS BIGINT) AS d
+  FROM j
+), m AS (
+  SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d * d) AS BIGINT) AS sd2
+  FROM ranked GROUP BY 1
+)
+SELECT segment, n,
+       1.0 - CAST(6 * sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS spearman_rho
+FROM m
+"""
+
+
+def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase, the lag since
+    the user's latest preceding click (the asof_join entry's pairing),
+    summarized as exact interpolated quantiles — the latency-SLO shape
+    applied to funnel analytics. Lag is computed in integer MICROS and
+    divided once to seconds (identical tree); quantiles follow the
+    exact_percentiles contract (sort-within-buffer, bounded here by the
+    conversions count; approx sketch is the unbounded-group path)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    wc = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        clicks.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.unix_micros("ts").alias("_click_us"))
+    )
+    paired = J.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["_click_us"],
+    ).filter(F.col("_click_us").isNotNull())
+    lag_s = (
+        (F.unix_micros("ts") - F.col("_click_us")).cast("double") / F.lit(1e6)
+    )
+    return paired.select(lag_s.alias("_lag")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(_lag, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(_lag, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(_lag, 0.99)"), 6).alias("p99_s"),
+    )
+
+
+SQL_CONVERSION_LAG_QUANTILES = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, epoch_us(ts) AS click_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c1 AS (
+  SELECT user_id, ts, click_us FROM clicks WHERE rn = 1
+), paired AS (
+  SELECT p.event_id,
+         (SELECT c.click_us FROM c1 c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC LIMIT 1) AS click_us,
+         epoch_us(p.ts) AS p_us
+  FROM purchases p
+), lags AS (
+  SELECT CAST(p_us - click_us AS DOUBLE) / 1000000.0 AS lag_s
+  FROM paired WHERE click_us IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       round(quantile_cont(lag_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(lag_s, 0.9), 6) AS p90_s,
+       round(quantile_cont(lag_s, 0.99), 6) AS p99_s
+FROM lags
+"""
+
+
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first
+    diagnostic run on any similarity/dup graph (a heavy tail predicts
+    hot-key trouble in every downstream graph pass; dup_graph_triangles
+    and pagerank_fixed consume the same edges). One orderkey-keyed pair
+    join (basket-bounded), one degree count, one histogram count —
+    nothing global."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    sym = und.select(F.col("p1").alias("node")).unionByName(
+        und.select(F.col("p2").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+SQL_GRAPH_DEGREE_DISTRIBUTION = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT p1 AS node FROM und UNION ALL SELECT p2 AS node FROM und
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -9165,5 +9416,13 @@ CATALOG: dict[str, QueryDef] = {
     "mom_growth": QueryDef(q_mom_growth, SQL_MOM_GROWTH),
     "abc_classification": QueryDef(
         q_abc_classification, SQL_ABC_CLASSIFICATION
+    ),
+    "decile_lift": QueryDef(q_decile_lift, SQL_DECILE_LIFT),
+    "spearman_corr": QueryDef(q_spearman_corr, SQL_SPEARMAN_CORR),
+    "conversion_lag_quantiles": QueryDef(
+        q_conversion_lag_quantiles, SQL_CONVERSION_LAG_QUANTILES
+    ),
+    "graph_degree_distribution": QueryDef(
+        q_graph_degree_distribution, SQL_GRAPH_DEGREE_DISTRIBUTION
     ),
 }

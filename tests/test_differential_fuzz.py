@@ -429,6 +429,41 @@ def _cte_query(rng: random.Random) -> str:
     )
 
 
+def _string_expr_query(rng: random.Random) -> str:
+    """String-function compositions as group keys and predicates —
+    upper/lower/trim/substr/replace/||/left are engine-exact on the
+    fixtures' ASCII data, so a mismatch is a real semantic divergence
+    (1-indexing, zero-length slices, NULL propagation through ||, LIKE
+    edges), never collation noise. Group keys use GROUP BY 1 (both
+    engines resolve ordinals)."""
+    table = rng.choice(list(_TABLES))
+    cols = _TABLES[table]
+    c = rng.choice(cols["str"])
+    exprs = [
+        f"upper({c})",
+        f"lower({c})",
+        f"substr({c}, {rng.randint(1, 3)}, {rng.randint(0, 4)})",
+        f"replace({c}, '{rng.choice('aeiou')}', '_')",
+        f"trim({c})",
+        f"{c} || '_' || {rng.choice(cols['str'])}",
+        f"left({c}, {rng.randint(0, 3)})",
+    ]
+    key = rng.choice(exprs)
+    preds = [
+        f"length({c}) {rng.choice(['<', '<=', '>', '>='])} {rng.randint(0, 12)}",
+        f"{c} LIKE '%{rng.choice('aeiou1')}%'",
+        f"substr({c}, 1, {rng.randint(0, 2)}) = '{rng.choice(_STR_LITS)[:2]}'",
+    ]
+    where = preds[rng.randrange(len(preds))]
+    agg = rng.choice(
+        [f"COUNT(DISTINCT {c}) AS d", f"MIN(length({c})) AS m", "COUNT(*) AS n2"]
+    )
+    return (
+        f"SELECT {key} AS k, COUNT(*) AS n, {agg} "
+        f"FROM {table} WHERE {where} GROUP BY 1"
+    )
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
@@ -446,6 +481,7 @@ _QUERIES = (
     + [_full_outer_query(random.Random(_SEED + 13000 + i)) for i in range(5)]
     + [_datetime_query(random.Random(_SEED + 14000 + i)) for i in range(5)]
     + [_cte_query(random.Random(_SEED + 15000 + i)) for i in range(5)]
+    + [_string_expr_query(random.Random(_SEED + 16000 + i)) for i in range(5)]
 )
 
 
@@ -459,7 +495,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 85))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 90))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]

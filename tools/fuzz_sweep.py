@@ -44,6 +44,7 @@ def main() -> int:
         _scalar_query,
         _scalar_subquery_query,
         _setop_query,
+        _string_expr_query,
         _topk_query,
         _window_query,
     )
@@ -59,7 +60,7 @@ def main() -> int:
             _setop_query, _exists_query, _frame_window_query, _distinct_query,
             _grouping_sets_query, _case_agg_query, _in_subquery_query,
             _scalar_subquery_query, _full_outer_query, _datetime_query,
-            _cte_query]
+            _cte_query, _string_expr_query]
     divergences = errors = 0
     for seed in range(base, base + n_seeds):
         sql = random.Random(seed).choice(gens)(random.Random(seed))
