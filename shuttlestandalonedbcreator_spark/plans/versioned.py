@@ -114,7 +114,13 @@ def read_table(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a snapshot — the committed one by default, or any retained
-    earlier ``version`` (time travel)."""
+    earlier ``version`` (time travel).
+
+    Reads with ``recursiveFileLookup`` so flat snapshots (write_version)
+    and partition-subdir snapshots (write_version_incremental) resolve
+    identically: partition columns live IN the files by contract, so no
+    hive-style discovery is wanted — or safe, since the dir names would
+    collide with the in-file column."""
     committed = current_version(path)
     if committed == 0:
         raise FileNotFoundError(f"versioned table has no commits: {path}")
@@ -125,7 +131,129 @@ def read_table(
             f"version {v} not available (committed={committed}, "
             f"retained={list_versions(path)})"
         )
-    return spark.read.parquet(target)
+    return spark.read.option("recursiveFileLookup", "true").parquet(target)
+
+
+def _commit(path: str, version: int, staging: str) -> int:
+    """Steps 1-2 of the commit protocol: staging→vN rename, pointer swap."""
+    os.rename(staging, _vdir(path, version))
+    tmp = os.path.join(path, _VERSION_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{version}\n")
+    os.replace(tmp, os.path.join(path, _VERSION_FILE))  # the commit point
+    return version
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` with HARD LINKS (files) — snapshots
+    are immutable, so linked data files are safe to share; ``vacuum``'s
+    rmtree only drops link counts, never bytes another version needs."""
+    os.makedirs(dst, exist_ok=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for fn in files:
+            os.link(os.path.join(root, fn), os.path.join(out, fn))
+
+
+def write_version_incremental(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_col: str,
+    op_col: str | None = None,
+) -> int:
+    """Commit the next snapshot from the current one plus a CDC batch,
+    REUSING every untouched partition directory via hard links — the
+    lakehouse manifest trick restated on directories (SCALING.md's
+    versioned-snapshot section, now code): commit cost scales with the
+    CHANGED partitions + the pointer swap, never with the table.
+
+    Snapshot layout becomes ``vN/_p=<val>/*.parquet`` with
+    ``partition_col`` still IN the files (the write_partitioned
+    contract), read back via recursiveFileLookup. Same functional-
+    dependence contract as ``merge_upsert_partitioned``: partition_col
+    must be derived from the keys, or an update could move a key across
+    partitions and strand its old copy in a hard-linked dir. Crash
+    safety is inherited: everything happens inside ``._staging`` and the
+    existing sweep; the hard links cost one inode ref each, no data
+    copy. First commit (empty table) treats the batch as pure inserts."""
+    from shuttlestandalonedbcreator_spark.plans.merge import (
+        _check_part_val,
+        _resolve_winners,
+    )
+
+    os.makedirs(path, exist_ok=True)
+    _sweep_uncommitted(path)
+    prev = current_version(path)
+    version = prev + 1
+    staging = _vdir(path, version) + "._staging"
+
+    affected = sorted(
+        r[0]
+        for r in updates.select(
+            F.col(partition_col).cast("string").alias("_p")
+        )
+        .distinct()
+        .collect()
+        if r[0] is not None
+    )
+    for v in affected:
+        # same safe-charset contract as merge_upsert_partitioned: the
+        # value becomes a directory name that the link/skip set must
+        # match byte-for-byte against Spark's partition dir naming
+        _check_part_val(v)
+    prev_dir = _vdir(path, prev) if prev else None
+    prev_parts = (
+        sorted(
+            e for e in os.listdir(prev_dir) if e.startswith("_p=")
+        )
+        if prev_dir and os.path.isdir(prev_dir)
+        else []
+    )
+    if prev and not prev_parts and os.listdir(prev_dir):
+        raise ValueError(
+            "current snapshot is not partition-subdir laid out; "
+            "bootstrap incremental tables with write_version_incremental"
+        )
+
+    os.makedirs(staging)
+    affected_set = {f"_p={v}" for v in affected}
+    for entry in prev_parts:
+        if entry not in affected_set:
+            _link_tree(
+                os.path.join(prev_dir, entry), os.path.join(staging, entry)
+            )
+
+    base_dirs = [
+        os.path.join(prev_dir, e) for e in prev_parts if e in affected_set
+    ]
+    base = (
+        spark.read.parquet(*base_dirs) if base_dirs else None
+    )
+    data_cols = (
+        base.columns
+        if base is not None
+        else [c for c in updates.columns if c != op_col]
+    )
+    merged = _resolve_winners(base, updates, keys, order_col, op_col, data_cols)
+    # inside `staging` so a crash anywhere leaves ONLY ._staging debris
+    # for the existing sweep; the dot-prefixed name is invisible to
+    # Spark's path filter even if a remnant survived into a snapshot
+    merge_staging = os.path.join(staging, ".merge")
+    merged.withColumn(
+        "_p", F.col(partition_col).cast("string")
+    ).write.partitionBy("_p").mode("overwrite").parquet(merge_staging)
+    for entry in os.listdir(merge_staging):
+        if entry.startswith("_p="):
+            os.rename(
+                os.path.join(merge_staging, entry), os.path.join(staging, entry)
+            )
+    shutil.rmtree(merge_staging)
+    return _commit(path, version, staging)
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[int]:

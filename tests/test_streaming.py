@@ -642,3 +642,84 @@ def test_streaming_cdc_apply_with_version_history(spark, tmp_path):
         for r in V.diff_versions(spark, hist, 1, 3, ["k"]).collect()
     }
     assert net == {1: "D", 4: "U", 5: "I"}
+
+
+def test_streaming_cdc_versioned_incremental_snapshots(spark, tmp_path):
+    """apply_cdc_stream_versioned: the versioned table is the only
+    store — one incremental snapshot per micro-batch, point-in-time
+    states correct at every version, and partitions a batch did not
+    touch are HARD-LINKED from the previous snapshot (same inodes:
+    per-batch commit cost is the changed partitions, not the table)."""
+    import time as _time
+
+    from shuttlestandalonedbcreator_spark.plans import versioned as V
+    from shuttlestandalonedbcreator_spark.streaming.cdc_apply import (
+        apply_cdc_stream_versioned,
+    )
+
+    # bootstrap version 1: 8 keys over 4 hash buckets
+    hist = str(tmp_path / "hist")
+    init = spark.createDataFrame(
+        [(k, f"a{k}", 1, "U") for k in range(8)],
+        "k long, v string, ver long, op string",
+    ).withColumn("bucket", F.col("k") % 4)
+    V.write_version_incremental(
+        spark, hist, init, keys=["k"], order_col="ver",
+        partition_col="bucket", op_col="op",
+    )
+
+    # two streamed batches, each touching ONLY bucket 1 (keys 1, 5)
+    batches = [
+        [(1, "b1", 2, "U")],
+        [(5, None, 3, "D")],
+    ]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"b{i}"
+        spark.createDataFrame(
+            rows, "k long, v string, ver long, op string"
+        ).coalesce(1).write.parquet(str(staging))
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                dst = flat / f"{i:02d}_{f}"
+                os.rename(staging / f, dst)
+                os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema("k long, v string, ver long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = apply_cdc_stream_versioned(
+        stream.withColumn("bucket", F.col("k") % 4),
+        hist, ["k"], "ver", "bucket", str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    def snap(version):
+        return {
+            r["k"]: r["v"]
+            for r in V.read_table(spark, hist, version=version).collect()
+        }
+
+    assert V.list_versions(hist) == [1, 2, 3]
+    assert snap(1) == {k: f"a{k}" for k in range(8)}
+    assert snap(2) == {**{k: f"a{k}" for k in range(8)}, 1: "b1"}
+    want3 = {k: f"a{k}" for k in range(8) if k != 5}
+    want3[1] = "b1"
+    assert snap(3) == want3
+
+    # untouched buckets share inodes across all three versions
+    def inodes(version, bucket):
+        d = os.path.join(hist, f"v{version:08d}", f"_p={bucket}")
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_ino
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+
+    for b in (0, 2, 3):
+        assert inodes(1, b) == inodes(2, b) == inodes(3, b), b

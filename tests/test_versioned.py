@@ -119,3 +119,148 @@ def test_diff_versions_across_schema_evolution(spark, tmp_path):
     got = {(r["k"], r["op"]) for r in diff.collect()}
     # key 1 gains extra=9 -> U; key 2's extra is NULL on both sides -> unchanged
     assert got == {(1, "U")}
+
+
+def _inc_rows(spark, triples):
+    # (k, val, seq) — bucket = k % 4 is the key-derived partition col
+    return spark.createDataFrame(
+        triples, "k long, val string, seq long"
+    ).withColumn("bucket", F.col("k") % 4)
+
+
+def _inc_collect(df):
+    return {(r["k"], r["val"]) for r in df.select("k", "val").collect()}
+
+
+def test_incremental_commit_matches_model_and_links_untouched(spark, tmp_path):
+    """write_version_incremental: snapshot content equals the dict
+    model across three commits, and every partition dir the batch did
+    not touch is HARD-LINKED from the previous snapshot (same inodes,
+    zero data copied) — the commit-cost-scales-with-changes claim as a
+    filesystem fact."""
+    t = str(tmp_path / "tbl")
+    v1 = V.write_version_incremental(
+        spark,
+        t,
+        _inc_rows(spark, [(i, f"a{i}", 1) for i in range(16)]),
+        keys=["k"],
+        order_col="seq",
+        partition_col="bucket",
+    )
+    assert v1 == 1
+    model = {(i, f"a{i}") for i in range(16)}
+    assert _inc_collect(V.read_table(spark, t)) == model
+
+    # batch touches ONLY bucket 1 (keys 1, 5) + deletes key 9 (bucket 1)
+    batch = spark.createDataFrame(
+        [(1, "b1", 2, "U"), (5, "b5", 2, "U"), (9, None, 2, "D")],
+        "k long, val string, seq long, op string",
+    ).withColumn("bucket", F.col("k") % 4)
+    v2 = V.write_version_incremental(
+        spark, t, batch, keys=["k"], order_col="seq",
+        partition_col="bucket", op_col="op",
+    )
+    assert v2 == 2
+    model = {p for p in model if p[0] != 9} - {(1, "a1"), (5, "a5")}
+    model |= {(1, "b1"), (5, "b5")}
+    assert _inc_collect(V.read_table(spark, t)) == model
+    # time travel still sees v1
+    assert _inc_collect(V.read_table(spark, t, version=1)) == {
+        (i, f"a{i}") for i in range(16)
+    }
+
+    # untouched buckets 0, 2, 3: identical inodes across v1 and v2
+    def inodes(version, bucket):
+        d = os.path.join(t, f"v{version:08d}", f"_p={bucket}")
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_ino
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+
+    for b in (0, 2, 3):
+        assert inodes(1, b) == inodes(2, b), b
+    # the touched bucket was rewritten, not linked
+    assert set(inodes(1, 1)) != set() and inodes(1, 1) != inodes(2, 1)
+
+
+def test_incremental_vacuum_keeps_shared_bytes_alive(spark, tmp_path):
+    """Dropping an old snapshot whose files the current one hard-links
+    must not disturb the current snapshot (inode survives the rmtree)."""
+    t = str(tmp_path / "tbl")
+    V.write_version_incremental(
+        spark, t,
+        _inc_rows(spark, [(i, f"a{i}", 1) for i in range(8)]),
+        keys=["k"], order_col="seq", partition_col="bucket",
+    )
+    V.write_version_incremental(
+        spark, t,
+        _inc_rows(spark, [(0, "z0", 2)]),
+        keys=["k"], order_col="seq", partition_col="bucket",
+    )
+    dropped = V.vacuum(t, keep_last=1)
+    assert dropped == [1]
+    got = _inc_collect(V.read_table(spark, t))
+    assert got == {(0, "z0")} | {(i, f"a{i}") for i in range(1, 8)}
+
+
+def test_incremental_crash_debris_is_swept(spark, tmp_path):
+    """A staging dir left by a crashed incremental commit (including its
+    inner .merge dir) is removed by the next commit and never becomes a
+    version."""
+    t = str(tmp_path / "tbl")
+    V.write_version_incremental(
+        spark, t,
+        _inc_rows(spark, [(i, f"a{i}", 1) for i in range(8)]),
+        keys=["k"], order_col="seq", partition_col="bucket",
+    )
+    debris = os.path.join(t, "v00000002._staging")
+    os.makedirs(os.path.join(debris, ".merge", "_p=0"))
+    with open(os.path.join(debris, "junk.parquet"), "w") as f:
+        f.write("x")
+    v = V.write_version_incremental(
+        spark, t,
+        _inc_rows(spark, [(0, "z0", 2)]),
+        keys=["k"], order_col="seq", partition_col="bucket",
+    )
+    assert v == 2
+    assert not os.path.exists(debris)
+    assert (0, "z0") in _inc_collect(V.read_table(spark, t))
+
+
+def test_incremental_rejects_flat_base_snapshot(spark, tmp_path):
+    """A table whose current snapshot was committed FLAT (write_version)
+    cannot silently take incremental commits — the untouched-partition
+    link step would have nothing to link and rows would vanish."""
+    t = str(tmp_path / "tbl")
+    V.write_version(spark, _rows(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="not partition-subdir"):
+        V.write_version_incremental(
+            spark, t,
+            _inc_rows(spark, [(2, "b", 1)]),
+            keys=["k"], order_col="seq", partition_col="bucket",
+        )
+
+
+def test_incremental_diff_versions_roundtrip(spark, tmp_path):
+    """diff_versions works unchanged over incremental snapshots: the
+    applied CDC batch reads back as exactly its own I/U/D rows."""
+    t = str(tmp_path / "tbl")
+    V.write_version_incremental(
+        spark, t,
+        _inc_rows(spark, [(i, f"a{i}", 1) for i in range(6)]),
+        keys=["k"], order_col="seq", partition_col="bucket",
+    )
+    batch = spark.createDataFrame(
+        [(2, "b2", 2, "U"), (99, "n99", 2, "U"), (3, None, 2, "D")],
+        "k long, val string, seq long, op string",
+    ).withColumn("bucket", F.col("k") % 4)
+    V.write_version_incremental(
+        spark, t, batch, keys=["k"], order_col="seq",
+        partition_col="bucket", op_col="op",
+    )
+    diff = {
+        (r["k"], r["op"])
+        for r in V.diff_versions(spark, t, 1, 2, key_cols=["k"]).collect()
+    }
+    assert diff == {(2, "U"), (99, "I"), (3, "D")}
