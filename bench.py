@@ -215,6 +215,7 @@ HEADLINE = (
     "spearman_corr",
     "conversion_lag_quantiles",
     "graph_degree_distribution",
+    "compression_ratio_gate",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -295,7 +296,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "shuffle_shards", "benchmark_decontamination", "pareto_frontier",
         "stratified_split_exact",
     ),
-    "udf": ("pandas_udaf_weighted", "groupwise_minmax_norm"),
+    "udf": (
+        "pandas_udaf_weighted", "groupwise_minmax_norm",
+        "compression_ratio_gate",
+    ),
     "coverage": (
         "files_filter", "folders_filter", "grouped_count", "global_count",
         "distinct_values", "top_k", "hierarchy_closure_logn",

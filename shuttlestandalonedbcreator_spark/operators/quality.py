@@ -91,3 +91,50 @@ def referential_audit(
         )
         .select(F.lit(rule).alias("rule"), "checked", "violations")
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """zlib compression-ratio quality signal (the FineWeb/Gopher-family
+    heuristic an LM-data pipeline runs beside perplexity: templated or
+    repetitive text compresses far below prose; high-entropy gibberish
+    barely compresses at all). ratio = deflate(utf8(text), level=6) /
+    raw bytes — level pinned so the signal is reproducible across runs.
+
+    Plan: one Arrow-batched mapInPandas over (id, text) — a pure narrow
+    map, zero shuffle at any scale; zlib is C-speed so the Python hop is
+    the only overhead (a JVM codegen path cannot express DEFLATE).
+    No SQL oracle exists for deflate, so correctness is pinned by
+    driver-vs-executor byte equality and monotonicity tests instead
+    (tests/test_operators.py)."""
+    import sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(sys.modules[__name__])
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            n = [len(b) for b in raw]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            ratio = [
+                (c / nn) if nn else None for c, nn in zip(comp, n)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "comp_bytes": pd.Series(comp, dtype="int64"),
+                    "ratio": pd.Series(ratio, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} {id_type}, n_bytes long, comp_bytes long, ratio double",
+    )

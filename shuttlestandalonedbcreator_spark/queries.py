@@ -9131,6 +9131,28 @@ SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
 """
 
 
+def q_compression_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality gate over the corpus
+    (operators/quality.py:compression_ratio): deflate-bytes / raw-bytes
+    per doc plus the keep decision (repetitive boilerplate compresses
+    far below prose — the cheap cousin of the bigram-perplexity gate).
+    Rows-only check by design: no SQL engine exposes DEFLATE, so the
+    driver records a rows-only result and correctness is pinned by
+    driver-vs-executor byte-equality and monotonicity tests
+    (test_operators.py) — the same twin pattern as bpe_train_merges."""
+    from shuttlestandalonedbcreator_spark.operators.quality import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = compression_ratio(docs, "doc_id", "text")
+    return scored.select(
+        "doc_id",
+        "n_bytes",
+        "comp_bytes",
+        "ratio",
+        (F.col("ratio") >= 0.3).alias("keep"),
+    )
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -9425,4 +9447,5 @@ CATALOG: dict[str, QueryDef] = {
     "graph_degree_distribution": QueryDef(
         q_graph_degree_distribution, SQL_GRAPH_DEGREE_DISTRIBUTION
     ),
+    "compression_ratio_gate": QueryDef(q_compression_ratio_gate, None),
 }

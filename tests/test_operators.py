@@ -279,3 +279,63 @@ def test_hard_negative_topk_excludes_anchor_label(spark, sf_small):
     for a in per_anchor:
         sc = [r["score"] for r in sorted(rows, key=lambda x: x["rank"]) if r["anchor_id"] == a]
         assert sc == sorted(sc, reverse=True)
+
+
+def test_compression_ratio_matches_driver_zlib(spark, sf_small):
+    """compression_ratio's executor-side zlib must byte-match a driver
+    recompute on the same texts — the reference-equality pin for the
+    rows-only compression_ratio_gate entry (no SQL engine can oracle
+    DEFLATE)."""
+    import zlib
+
+    from shuttlestandalonedbcreator_spark.operators.quality import (
+        compression_ratio,
+    )
+    from shuttlestandalonedbcreator_spark.queries import _t
+
+    docs = _t(spark, sf_small, "documents")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["comp_bytes"])
+        for r in compression_ratio(docs, "doc_id", "text").collect()
+    }
+    want = {
+        r["doc_id"]: (
+            len(r["text"].encode("utf-8")),
+            len(zlib.compress(r["text"].encode("utf-8"), 6)),
+        )
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_compression_ratio_monotonic_in_redundancy(spark):
+    """Semantic pin: repeated text compresses (much) better than its
+    single copy, and high-entropy hex barely compresses — the ordering
+    the gate's threshold relies on."""
+    import hashlib
+
+    from shuttlestandalonedbcreator_spark.operators.quality import (
+        compression_ratio,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a warm windowsill in the late afternoon sun"
+    )
+    noise = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, prose), (2, prose * 20), (3, noise)], "doc_id long, text string"
+    )
+    r = {
+        row["doc_id"]: row["ratio"]
+        for row in compression_ratio(df, "doc_id", "text").collect()
+    }
+    # repetition is the strong signal: the 20x copy compresses far
+    # below both its single copy and the high-entropy noise (the noise
+    # still shrinks some — hex is a 16-symbol alphabet — and the short
+    # single prose pays zlib's fixed header, so only the repetition
+    # ordering is length/alphabet-robust)
+    assert r[2] < r[1] and r[2] < r[3]
+    assert r[2] < 0.3 <= r[3]
