@@ -216,6 +216,8 @@ HEADLINE = (
     "conversion_lag_quantiles",
     "graph_degree_distribution",
     "compression_ratio_gate",
+    "column_entropy_profile",
+    "reciprocal_rank_fusion",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -264,6 +266,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
         "woe_information_value", "decile_lift", "spearman_corr",
+        "column_entropy_profile",
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
     ),
@@ -289,6 +292,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "bigram_perplexity", "winnowing_fingerprints",
         "sparse_cosine_topk", "frequent_tokens", "lexical_diversity",
         "pmi_collocations", "token_burstiness",
+        "reciprocal_rank_fusion",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

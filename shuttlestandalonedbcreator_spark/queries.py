@@ -9131,6 +9131,130 @@ SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
 """
 
 
+def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column — the profiling statistic
+    next to column_profile's min/max/nulls: near-zero entropy flags
+    constant-ish columns, log(n_distinct) flags uniform keys. Per-term
+    (c/n)·ln(n/c) values are floored to integer MICRO-nats BEFORE the
+    sum (the mutual_information rule: raw double Σ is order-dependent),
+    so the statistic is exact to 1e-6 on both engines. Plan: each column
+    contributes a 1-column pruned scan (ReadSchema gate applies) into
+    one union; one grouped count + one per-column rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    vals = (
+        orders.select(F.lit("o_orderstatus").alias("col"), F.col("o_orderstatus").alias("v"))
+        .unionByName(
+            orders.select(F.lit("o_orderpriority").alias("col"), F.col("o_orderpriority").alias("v"))
+        )
+        .unionByName(
+            cust.select(F.lit("c_mktsegment").alias("col"), F.col("c_mktsegment").alias("v"))
+        )
+    )
+    counts = vals.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcol = Window.partitionBy("col")
+    n = F.sum("c").over(wcol)
+    term = F.floor(
+        F.col("c").cast("double")
+        / n.cast("double")
+        * F.log(n.cast("double") / F.col("c").cast("double"))
+        * 1_000_000
+    ).cast("long")
+    return (
+        counts.select(
+            "col", term.alias("_t"), n.alias("_n"),
+            F.count(F.lit(1)).over(wcol).alias("_d"),
+        )
+        .groupBy("col")
+        .agg(
+            F.max("_n").alias("n_rows"),
+            F.max("_d").alias("n_distinct"),
+            (F.sum("_t") / F.lit(1e6)).alias("entropy_nats"),
+        )
+    )
+
+
+SQL_COLUMN_ENTROPY_PROFILE = """
+WITH vals AS (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer
+), counts AS (
+  SELECT col, v, COUNT(*) AS c FROM vals GROUP BY 1, 2
+), tot AS (
+  SELECT col, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY 1
+), terms AS (
+  SELECT counts.col,
+         CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+              * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS t,
+         n, n_distinct
+  FROM counts JOIN tot ON counts.col = tot.col
+)
+SELECT col, MAX(n) AS n_rows, MAX(n_distinct) AS n_distinct,
+       CAST(SUM(t) AS BIGINT) / 1000000.0 AS entropy_nats
+FROM terms GROUP BY col
+"""
+
+
+def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval orderings (RRF, k=60) —
+    the standard zero-tuning way to combine rankers (BM25 + embedding,
+    here length + stopword quality). Both ranks come from total orders
+    (doc_id tiebreak), the fused score is a FIXED two-term tree rounded
+    once, and the top-20 orders by the rounded value + doc_id — so the
+    cut is identical across engines. Scale note: global ranks are the
+    eval-set shape (same as decile_lift); production fuses per-query
+    candidate lists, which are bounded by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "n_chars", T.stopword_ratio(F.col("text")).alias("_s")
+    )
+    w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w2 = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(w1).cast("long").alias("r1"),
+        F.row_number().over(w2).cast("long").alias("r2"),
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(60) + F.col("r1"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r2")),
+        6,
+    )
+    return (
+        ranked.select("doc_id", "r1", "r2", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_RECIPROCAL_RANK_FUSION = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, t -> list_contains(['the','and','of','to','is'], t))) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS s
+  FROM toks
+), ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS r1,
+         CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS BIGINT) AS r2
+  FROM scored
+)
+SELECT doc_id, r1, r2,
+       round(1.0 / (60 + r1) + 1.0 / (60 + r2), 6) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q_compression_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality gate over the corpus
     (operators/quality.py:compression_ratio): deflate-bytes / raw-bytes
@@ -9448,4 +9572,10 @@ CATALOG: dict[str, QueryDef] = {
         q_graph_degree_distribution, SQL_GRAPH_DEGREE_DISTRIBUTION
     ),
     "compression_ratio_gate": QueryDef(q_compression_ratio_gate, None),
+    "column_entropy_profile": QueryDef(
+        q_column_entropy_profile, SQL_COLUMN_ENTROPY_PROFILE
+    ),
+    "reciprocal_rank_fusion": QueryDef(
+        q_reciprocal_rank_fusion, SQL_RECIPROCAL_RANK_FUSION
+    ),
 }
