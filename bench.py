@@ -218,6 +218,8 @@ HEADLINE = (
     "compression_ratio_gate",
     "column_entropy_profile",
     "reciprocal_rank_fusion",
+    "scd2_point_in_time",
+    "bm25_topk",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -260,6 +262,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "proration_allocate", "gini_revenue", "session_paths",
         "pagerank_fixed", "autocorr_daily", "mom_growth",
         "abc_classification", "conversion_lag_quantiles",
+        "scd2_point_in_time",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -292,7 +295,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "bigram_perplexity", "winnowing_fingerprints",
         "sparse_cosine_topk", "frequent_tokens", "lexical_diversity",
         "pmi_collocations", "token_burstiness",
-        "reciprocal_rank_fusion",
+        "reciprocal_rank_fusion", "bm25_topk",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

@@ -9255,6 +9255,153 @@ LIMIT 20
 """
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension — the
+    consuming half of `scd2_dimension`: each purchase event picks up the
+    regime (event_type run) that was valid AT its timestamp via the
+    interval join user = user AND vf <= t < vt (open row: vt NULL).
+    Every probe matches exactly once because the validity intervals
+    partition the timeline from the first change onward.
+
+    Plan: the dimension build is the scd2_dimension window stack (one
+    user_id exchange); the probe join is EQUI on user_id with the range
+    as a residual filter — per-user interval counts are small (runs per
+    user), so the residual scan is bounded; no BNLJ."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("_prev"),
+    )
+    changes = marked.filter(~F.col("_prev").eqNullSafe(F.col("event_type")))
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("regime"),
+        F.unix_micros("ts").alias("_vf"),
+        F.lead(F.unix_micros(F.col("ts"))).over(
+            Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        ).alias("_vt"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("_t")
+    )
+    return probes.join(
+        dim,
+        (probes.user_id == dim.d_user)
+        & (F.col("_t") >= F.col("_vf"))
+        & (F.col("_vt").isNull() | (F.col("_t") < F.col("_vt"))),
+    ).select("event_id", "user_id", "regime")
+
+
+SQL_SCD2_POINT_IN_TIME = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev IS DISTINCT FROM event_type
+), dim AS (
+  SELECT user_id, event_type AS regime,
+         epoch_us(ts) AS vf,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS vt
+  FROM changes
+), probes AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, d.regime
+FROM probes p JOIN dim d
+  ON p.user_id = d.user_id AND p.t_us >= d.vf AND (d.vt IS NULL OR p.t_us < d.vt)
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the corpus for a fixed query ('data model
+    system') — the lexical-retrieval ranker every hybrid-search pipeline
+    pairs with the embedding top-k entries (k1=1.2, b=0.75). Per-term
+    scores are FLOORED to integer micro-units before the per-doc sum
+    (order-free exact accumulation); idf uses the half-shifted form
+    ln((2N−2df+1)/(2df+1)+1) so its inputs stay integers.
+
+    Plan: doc lengths and the postings restricted to the query terms
+    are two keyed aggregates; df is a 3-row aggregate and the corpus
+    stats a broadcast 1-row; per-term scoring joins on doc_id (bounded
+    by postings of the query terms, not the corpus); top-10 is
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["data", "model", "system"]
+    toks = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
+    dl = toks.select("doc_id", F.size("w").cast("long").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_totdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (2.0 * F.col("_N") - 2.0 * F.col("_df") + 1.0)
+        / (2.0 * F.col("_df") + 1.0)
+        + 1.0
+    )
+    denom = F.col("tf").cast("double") + 1.2 * (
+        0.25
+        + 0.75
+        * F.col("_dl").cast("double")
+        * F.col("_N").cast("double")
+        / F.col("_totdl").cast("double")
+    )
+    sm = F.floor(
+        idf * (F.col("tf").cast("double") * 2.2) / denom * 1_000_000
+    ).cast("long")
+    scored = (
+        tf.join(bounded_broadcast(dfreq, "query_set"), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(bounded_broadcast(stats, "one_row"))
+        .select("doc_id", sm.alias("_sm"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.sum("_sm") / F.lit(1e6)).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS totdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+  WHERE tok IN ('data', 'model', 'system')
+  GROUP BY 1, 2
+), df_ AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((2.0 * N - 2.0 * df + 1.0) / (2.0 * df + 1.0) + 1.0)
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) * CAST(N AS DOUBLE) / CAST(totdl AS DOUBLE)))
+           * 1000000) AS BIGINT) AS sm
+  FROM tf JOIN df_ USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(sm) AS BIGINT) / 1000000.0 AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_compression_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality gate over the corpus
     (operators/quality.py:compression_ratio): deflate-bytes / raw-bytes
@@ -9578,4 +9725,8 @@ CATALOG: dict[str, QueryDef] = {
     "reciprocal_rank_fusion": QueryDef(
         q_reciprocal_rank_fusion, SQL_RECIPROCAL_RANK_FUSION
     ),
+    "scd2_point_in_time": QueryDef(
+        q_scd2_point_in_time, SQL_SCD2_POINT_IN_TIME
+    ),
+    "bm25_topk": QueryDef(q_bm25_topk, SQL_BM25_TOPK),
 }

@@ -380,6 +380,7 @@ _NESTED_LOOP_ALLOWED = {
     "pmi_collocations",
     "pagerank_fixed",
     "token_burstiness",
+    "bm25_topk",
     "dedup_cascade",
     "range_join_buckets",
     "column_profile",
