@@ -5705,12 +5705,15 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine parity is structural. One shuffle for the group-by,
     one tiny window, one join back."""
     docs = _t(spark, sf_dir, "documents")
+    # checkpoint the scored frame: both the (lang, quality) grouping and
+    # the join-back reference it, and re-deriving it re-runs the
+    # tokenization over the full corpus (measured ~2x the entry's cost)
     m = docs.select(
         "doc_id",
         "lang",
         T.stopword_ratio(F.col("text")).alias("quality"),
         F.size(D.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     per_q = m.groupBy("lang", "quality").agg(F.min("n_tokens").alias("mlen"))
     wq = (
         Window.partitionBy("lang")
@@ -8449,8 +8452,13 @@ def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("p1", "p2")
     )
-    edges = und.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
-        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    # checkpoint the edge list FIRST: deg, the ed join, and the rank
+    # seed all reference it, and Spark re-derives an un-materialized
+    # subtree per reference — without this the basket pair join runs 3x
+    edges = (
+        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
