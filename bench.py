@@ -520,6 +520,31 @@ def scale_probes(spark, sf_dir: str) -> dict[str, float]:
     probes["hh_exchange_reduction"] = round(
         probes["hh_distinct_items"] / max(probes["hh_candidate_rows"], 1.0), 1
     )
+
+    # record-linkage blocking: candidate pairs that reach the
+    # Levenshtein verify vs the all-pairs cross product the equality
+    # blocks avoid — the entity-resolution scale claim as a measured
+    # cardinality (wall time at this SF is join overhead, not signal)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    mirror = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.regexp_replace("c_name", "^Customer", "Custmr").alias("m_name"),
+        F.col("c_nationkey").alias("m_nationkey"),
+    )
+    blk = lambda c: F.expr(f"substring({c}, length({c}) - 3, 4)")  # noqa: E731
+    n_base = cust.count()
+    n_mirror = mirror.count()
+    cand = cust.join(
+        mirror,
+        (F.col("c_nationkey") == F.col("m_nationkey"))
+        & (blk("c_name") == blk("m_name")),
+    ).count()
+    probes["linkage_candidate_pairs"] = float(cand)
+    probes["linkage_all_pairs"] = float(n_base * n_mirror)
+    probes["linkage_block_reduction"] = round(
+        probes["linkage_all_pairs"] / max(cand, 1), 1
+    )
     return probes
 
 
