@@ -220,6 +220,7 @@ HEADLINE = (
     "reciprocal_rank_fusion",
     "scd2_point_in_time",
     "bm25_topk",
+    "key_skew_profile",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -269,7 +270,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "chi_square_independence", "dq_audit", "lang_entropy_by_source",
         "langid_confusion", "feature_drift_psi", "classifier_auc",
         "woe_information_value", "decile_lift", "spearman_corr",
-        "column_entropy_profile",
+        "column_entropy_profile", "key_skew_profile",
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
     ),

@@ -9410,6 +9410,56 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the log2-bucketed histogram of per-key row
+    counts (here events.user_id) — the first thing to run before keying
+    a 100 TB shuffle on a column, because one bucket holding most of
+    row_share IS the hot-key warning that routes the job to
+    `salted_join`/AQE skew-split (operators/skew.py). The bucket is
+    length(bin(count)) = floor(log2)+1 computed on the INTEGER's binary
+    string — no libm log2 whose ULP at power-of-two boundaries could
+    flip a floor between engines. row_share is a single division of
+    exact counts, UNROUNDED. One keyed count + a histogram over ≤64
+    buckets."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    bucketed = per_key.select(
+        F.length(F.bin(F.col("_c"))).cast("long").alias("bucket"), "_c"
+    )
+    w = Window.partitionBy()
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_c").alias("n_rows"),
+        )
+        .select(
+            "bucket",
+            "n_keys",
+            "n_rows",
+            (
+                F.col("n_rows").cast("double")
+                / F.sum("n_rows").over(w).cast("double")
+            ).alias("row_share"),
+        )
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+), bucketed AS (
+  SELECT CAST(length(bin(c)) AS BIGINT) AS bucket, c FROM per_key
+), hist AS (
+  SELECT bucket, COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows
+  FROM bucketed GROUP BY 1
+)
+SELECT bucket, n_keys, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) AS row_share
+FROM hist
+"""
+
+
 def q_compression_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality gate over the corpus
     (operators/quality.py:compression_ratio): deflate-bytes / raw-bytes
@@ -9737,4 +9787,5 @@ CATALOG: dict[str, QueryDef] = {
         q_scd2_point_in_time, SQL_SCD2_POINT_IN_TIME
     ),
     "bm25_topk": QueryDef(q_bm25_topk, SQL_BM25_TOPK),
+    "key_skew_profile": QueryDef(q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
 }
