@@ -221,6 +221,8 @@ HEADLINE = (
     "scd2_point_in_time",
     "bm25_topk",
     "key_skew_profile",
+    "active_users_28d",
+    "decayed_rolling_sum",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -250,6 +252,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "cube_counts", "histogram_price", "column_profile", "grouping_sets",
         "gapfill_hourly", "gapfill_locf", "funnel_conversion",
         "retention_cohorts", "metrics_unpivot", "semi_join_exists",
+        "active_users_28d", "decayed_rolling_sum",
         "anti_join_orphans", "set_ops_all", "null_safe_join",
         "id_gap_audit", "change_feed", "event_type_islands",
         "snapshot_diff", "json_extract_agg", "json_variant_extract",

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,44 @@ def bounded_broadcast(df: DataFrame, kind: str) -> DataFrame:
             f"{sorted(_BOUNDED_KINDS)}; got {kind!r}"
         )
     return F.broadcast(df)
+
+
+@contextmanager
+def runtime_bloom_filters(spark, app_side_scan_threshold: str = "10GB",
+                          creation_side_threshold: str = "10MB"):
+    """Scope Spark's runtime bloom-filter join pruning to a block.
+
+    When a shuffle join's build side carries a selective filter, Spark
+    (3.3+) can inject a `bloom_filter_might_contain` semi-filter into
+    the probe side's scan, skipping most of the big table's rows before
+    the shuffle — the runtime analogue of static predicate pushdown and
+    the single biggest scan-saver for selective dim→fact joins at the
+    100 TB point. It only fires above size thresholds (the probe scan
+    must be big enough to be worth it, the build side small enough to
+    sketch), so toy-SF tests never see it with the defaults; this
+    context manager pins the knobs (pass "0" for the app-side threshold
+    to force injection at any scan size) and restores the previous
+    session values on exit. At production scale the DEFAULTS are
+    correct — call sites should not lower thresholds permanently.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": app_side_scan_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_threshold,
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -9482,6 +9482,148 @@ def q_compression_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_users_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 28-day active users (the DAU/MAU stickiness metric): for
+    every calendar day in the data, how many distinct users were active
+    in the trailing 28 days, how many that exact day, and their ratio.
+    The naive form is a per-day COUNT(DISTINCT) over a 28-day self-join
+    of raw events — it re-scans the fact table per day. Scale shape
+    instead: distinct (user, day) pairs first (the big shrink — events
+    collapse to active-pairs), explode each pair over the 28 target
+    days it covers (a bounded 28x blow-up of the SHRUNK set, never of
+    raw events), re-distinct per (user, target_day) with an offset-0
+    flag, then one count per day. All shuffles are keyed on
+    (user, day) / (user, target_day) / day. stickiness is a single
+    division of exact counts, shipped UNROUNDED (determinism rule)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cov = ud.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+    ).select(
+        "user_id",
+        F.date_add(F.col("day"), F.col("off")).alias("target_day"),
+        F.when(F.col("off") == 0, F.lit(1)).otherwise(F.lit(0)).alias("on_day"),
+    )
+    per_ut = cov.groupBy("user_id", "target_day").agg(
+        F.max("on_day").alias("on_day")
+    )
+    days = ud.select("day").distinct()
+    return (
+        per_ut.join(days, per_ut.target_day == days.day)
+        .groupBy("day")
+        .agg(
+            F.sum("on_day").alias("dau"),
+            F.count(F.lit(1)).alias("active_28d"),
+        )
+        .select(
+            "day",
+            "dau",
+            "active_28d",
+            (
+                F.col("dau").cast("double") / F.col("active_28d").cast("double")
+            ).alias("stickiness"),
+        )
+    )
+
+
+SQL_ACTIVE_USERS_28D = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), offs AS (
+  SELECT unnest(range(0, 28)) AS off
+), cov AS (
+  SELECT ud.user_id,
+         ud.day + CAST(offs.off AS INTEGER) AS target_day,
+         CASE WHEN offs.off = 0 THEN 1 ELSE 0 END AS on_day
+  FROM ud CROSS JOIN offs
+), per_ut AS (
+  SELECT user_id, target_day, MAX(on_day) AS on_day
+  FROM cov GROUP BY 1, 2
+), days AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT days.day AS day,
+       CAST(SUM(on_day) AS BIGINT) AS dau,
+       COUNT(*) AS active_28d,
+       CAST(SUM(on_day) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS stickiness
+FROM per_ut JOIN days ON per_ut.target_day = days.day
+GROUP BY 1
+"""
+
+
+def q_decayed_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed rolling activity per event type: for each
+    (type, day), the sum of daily event counts over the trailing 30
+    days with weight 2^-age_days — EWMA-family smoothing made
+    CROSS-ENGINE EXACT by choosing a dyadic decay. Generic alpha^k
+    needs pow(), whose libm ULP can differ between engines; 2^-k is an
+    exact binary scale, so the weighted sum is accumulated as the
+    INTEGER sum of cnt * 2^(29-age) (int64-safe while daily per-type
+    counts stay below 2^33; at larger volume drop the pre-shift to 2^20)
+    and divided once by 2^29 at the end — a power-of-two scaling of an
+    integer, bit-identical everywhere. Plan shape: one keyed daily
+    count, a bounded 30x explode of the DAILY table (days x types —
+    tiny, never raw events), one keyed sum. The window-frame
+    alternative (RANGE 29 PRECEDING) cannot express a
+    current-row-dependent weight inside a single SUM, and carrying
+    2^global_day_index overflows — the explode keeps exponents bounded
+    by the window width."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cov = daily.select(
+        "event_type",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("age"),
+        "day",
+    ).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("age")).alias("target_day"),
+        (
+            F.col("cnt")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(29 - age AS INT))")
+        ).alias("wcnt"),
+    )
+    days = daily.select(F.col("day").alias("target_day")).distinct()
+    return (
+        cov.join(days, "target_day")
+        .groupBy("event_type", "target_day")
+        .agg(F.sum("wcnt").alias("wsum"))
+        .select(
+            "event_type",
+            F.col("target_day").alias("day"),
+            (F.col("wsum").cast("double") / F.lit(float(1 << 29))).alias(
+                "decayed_sum"
+            ),
+        )
+    )
+
+
+SQL_DECAYED_ROLLING_SUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ages AS (
+  SELECT unnest(range(0, 30)) AS age
+), cov AS (
+  SELECT daily.event_type,
+         daily.day + CAST(ages.age AS INTEGER) AS target_day,
+         daily.cnt * (CAST(1 AS BIGINT) << CAST(29 - ages.age AS INTEGER)) AS wcnt
+  FROM daily CROSS JOIN ages
+), days AS (
+  SELECT DISTINCT day AS target_day FROM daily
+)
+SELECT cov.event_type,
+       cov.target_day AS day,
+       CAST(CAST(SUM(wcnt) AS BIGINT) AS DOUBLE) / 536870912.0 AS decayed_sum
+FROM cov JOIN days USING (target_day)
+GROUP BY 1, 2
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -9788,4 +9930,8 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "bm25_topk": QueryDef(q_bm25_topk, SQL_BM25_TOPK),
     "key_skew_profile": QueryDef(q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "active_users_28d": QueryDef(q_active_users_28d, SQL_ACTIVE_USERS_28D),
+    "decayed_rolling_sum": QueryDef(
+        q_decayed_rolling_sum, SQL_DECAYED_ROLLING_SUM
+    ),
 }

@@ -559,3 +559,58 @@ def test_sf_scaled_joins_recover_broadcast_from_size_not_hint(spark, sf_small):
         plan = plan_of(spark, sf_small, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_oracle):
+    """Runtime bloom-filter join pruning (the runtime analogue of static
+    pushdown): with a selective filter on the dim side of a SHUFFLE
+    join, Spark must inject bloom_filter_might_contain into the fact
+    side so most probe rows die at the scan, not in the shuffle. The
+    production defaults only fire for big scans, so the scoped helper
+    pins the thresholds; the result must be identical with and without
+    the injected filter."""
+    from shuttlestandalonedbcreator_spark.operators.util import (
+        runtime_bloom_filters,
+    )
+    from shuttlestandalonedbcreator_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    part = load_table(spark, sf_oracle, "part")
+
+    def build():
+        dim = part.filter(F.col("p_type").startswith("PROMO")).select(
+            "p_partkey", "p_type"
+        )
+        return (
+            li.join(dim, li.l_partkey == dim.p_partkey)
+            .groupBy("p_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_bcast = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        baseline = {
+            (r["p_type"], r["n"]) for r in build().collect()
+        }
+        with runtime_bloom_filters(spark, app_side_scan_threshold="0"):
+            df = build()
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter" in plan.lower(), plan
+            assert {(r["p_type"], r["n"]) for r in df.collect()} == baseline
+        # scoped: the conf is restored on exit
+        off = build()._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" not in off.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        if old_aqe_bcast is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bcast
+            )
