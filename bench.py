@@ -223,6 +223,11 @@ HEADLINE = (
     "key_skew_profile",
     "active_users_28d",
     "decayed_rolling_sum",
+    "exact_substring_spans",
+    "dsir_importance",
+    "hashed_classifier_infer",
+    "temperature_mixture",
+    "datacard_report",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -276,6 +281,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "column_entropy_profile", "key_skew_profile",
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
+        "hashed_classifier_infer", "datacard_report",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
@@ -284,7 +290,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "cross_source_canonical", "boilerplate_ngrams",
         "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
         "dedup_cascade", "dup_graph_triangles", "record_linkage",
-        "graph_degree_distribution",
+        "graph_degree_distribution", "exact_substring_spans",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
@@ -305,7 +311,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "train_val_test_split", "stratified_sample", "sequence_packing",
         "weighted_sample", "mixture_sample", "per_source_cap",
         "shuffle_shards", "benchmark_decontamination", "pareto_frontier",
-        "stratified_split_exact",
+        "stratified_split_exact", "dsir_importance", "temperature_mixture",
     ),
     "udf": (
         "pandas_udaf_weighted", "groupwise_minmax_norm",

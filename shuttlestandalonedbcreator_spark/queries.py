@@ -9624,6 +9624,398 @@ GROUP BY 1, 2
 """
 
 
+_SUBSTR_W, _SUBSTR_S = 40, 20
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT duplicated-substring spans (the suffix-array
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", re-shaped for Spark): every maximal run of
+    stride-aligned 40-char windows whose exact content occurs in >= 2
+    distinct documents, reported as per-doc character ranges. A true
+    suffix array is a global sorted structure — the distributed
+    equivalent is window hashing: each doc emits len/stride tiny
+    (doc_id, i, hash64) rows (64-bit md5 prefix, the repo-wide hash
+    idiom), one groupBy finds windows with >= 2 distinct docs, a
+    left-semi join keeps only duplicated windows, and a per-doc islands
+    window (i - row_number) merges adjacent windows into maximal spans.
+    Scale: the exploded window table is ~2 hashes per 40 chars of text
+    — linear in corpus size with a small constant; both shuffles key on
+    the 64-bit hash (uniform, skew-free); the corpus text itself is
+    never shuffled. Stride 20 < window 40 means any duplicated run of
+    >= 60 chars is guaranteed to contain an aligned window on both
+    sides; smaller stride trades rows for recall."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SUBSTR_W
+    )
+    win = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(length(text) - {_SUBSTR_W}) div {_SUBSTR_S}"),
+            )
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring(text, i * {_SUBSTR_S} + 1, {_SUBSTR_W})"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hh"),
+    )
+    dup = (
+        win.groupBy("hh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("hh")
+    )
+    hits = win.join(dup, "hh", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        hits.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            (F.min("i") * _SUBSTR_S + 1).alias("span_start"),
+            (F.max("i") * _SUBSTR_S + _SUBSTR_W).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+SQL_EXACT_SUBSTRING_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {_SUBSTR_W}
+), wi AS (
+  SELECT doc_id, unnest(range(0, (length(text) - {_SUBSTR_W}) // {_SUBSTR_S} + 1)) AS i, text
+  FROM d
+), h AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substring(text, CAST(i * {_SUBSTR_S} + 1 AS INTEGER), {_SUBSTR_W})), 1, 15)) AS BIGINT) AS hh
+  FROM wi
+), dup AS (
+  SELECT hh FROM h GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, i FROM h SEMI JOIN dup USING (hh)
+), isl AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       MIN(i) * {_SUBSTR_S} + 1 AS span_start,
+       MAX(i) * {_SUBSTR_S} + {_SUBSTR_W} AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+_DSIR_B = 512
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the hashed-n-gram importance log-weight
+    sum_f count_f * (ln p_target(f) - ln p_raw(f)) and keep the top 25.
+    Target distribution = the English slice (stand-in for a curated
+    domain sample); features = unigrams hashed into 512 buckets
+    (64-bit md5 prefix mod B); add-one smoothing on both numerators and
+    +B on both denominators. Determinism: each smoothed term is
+    floor(1e6 * ln(integer)) — a micro-nat floor of a single-integer
+    ln, the repo's pmi_collocations/bm25 idiom — so the per-bucket
+    weight and the per-doc count-weighted sum are exact int64 algebra.
+    Scale: token explode is narrow; per-doc bucket counts shuffle once
+    on (doc_id, bucket); the bucket model is B rows (tiny, joined back
+    by bucket key); the 1-row totals cross join is the allowlisted
+    scalar-aggregate shape. Top-k via row_number with doc_id tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+            .cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    per_doc = toks.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bucket = per_doc.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
+        ).alias("tgt_f"),
+        F.sum("cnt").alias("raw_f"),
+    )
+    tot = bucket.agg(
+        F.sum("tgt_f").alias("tgt_tot"), F.sum("raw_f").alias("raw_tot")
+    )
+
+    def micro_ln(c):
+        return F.floor(F.lit(1000000.0) * F.log(c.cast("double")))
+
+    bw = bucket.crossJoin(tot).select(
+        "b",
+        (
+            micro_ln(F.col("tgt_f") + 1)
+            + micro_ln(F.col("raw_tot") + _DSIR_B)
+            - micro_ln(F.col("raw_f") + 1)
+            - micro_ln(F.col("tgt_tot") + _DSIR_B)
+        ).alias("w_micro"),
+    )
+    scored = (
+        per_doc.join(bw, "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w_micro")).alias("logw_micro"))
+    )
+    wk = Window.orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 25)
+        .select("doc_id", "logw_micro", "rk")
+    )
+
+
+SQL_DSIR_IMPORTANCE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+), hb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_DSIR_B} AS b
+  FROM toks
+), per_doc AS (
+  SELECT doc_id, lang, b, COUNT(*) AS cnt FROM hb GROUP BY 1, 2, 3
+), bucket AS (
+  SELECT b,
+         SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tgt_f,
+         SUM(cnt) AS raw_f
+  FROM per_doc GROUP BY b
+), tot AS (
+  SELECT SUM(tgt_f) AS tgt_tot, SUM(raw_f) AS raw_tot FROM bucket
+), bw AS (
+  SELECT b,
+         FLOOR(1000000.0 * LN(CAST(tgt_f + 1 AS DOUBLE)))
+       + FLOOR(1000000.0 * LN(CAST(raw_tot + {_DSIR_B} AS DOUBLE)))
+       - FLOOR(1000000.0 * LN(CAST(raw_f + 1 AS DOUBLE)))
+       - FLOOR(1000000.0 * LN(CAST(tgt_tot + {_DSIR_B} AS DOUBLE))) AS w_micro
+  FROM bucket CROSS JOIN tot
+), scored AS (
+  SELECT per_doc.doc_id, CAST(SUM(cnt * w_micro) AS BIGINT) AS logw_micro
+  FROM per_doc JOIN bw USING (b) GROUP BY 1
+)
+SELECT doc_id, logw_micro, rk FROM (
+  SELECT doc_id, logw_micro,
+         ROW_NUMBER() OVER (ORDER BY logw_micro DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 25
+"""
+
+
+_CLS_B = 256
+
+
+def q_hashed_classifier_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference over hashed token features (the
+    fastText-style quality-filter deploy shape: hash tokens into B
+    buckets, sum the bucket weights, threshold the logit). The weight
+    table here is a deterministic Knuth-multiplicative expansion of the
+    bucket id into [-1000, 1000] milli-units — a stand-in for trained
+    weights that keeps the entire inference integer-exact (the sigmoid
+    is monotone, so keep/drop is a sign test on the logit; no exp
+    needed). Scale: this is the ideal 100 TB shape — a pure scan-side
+    narrow pipeline (split, hash, weight, sum) with exactly one shuffle
+    keyed on doc_id, no model join at all since the weight is a closed
+    form of the bucket; with a real trained weight vector the map
+    becomes a B-row literal map or bounded broadcast (kind=domain)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+            .cast("long")
+            % _CLS_B
+        ).alias("b"),
+    )
+    wexpr = (F.col("b") * F.lit(2654435761)) % F.lit(2001) - F.lit(1000)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(wexpr).alias("logit_milli"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "logit_milli",
+            "n_tok",
+            (F.col("logit_milli") > 0).alias("keep"),
+        )
+    )
+
+
+SQL_HASHED_CLASSIFIER_INFER = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+), hb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CLS_B} AS b
+  FROM toks
+)
+SELECT doc_id,
+       CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS logit_milli,
+       COUNT(*) AS n_tok,
+       SUM((b * 2654435761) % 2001 - 1000) > 0 AS keep
+FROM hb GROUP BY doc_id
+"""
+
+
+_MIX_BUDGET = 10000
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multi-source mixture allocation (the XLM-R /
+    mT5 alpha=0.5 sampling rule: per-source sampling mass proportional
+    to count^alpha, flattening the head so low-resource sources are
+    upsampled): compute per-source doc counts, weight = floor(sqrt(n))
+    — IEEE 754 sqrt is correctly rounded, so floor(sqrt(int)) is
+    bit-identical across engines, making alpha=0.5 the one temperature
+    that needs no float tolerance — then allocate a 10k-sample budget
+    by largest remainder (the proration_allocate idiom: integer base
+    shares, remainders ranked with a source tiebreak, Σalloc == budget
+    exactly). Scale: one groupBy on source; everything after runs on
+    the tiny per-source frame, scalar totals as unpartitioned windows
+    over that frame (never a fact-side cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    src = src.withColumn(
+        "w", F.floor(F.sqrt(F.col("cnt").cast("double"))).cast("long")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    src = (
+        src.withColumn("w_tot", F.sum("w").over(wall))
+        .withColumn("base", F.expr(f"({_MIX_BUDGET} * w) div w_tot"))
+        .withColumn("rem", (F.lit(_MIX_BUDGET) * F.col("w")) % F.col("w_tot"))
+    )
+    src = src.withColumn("base_tot", F.sum("base").over(wall))
+    wrk = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (
+        src.withColumn("rk", F.row_number().over(wrk))
+        .select(
+            "source",
+            "cnt",
+            "w",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rk") <= F.lit(_MIX_BUDGET) - F.col("base_tot"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("alloc"),
+        )
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = f"""
+WITH src AS (
+  SELECT source, COUNT(*) AS cnt,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, cnt, w, SUM(w) OVER () AS w_tot FROM src
+), b AS (
+  SELECT source, cnt, w,
+         ({_MIX_BUDGET} * w) // w_tot AS base,
+         ({_MIX_BUDGET} * w) % w_tot AS rem
+  FROM t
+), r AS (
+  SELECT source, cnt, w, base, rem,
+         SUM(base) OVER () AS base_tot,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM b
+)
+SELECT source, cnt, w,
+       CAST(base + CASE WHEN rk <= {_MIX_BUDGET} - base_tot THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
+
+
+def q_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the per-(language, source) composition table
+    every dataset release ships — document count, whitespace-token
+    count, character count, and each cell's share of total documents in
+    exact milli-percent (docs * 100000 div total — integer division,
+    never a float ratio). One groupBy over the corpus; the share
+    denominator is an unpartitioned window over the tiny cell frame.
+    At 100 TB this is a single map-side-combinable aggregate pass."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != F.lit(""))
+    )
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(toks.cast("long")).alias("tokens"),
+        F.sum(F.length("text").cast("long")).alias("chars"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        cell.withColumn("tot", F.sum("docs").over(wall))
+        .withColumn("docs_share_m", F.expr("(docs * 100000) div tot"))
+        .select("lang", "source", "docs", "tokens", "chars", "docs_share_m")
+    )
+
+
+SQL_DATACARD_REPORT = """
+WITH cell AS (
+  SELECT lang, source, COUNT(*) AS docs,
+         SUM(length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS tokens,
+         SUM(length(text)) AS chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, docs, CAST(tokens AS BIGINT) AS tokens,
+       CAST(chars AS BIGINT) AS chars,
+       CAST((docs * 100000) // SUM(docs) OVER () AS BIGINT) AS docs_share_m
+FROM cell
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -9934,4 +10326,15 @@ CATALOG: dict[str, QueryDef] = {
     "decayed_rolling_sum": QueryDef(
         q_decayed_rolling_sum, SQL_DECAYED_ROLLING_SUM
     ),
+    "exact_substring_spans": QueryDef(
+        q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS
+    ),
+    "dsir_importance": QueryDef(q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "hashed_classifier_infer": QueryDef(
+        q_hashed_classifier_infer, SQL_HASHED_CLASSIFIER_INFER
+    ),
+    "temperature_mixture": QueryDef(
+        q_temperature_mixture, SQL_TEMPERATURE_MIXTURE
+    ),
+    "datacard_report": QueryDef(q_datacard_report, SQL_DATACARD_REPORT),
 }

@@ -366,7 +366,10 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   (sparse_cosine_topk has the same 1-row idf cross join, but it sits
 #   below the weights localCheckpoint so the visible plan doesn't carry
 #   the BNLJ — no allowlist entry needed)
+#   dsir_importance         — broadcast 1-row corpus-totals aggregate
+#                             (tgt_tot/raw_tot smoothing denominators)
 _NESTED_LOOP_ALLOWED = {
+    "dsir_importance",
     "frequent_tokens",
     "cohens_kappa",
     "copurchase_lift",
