@@ -228,6 +228,11 @@ HEADLINE = (
     "hashed_classifier_infer",
     "temperature_mixture",
     "datacard_report",
+    "paragraph_dedup_rebuild",
+    "prefix_filter_jaccard",
+    "minhash_estimate_audit",
+    "perplexity_buckets",
+    "html_strip_extract",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -291,6 +296,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sentence_boilerplate", "text_repetition", "intra_doc_line_dedup",
         "dedup_cascade", "dup_graph_triangles", "record_linkage",
         "graph_degree_distribution", "exact_substring_spans",
+        "paragraph_dedup_rebuild", "prefix_filter_jaccard",
+        "minhash_estimate_audit",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
@@ -306,6 +313,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sparse_cosine_topk", "frequent_tokens", "lexical_diversity",
         "pmi_collocations", "token_burstiness",
         "reciprocal_rank_fusion", "bm25_topk",
+        "perplexity_buckets", "html_strip_extract",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

@@ -10016,6 +10016,572 @@ FROM cell
 """
 
 
+# Boilerplate paragraph injected into every document so the cross-doc
+# paragraph dedup always has deterministic work to do (the corpus is
+# single-line, so paragraphs are synthesized as fixed-width slices —
+# same in-query-fixture pattern as intra_doc_line_dedup).
+PARA_FOOTER = "subscribe to our newsletter for updates"
+
+
+def q_paragraph_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style CROSS-document paragraph dedup with document rebuild:
+    every paragraph occurrence except its globally-first (doc_id, pos)
+    is dropped, then each document is re-assembled from its surviving
+    paragraphs in original order. This is the pass that strips shared
+    boilerplate (cookie banners, licence blocks) from a web corpus while
+    keeping one canonical copy — one step finer than exact_dedup (whole
+    docs) and cross-doc where intra_doc_line_dedup is within-doc.
+
+    Plan: posexplode paragraphs -> groupBy(paragraph) min((doc,pos) key)
+    -> join back on the SAME key (reuses the exchange) -> groupBy(doc)
+    ordered re-concat. Two keyed shuffles total, no driver state; at
+    100 TB the paragraph groupBy is the standard hash-partitioned
+    aggregate and the rebuild is a doc-keyed aggregate — both scale
+    linearly. Docs whose every paragraph lost the race rebuild to the
+    empty string (md5('') fingerprint), preserved via the left join."""
+    docs = _t(spark, sf_dir, "documents")
+    paras_arr = F.filter(
+        F.array(
+            F.substring("text", 1, 80),
+            F.lit(PARA_FOOTER),
+            F.substring("text", 81, 80),
+            F.substring("text", 161, 80),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    p = docs.select("doc_id", F.posexplode(paras_arr).alias("pos", "par"))
+    keyed = p.select(
+        "doc_id",
+        "pos",
+        "par",
+        (F.col("doc_id") * F.lit(16) + F.col("pos")).alias("k"),
+    )
+    first = keyed.groupBy("par").agg(F.min("k").alias("k0"))
+    kept = keyed.join(first, "par").filter(F.col("k") == F.col("k0"))
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                    lambda s: s["par"],
+                ),
+            )
+        ).alias("rebuilt_md5"),
+    )
+    base = docs.select(
+        "doc_id", F.size(paras_arr).cast("long").alias("n_paras")
+    )
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP_REBUILD = f"""
+WITH paras AS (
+  SELECT doc_id,
+         list_filter([substring(text, 1, 80), '{PARA_FOOTER}',
+                      substring(text, 81, 80), substring(text, 161, 80)],
+                     x -> x <> '') AS pa
+  FROM documents
+), e AS (
+  SELECT doc_id, i - 1 AS pos, pa[i] AS par
+  FROM paras, unnest(range(1, len(pa) + 1)) AS u(i)
+), keyed AS (
+  SELECT doc_id, pos, par, doc_id * 16 + pos AS k FROM e
+), first AS (
+  SELECT par, MIN(k) AS k0 FROM keyed GROUP BY par
+), kept AS (
+  SELECT keyed.doc_id, keyed.pos, keyed.par
+  FROM keyed JOIN first USING (par) WHERE k = k0
+), reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(par, chr(10) ORDER BY pos)) AS rebuilt_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_paras,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(rebuilt_md5, md5('')) AS rebuilt_md5
+FROM (SELECT doc_id, CAST(len(pa) AS BIGINT) AS n_paras FROM paras) b
+LEFT JOIN reb USING (doc_id)
+"""
+
+# Docs below this many distinct shingles are excluded from the prefix-
+# filter join: tiny sets make Jaccard degenerate and their prefixes
+# cover the whole set anyway.
+PFJ_MIN_GRAMS = 5
+
+
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard >= 0.6 similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family; Bayardo et al., WWW'07) — the third exact
+    near-dup strategy next to the full posting-list join
+    (ngram_jaccard_dedup) and approximate MinHash-LSH: order each doc's
+    shingles by ascending global document frequency, keep only the first
+    n - ceil(t*n) + 1 ("prefix"); any pair with Jaccard >= t MUST share
+    a prefix shingle, so candidates come from the prefix postings alone
+    and are then verified exactly.
+
+    Scale: the prefix postings are a small, rare-shingle-biased slice of
+    the full inverted index — hot boilerplate shingles (the quadratic
+    hazard of plain posting-list joins) sort LAST by df and rarely enter
+    any prefix, so candidate blow-up is structurally damped. Threshold
+    compare is integer cross-multiplied (5*inter >= 3*union) — no float
+    boundary. Verification joins the candidates back to per-doc sorted
+    shingle-hash arrays (array_intersect, exact int counts). Oracle is
+    the straight all-pairs join, so the pruning is PROVEN lossless at
+    every SF, not assumed."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_tbl = grams.groupBy("hh").agg(F.count(F.lit(1)).alias("df"))
+    wrk = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("hh").asc()
+    )
+    ranked = grams.join(df_tbl, "hh").withColumn(
+        "rk", F.row_number().over(wrk)
+    )
+    pre = (
+        ranked.join(sz, "doc_id")
+        .filter(F.col("n") >= PFJ_MIN_GRAMS)
+        # prefix length = n - ceil(0.6*n) + 1; ceil(3n/5) = (3n+4) div 5
+        .filter(
+            F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
+        )
+        .select("doc_id", "hh")
+    )
+    plists = pre.groupBy("hh").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs = (
+        plists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + F.lit(2),
+                                F.size(F.col("ids")) - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sets = grams.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("hh")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    v = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "inter_cnt",
+            F.size(F.array_intersect("sa", "sb")).cast("long"),
+        )
+        .withColumn(
+            "union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt")
+        )
+        .filter(F.lit(5) * F.col("inter_cnt") >= F.lit(3) * F.col("union_cnt"))
+    )
+    return v.select("id_a", "id_b", "inter_cnt", "union_cnt")
+
+
+SQL_PREFIX_FILTER_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), sz AS (
+  SELECT doc_id, len(g) AS n FROM grams WHERE len(g) >= {PFJ_MIN_GRAMS}
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), ee AS (
+  SELECT e.doc_id, tok FROM e JOIN sz USING (doc_id)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ee a JOIN ee b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS BIGINT) AS inter_cnt,
+       CAST(na.n + nb.n - c AS BIGINT) AS union_cnt
+FROM inter
+JOIN sz na ON id_a = na.doc_id
+JOIN sz nb ON id_b = nb.doc_id
+WHERE 5 * c >= 3 * (na.n + nb.n - c)
+"""
+
+
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash near-dup path: for every
+    LSH candidate pair, the signature-estimated Jaccard (matching
+    components / 32) side-by-side with the EXACT shingle-set Jaccard,
+    plus the absolute error — the measurement that justifies (or
+    indicts) a chosen (num_hashes, bands) configuration before a 100 TB
+    dedup run commits to it. All three metrics are integer milli-units
+    (div floors), so the comparison is engine-exact.
+
+    Plan: signatures build once and are eagerly localCheckpoint-ed —
+    they feed the band bucketing AND both sides of the pair join, and
+    Spark materializes no CTEs, so without the checkpoint the whole
+    shingle+minhash pipeline would re-run three times. Candidates expand
+    inside (band, bucket) posting lists (never a corpus self-join);
+    exact verification touches only candidate pairs. The oracle rebuilds
+    the same md5-derived hash family in SQL (same pattern as
+    minhash_lsh_dedup's oracle), so even the 32 permutations are
+    value-checked, not trusted."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "doc_id", "text", n=3, num_hashes=32)
+    sig = sig.localCheckpoint(eager=True)
+    banded = D._banded(sig, num_hashes=32, bands=8)
+    plists = banded.groupBy("_band", "_bucket").agg(
+        F.array_sort(F.collect_set("_id")).alias("ids")
+    )
+    pairs = (
+        plists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + F.lit(2),
+                                F.size(F.col("ids")) - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    siga = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("siga"))
+    sigb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sigb"))
+    est = pairs.join(siga, "id_a").join(sigb, "id_b").withColumn(
+        "matches",
+        F.size(
+            F.filter(
+                F.zip_with("siga", "sigb", lambda a, b: a == b),
+                lambda m: m,
+            )
+        ).cast("long"),
+    )
+    grams = (
+        docs.select(
+            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .distinct()
+    )
+    sets = grams.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("hh")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    out = (
+        est.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "inter_cnt",
+            F.size(F.array_intersect("sa", "sb")).cast("long"),
+        )
+        .withColumn("est_milli", F.expr("(matches * 1000) div 32"))
+        .withColumn(
+            "exact_milli",
+            F.expr("(inter_cnt * 1000) div (na + nb - inter_cnt)"),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "est_milli",
+        "exact_milli",
+        F.abs(F.col("est_milli") - F.col("exact_milli")).alias("err_milli"),
+    )
+
+
+SQL_MINHASH_ESTIMATE_AUDIT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+         CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 1000000007 AS h2
+  FROM e
+), mh AS (
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % 1000000007) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+  GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(v ORDER BY seed) AS s FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, 33), i -> sa.s[i] = sb.s[i])) AS matches
+  FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+), ex AS (
+  SELECT id_a, id_b, matches,
+         len(list_intersect(ga.g, gb.g)) AS inter_cnt,
+         len(ga.g) AS na, len(gb.g) AS nb
+  FROM est JOIN grams ga ON id_a = ga.doc_id JOIN grams gb ON id_b = gb.doc_id
+)
+SELECT id_a, id_b,
+       CAST((matches * 1000) // 32 AS BIGINT) AS est_milli,
+       CAST((inter_cnt * 1000) // (na + nb - inter_cnt) AS BIGINT) AS exact_milli,
+       CAST(abs((matches * 1000) // 32 - (inter_cnt * 1000) // (na + nb - inter_cnt)) AS BIGINT) AS err_milli
+FROM ex
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning: per-language
+    perplexity TERCILES under the self-trained add-one bigram model
+    (same model as bigram_perplexity) — the selection step that routes
+    low-perplexity ("head") text into training and flags the "tail" for
+    filtering or re-weighting. Per-language NTILE needs a TOTAL order:
+    the sort key is (avg-nll ratio, doc_id), and the ratio is a SINGLE
+    division of two exact int64 sums, so its double value is
+    bit-identical across engines (NOTES determinism rule — no rounding).
+
+    Plan: the model build is two keyed grouped counts over the bigram
+    stream; the per-doc score re-joins the counts; the tercile window
+    shuffles once on lang. Docs with <2 tokens have no bigrams and drop
+    out, as in bigram_perplexity."""
+    docs = _t(spark, sf_dir, "documents")
+    bg_list = F.get(
+        F.transform(
+            F.array(D.tokens(F.col("text"))),
+            lambda t: F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        0,
+    )
+    bg = docs.select("doc_id", F.explode(bg_list).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cnt_bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c_bg"))
+    cnt_w1 = cnt_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    vsize = cnt_w1.agg(F.count(F.lit(1)).alias("_V"))
+    scored = (
+        tf.join(cnt_bg, ["w1", "w2"])
+        .join(cnt_w1, "w1")
+        .crossJoin(bounded_broadcast(vsize, "one_row"))
+        .withColumn(
+            "_nll",
+            F.round(
+                F.log(
+                    (F.col("c_w1") + F.col("_V")).cast("double")
+                    / (F.col("c_bg") + 1).cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("_nll")).alias("_s"),
+    )
+    enriched = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    ratio = F.col("_s").cast("double") / F.col("n_bigrams").cast("double")
+    wb = Window.partitionBy("lang").orderBy(ratio.asc(), F.col("doc_id").asc())
+    return enriched.withColumn("nt", F.ntile(3).over(wb)).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        (ratio / F.lit(1e6)).alias("avg_nll"),
+        F.when(F.col("nt") == 1, F.lit("head"))
+        .when(F.col("nt") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2
+), tf AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+), cnt_bg AS (
+  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c_bg FROM tf GROUP BY 1, 2
+), cnt_w1 AS (
+  SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cnt_bg GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS V FROM cnt_w1
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(round(ln(CAST(c_w1 + V AS DOUBLE) / CAST(c_bg + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nll
+  FROM tf JOIN cnt_bg USING (w1, w2) JOIN cnt_w1 USING (w1) CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(tf * nll) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+), enriched AS (
+  SELECT p.doc_id, d.lang, p.n_bigrams,
+         CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS r
+  FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id, lang, n_bigrams, r,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY r ASC, doc_id ASC) AS nt
+  FROM enriched
+)
+SELECT doc_id, lang, n_bigrams, r / 1000000.0 AS avg_nll,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+def q_html_strip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style text extraction from raw HTML: drop script blocks, strip
+    tags, unescape the core entities, collapse whitespace — the first
+    transform every web-crawl pipeline runs before any quality or dedup
+    pass. The corpus is plain text, so the HTML wrapper is synthesized
+    deterministically in-query (same fixture pattern as pii_scrub) and
+    the extraction must recover the payload exactly.
+
+    Regexes stay inside the Java-regex ∩ RE2 common subset ('<[^>]*>',
+    '\\\\s+' — no backrefs, no lookaround) so Spark and DuckDB agree
+    byte-for-byte; entity unescape is ordered &lt;/&gt; BEFORE &amp; so
+    double-escaped input cannot over-unescape. Zero shuffle: pure
+    per-row narrow work, whole-stage-codegen friendly at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body><h1>"),
+        F.substring("text", 1, 20),
+        F.lit('</h1><p class="x">'),
+        F.col("text"),
+        F.lit(
+            " &amp; more &lt;tags&gt;</p>"
+            "<script>var x = 1;</script></body></html>"
+        ),
+    )
+    no_script = F.regexp_replace(html, "<script>[^<]*</script>", " ")
+    no_tags = F.regexp_replace(no_script, "<[^>]*>", " ")
+    unescaped = F.replace(
+        F.replace(
+            F.replace(no_tags, F.lit("&lt;"), F.lit("<")),
+            F.lit("&gt;"),
+            F.lit(">"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    clean = F.trim(F.regexp_replace(unescaped, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("n_chars"),
+        F.md5(clean).alias("extracted_md5"),
+    )
+
+
+SQL_HTML_STRIP_EXTRACT = """
+WITH built AS (
+  SELECT doc_id,
+         '<html><head><title>doc</title></head><body><h1>' || substring(text, 1, 20)
+         || '</h1><p class="x">' || text
+         || ' &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html, '<script>[^<]*</script>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM built
+)
+SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars,
+       md5(clean) AS extracted_md5
+FROM stripped
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -10337,4 +10903,19 @@ CATALOG: dict[str, QueryDef] = {
         q_temperature_mixture, SQL_TEMPERATURE_MIXTURE
     ),
     "datacard_report": QueryDef(q_datacard_report, SQL_DATACARD_REPORT),
+    "paragraph_dedup_rebuild": QueryDef(
+        q_paragraph_dedup_rebuild, SQL_PARAGRAPH_DEDUP_REBUILD
+    ),
+    "prefix_filter_jaccard": QueryDef(
+        q_prefix_filter_jaccard, SQL_PREFIX_FILTER_JACCARD
+    ),
+    "minhash_estimate_audit": QueryDef(
+        q_minhash_estimate_audit, SQL_MINHASH_ESTIMATE_AUDIT
+    ),
+    "perplexity_buckets": QueryDef(
+        q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS
+    ),
+    "html_strip_extract": QueryDef(
+        q_html_strip_extract, SQL_HTML_STRIP_EXTRACT
+    ),
 }

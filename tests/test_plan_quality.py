@@ -368,8 +368,11 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #   the BNLJ — no allowlist entry needed)
 #   dsir_importance         — broadcast 1-row corpus-totals aggregate
 #                             (tgt_tot/raw_tot smoothing denominators)
+#   perplexity_buckets      — broadcast 1-row vocab-size aggregate (the
+#                             same vsize cross join as bigram_perplexity)
 _NESTED_LOOP_ALLOWED = {
     "dsir_importance",
+    "perplexity_buckets",
     "frequent_tokens",
     "cohens_kappa",
     "copurchase_lift",
