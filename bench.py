@@ -233,6 +233,8 @@ HEADLINE = (
     "minhash_estimate_audit",
     "perplexity_buckets",
     "html_strip_extract",
+    "power_iteration_topvec",
+    "kcore_decomposition",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -276,7 +278,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "proration_allocate", "gini_revenue", "session_paths",
         "pagerank_fixed", "autocorr_daily", "mom_growth",
         "abc_classification", "conversion_lag_quantiles",
-        "scd2_point_in_time",
+        "scd2_point_in_time", "kcore_decomposition",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -304,6 +306,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "embedding_cosine_neardup_lsh", "embedding_centroids",
         "embedding_quantization", "embedding_neardup_prune",
         "nearest_centroid_assign", "hard_negative_mining",
+        "power_iteration_topvec",
     ),
     "text": (
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",

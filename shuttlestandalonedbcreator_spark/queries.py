@@ -10582,6 +10582,204 @@ FROM stripped
 """
 
 
+PI_DIM = 64
+PI_ITERS = 3
+
+
+def q_power_iteration_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by DISTRIBUTED
+    POWER ITERATION — the building block behind PCA whitening, ABTT
+    ("all-but-the-top") embedding post-processing, and spectral outlier
+    screens, done without ever materializing the d×d covariance: each
+    round is v' ∝ Xᵀ(Xv), two narrow passes over the corpus.
+
+    Engine-exact iteration math: components quantize once to integer
+    milli-units via floor (floor of an EXACT float32×1000 double product
+    — no rounding-mode hazard), per-row dots and the 64 per-dimension
+    sums are pure int64, and the renormalization to ±1000 is the
+    portable floor-division ((y+m)*1000 div m − 1000), identical to
+    DuckDB's floor `//` even for negative components. Three fixed
+    rounds; the 1-row v frame broadcasts (one_row) and is eagerly
+    checkpointed per round so iteration N+1's lineage doesn't replay
+    iteration N. int64 headroom: |y_j| ≤ N·64·578·1000 — safe beyond
+    1e8 rows; shard-and-merge partial sums extend it arbitrarily.
+    Scale: 3 corpus scans total, no shuffle wider than a 64-cell
+    aggregate. Oracle: the same three rounds unrolled as SQL CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000)).cast("long"),
+        ).alias("xq")
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(1000).cast("long") for _ in range(PI_DIM)]).alias("v")
+    )
+    for _ in range(PI_ITERS):
+        rows = xq.crossJoin(bounded_broadcast(v, "one_row"))
+        dotted = rows.select(
+            "xq",
+            F.aggregate(
+                F.zip_with("xq", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("dot"),
+        )
+        y = dotted.agg(
+            *[
+                F.sum(F.get("xq", j) * F.col("dot")).alias(f"y{j}")
+                for j in range(PI_DIM)
+            ]
+        )
+        y = y.withColumn(
+            "m", F.greatest(*[F.abs(F.col(f"y{j}")) for j in range(PI_DIM)])
+        )
+        v = y.select(
+            F.array(
+                *[
+                    (
+                        F.expr(f"((y{j} + m) * 1000) div m") - F.lit(1000)
+                    ).cast("long")
+                    for j in range(PI_DIM)
+                ]
+            ).alias("v")
+        )
+        v = v.localCheckpoint(eager=True)
+    return v.select(F.posexplode("v").alias("dim", "v_milli")).select(
+        F.col("dim").cast("long").alias("dim"), "v_milli"
+    )
+
+
+def _sql_power_iteration() -> str:
+    """Unrolled 3-round power-iteration oracle (same integer math)."""
+    it = """
+d{r} AS (
+  SELECT xq, list_aggregate(list_transform(range(1, {dim} + 1),
+           j -> xq[j] * v[j]), 'sum') AS dot
+  FROM xq CROSS JOIN v{p}
+), y{r} AS (
+  SELECT j, CAST(SUM(dot * xq[j]) AS BIGINT) AS yv
+  FROM d{r}, unnest(range(1, {dim} + 1)) AS u(j)
+  GROUP BY j
+), m{r} AS (
+  SELECT MAX(abs(yv)) AS m FROM y{r}
+), v{r} AS (
+  SELECT list(CAST(((yv + m) * 1000) // m - 1000 AS BIGINT) ORDER BY j) AS v
+  FROM y{r} CROSS JOIN m{r}
+)"""
+    rounds = ",".join(
+        it.format(r=r, p=r - 1, dim=PI_DIM) for r in range(1, PI_ITERS + 1)
+    )
+    return f"""
+WITH xq AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+  FROM embeddings
+), v0 AS (
+  SELECT list_transform(range(1, {PI_DIM} + 1), j -> CAST(1000 AS BIGINT)) AS v
+),{rounds}
+SELECT CAST(j - 1 AS BIGINT) AS dim, v[j] AS v_milli
+FROM v{PI_ITERS}, unnest(range(1, {PI_DIM} + 1)) AS u(j)
+"""
+
+
+SQL_POWER_ITERATION_TOPVEC = _sql_power_iteration()
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel of the co-purchase graph (same edges as
+    graph_degree_distribution / pagerank_fixed): four synchronous rounds
+    of "drop nodes with degree < k, recompute" — the spam/quality screen
+    that isolates the densely-connected core of a link or similarity
+    graph, and the Pregel-style distributed k-core algorithm verbatim.
+    FIXED rounds, not to-fixpoint: each round costs one degree aggregate
+    plus two semi-joins, so the 100 TB cost is R × (agg + semi-join) by
+    construction; at sf0.001/0.01 four rounds already reach the true
+    2-core fixpoint (measured), while unbounded peeling is the
+    documented production loop. Surviving edges are eagerly
+    checkpointed per round — each round is referenced by the degree
+    pass AND the filter, and round N+1 builds on round N, so without
+    the checkpoint the join lineage re-evaluates ~3× per level
+    (measured as a 60 GB oracle spill before materialization).
+    Returns each surviving node with its induced-core degree."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("p1").alias("v"))
+            .unionByName(edges.select(F.col("p2").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("v")
+        edges = edges.join(
+            keep.withColumnRenamed("v", "p1"), "p1", "left_semi"
+        ).join(keep.withColumnRenamed("v", "p2"), "p2", "left_semi")
+        edges = edges.localCheckpoint(eager=True)
+    final_deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionByName(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg.select("v", "core_degree")
+
+
+def _sql_kcore() -> str:
+    """Unrolled fixed-round peel; MATERIALIZED CTEs are required — each
+    round is referenced three times and DuckDB re-evaluates plain CTEs
+    per reference (exponential blowup without it)."""
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT p1 AS v FROM {prev} UNION ALL SELECT p2 AS v FROM {prev}
+  ) GROUP BY v
+), k{r} AS (
+  SELECT v FROM d{r} WHERE d >= {KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT p1, p2 FROM {prev}
+  WHERE p1 IN (SELECT v FROM k{r}) AND p2 IN (SELECT v FROM k{r})
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),{",".join(rounds)}
+SELECT v, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT p1 AS v FROM {prev} UNION ALL SELECT p2 AS v FROM {prev}
+) GROUP BY v
+"""
+
+
+SQL_KCORE_DECOMPOSITION = _sql_kcore()
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -10917,5 +11115,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "html_strip_extract": QueryDef(
         q_html_strip_extract, SQL_HTML_STRIP_EXTRACT
+    ),
+    "power_iteration_topvec": QueryDef(
+        q_power_iteration_topvec, SQL_POWER_ITERATION_TOPVEC
+    ),
+    "kcore_decomposition": QueryDef(
+        q_kcore_decomposition, SQL_KCORE_DECOMPOSITION
     ),
 }
