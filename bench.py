@@ -235,6 +235,9 @@ HEADLINE = (
     "html_strip_extract",
     "power_iteration_topvec",
     "kcore_decomposition",
+    "abtt_residual",
+    "tokenizer_fertility",
+    "wilson_lower_bound",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -289,6 +292,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
         "hashed_classifier_infer", "datacard_report",
+        "wilson_lower_bound",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
@@ -306,7 +310,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "embedding_cosine_neardup_lsh", "embedding_centroids",
         "embedding_quantization", "embedding_neardup_prune",
         "nearest_centroid_assign", "hard_negative_mining",
-        "power_iteration_topvec",
+        "power_iteration_topvec", "abtt_residual",
     ),
     "text": (
         "text_token_stats", "text_quality", "normalize_text", "vocab_build",
@@ -317,6 +321,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "pmi_collocations", "token_burstiness",
         "reciprocal_rank_fusion", "bm25_topk",
         "perplexity_buckets", "html_strip_extract",
+        "tokenizer_fertility",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",
@@ -565,6 +570,62 @@ def scale_probes(spark, sf_dir: str) -> dict[str, float]:
     probes["linkage_all_pairs"] = float(n_base * n_mirror)
     probes["linkage_block_reduction"] = round(
         probes["linkage_all_pairs"] / max(cand, 1), 1
+    )
+
+    # prefix-filter Jaccard join: candidate-pair cardinality through the
+    # df-ordered prefix postings vs the FULL posting-list join the plain
+    # inverted-index strategy would expand (Σ df·(df−1)/2) — the AllPairs
+    # pruning claim as a measured count, matching prefix_filter_jaccard's
+    # construction exactly (t = 0.6, docs with ≥5 distinct shingles)
+    from pyspark.sql import Window as _W
+
+    from shuttlestandalonedbcreator_spark.queries import PFJ_MIN_GRAMS
+
+    grams = (
+        docs.select(
+            F.col("doc_id"), F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= PFJ_MIN_GRAMS
+    )
+    eligible = grams.join(sz, "doc_id")
+    full_pairs = (
+        eligible.groupBy("hh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    ranked = eligible.join(
+        eligible.groupBy("hh").agg(F.count(F.lit(1)).alias("df")), "hh"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            _W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("hh").asc())
+        ),
+    )
+    pre = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
+    )
+    prefix_pairs = (
+        pre.groupBy("hh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("p"))
+        .collect()[0]["p"]
+    )
+    probes["pfj_full_posting_pairs"] = float(full_pairs or 0)
+    probes["pfj_prefix_posting_pairs"] = float(prefix_pairs or 0)
+    probes["pfj_candidate_reduction"] = round(
+        probes["pfj_full_posting_pairs"]
+        / max(probes["pfj_prefix_posting_pairs"], 1.0),
+        1,
     )
     return probes
 

@@ -10586,32 +10586,24 @@ PI_DIM = 64
 PI_ITERS = 3
 
 
-def q_power_iteration_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus by DISTRIBUTED
-    POWER ITERATION — the building block behind PCA whitening, ABTT
-    ("all-but-the-top") embedding post-processing, and spectral outlier
-    screens, done without ever materializing the d×d covariance: each
-    round is v' ∝ Xᵀ(Xv), two narrow passes over the corpus.
-
-    Engine-exact iteration math: components quantize once to integer
-    milli-units via floor (floor of an EXACT float32×1000 double product
-    — no rounding-mode hazard), per-row dots and the 64 per-dimension
-    sums are pure int64, and the renormalization to ±1000 is the
-    portable floor-division ((y+m)*1000 div m − 1000), identical to
-    DuckDB's floor `//` even for negative components. Three fixed
-    rounds; the 1-row v frame broadcasts (one_row) and is eagerly
-    checkpointed per round so iteration N+1's lineage doesn't replay
-    iteration N. int64 headroom: |y_j| ≤ N·64·578·1000 — safe beyond
-    1e8 rows; shard-and-merge partial sums extend it arbitrarily.
-    Scale: 3 corpus scans total, no shuffle wider than a 64-cell
-    aggregate. Oracle: the same three rounds unrolled as SQL CTEs."""
-    emb = _t(spark, sf_dir, "embeddings")
-    xq = emb.select(
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(1000)).cast("long"),
-        ).alias("xq")
+def _quantize_milli(vec_col) -> object:
+    """Embedding components → integer milli-units. floor of an EXACT
+    double (float32 × 1000 products carry ≤31 significand bits), so
+    there is no rounding-mode hazard on any engine."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(1000)).cast("long"),
     )
+
+
+def _power_iteration_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared power-iteration core: returns the 1-row frame holding the
+    top principal direction as a ±1000-normalized int64 array after
+    PI_ITERS rounds (consumed by power_iteration_topvec and
+    abtt_residual). Each round's 1-row v broadcasts (one_row) and is
+    eagerly checkpointed so round N+1's lineage doesn't replay round N."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = emb.select(_quantize_milli("embedding").alias("xq"))
     v = spark.range(1).select(
         F.array(*[F.lit(1000).cast("long") for _ in range(PI_DIM)]).alias("v")
     )
@@ -10645,6 +10637,29 @@ def q_power_iteration_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
         v = v.localCheckpoint(eager=True)
+    return v
+
+
+def q_power_iteration_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by DISTRIBUTED
+    POWER ITERATION — the building block behind PCA whitening, ABTT
+    ("all-but-the-top") embedding post-processing, and spectral outlier
+    screens, done without ever materializing the d×d covariance: each
+    round is v' ∝ Xᵀ(Xv), two narrow passes over the corpus.
+
+    Engine-exact iteration math: components quantize once to integer
+    milli-units via floor (floor of an EXACT float32×1000 double product
+    — no rounding-mode hazard), per-row dots and the 64 per-dimension
+    sums are pure int64, and the renormalization to ±1000 is the
+    portable floor-division ((y+m)*1000 div m − 1000), identical to
+    DuckDB's floor `//` even for negative components. Three fixed
+    rounds; the 1-row v frame broadcasts (one_row) and is eagerly
+    checkpointed per round so iteration N+1's lineage doesn't replay
+    iteration N. int64 headroom: |y_j| ≤ N·64·578·1000 — safe beyond
+    1e8 rows; shard-and-merge partial sums extend it arbitrarily.
+    Scale: 3 corpus scans total, no shuffle wider than a 64-cell
+    aggregate. Oracle: the same three rounds unrolled as SQL CTEs."""
+    v = _power_iteration_v(spark, sf_dir)
     return v.select(F.posexplode("v").alias("dim", "v_milli")).select(
         F.col("dim").cast("long").alias("dim"), "v_milli"
     )
@@ -10778,6 +10793,208 @@ SELECT v, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
 
 
 SQL_KCORE_DECOMPOSITION = _sql_kcore()
+
+
+def q_abtt_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-But-The-Top (Mu & Viswanath, ICLR'18) embedding
+    post-processing: remove each vector's projection onto the corpus's
+    top principal direction — the standard fix for the "common
+    direction" artifact that inflates all pairwise cosines before
+    similarity search or clustering. Consumes _power_iteration_v's
+    direction and stays ENTIRELY in int64: with S = |v|² and d = x·v,
+    the residual is emitted as r_j·S = x_j·S − d·v_j (projecting out
+    without dividing), fingerprinted via md5 so the oracle — the same
+    unrolled power-iteration CTEs plus identical residual algebra —
+    value-checks every component. |x_j·S − d·v_j| ≤ 7.4e10: int64-safe
+    at any corpus size (per-row algebra, independent of N).
+
+    Scale: one broadcast of the 1-row direction + one narrow pass —
+    the corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = _power_iteration_v(spark, sf_dir)
+    xq = emb.select("vec_id", _quantize_milli("embedding").alias("xq"))
+    rows = xq.crossJoin(bounded_broadcast(v, "one_row"))
+    scored = rows.select(
+        "vec_id",
+        "xq",
+        "v",
+        F.aggregate(
+            F.zip_with("xq", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("d"),
+        F.aggregate(
+            F.transform("v", lambda b: b * b),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("s"),
+    )
+    resid = scored.select(
+        "vec_id",
+        F.col("d").alias("proj_int"),
+        F.zip_with(
+            "xq", "v", lambda x, b: x * F.col("s") - F.col("d") * b
+        ).alias("r"),
+    )
+    return resid.select(
+        "vec_id",
+        "proj_int",
+        F.md5(
+            F.concat_ws(",", F.transform("r", lambda t: t.cast("string")))
+        ).alias("residual_md5"),
+    )
+
+
+SQL_ABTT_RESIDUAL = (
+    _sql_power_iteration().rsplit("SELECT CAST(j - 1", 1)[0]
+    + f""", xe AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, xq, v,
+         list_aggregate(list_transform(range(1, {PI_DIM} + 1),
+           j -> xq[j] * v[j]), 'sum') AS d,
+         list_aggregate(list_transform(v, b -> b * b), 'sum') AS s
+  FROM xe CROSS JOIN v{PI_ITERS}
+)
+SELECT vec_id, CAST(d AS BIGINT) AS proj_int,
+       md5(array_to_string(list_transform(range(1, {PI_DIM} + 1),
+         j -> CAST(xq[j] * s - d * v[j] AS VARCHAR)), ',')) AS residual_md5
+FROM sc
+"""
+)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility data card: per language, tokens-per-word and
+    chars-per-token — the metric that decides whether a tokenizer
+    under-serves a language (high fertility = more tokens per word =
+    more compute per sentence). Subword counts use a fixed-width proxy
+    (ceil(len/4) pieces per word) since the corpus's real BPE lives in
+    bpe_train_merges; the REPORT structure (per-lang fertility table,
+    exact integer token/word/char sums, unrounded single-division
+    ratios) is the production shape. One narrow tokenize pass (the
+    token array is let-bound once — HOF CSE rule) + one 5-group
+    aggregate: zero risk at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = F.get(
+        F.transform(
+            F.array(D.tokens(F.col("text"))),
+            lambda t: F.struct(
+                F.size(t).cast("long").alias("nw"),
+                F.aggregate(
+                    t,
+                    F.lit(0).cast("long"),
+                    lambda acc, w: acc
+                    + F.floor((F.length(w) + F.lit(3)) / F.lit(4)).cast(
+                        "long"
+                    ),
+                ).alias("nt"),
+            ),
+        ),
+        0,
+    )
+    per_doc = docs.select(
+        "lang",
+        stats.alias("st"),
+        F.length("text").cast("long").alias("nc"),
+    ).select(
+        "lang", F.col("st.nw").alias("nw"), F.col("st.nt").alias("nt"), "nc"
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("nw").alias("words"),
+        F.sum("nt").alias("subtokens"),
+        F.sum("nc").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "docs",
+        "words",
+        "subtokens",
+        "chars",
+        (
+            F.col("subtokens").cast("double") / F.col("words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("chars").cast("double") / F.col("subtokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = """
+WITH toks AS (
+  SELECT doc_id, lang, length(text) AS nc,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), per_doc AS (
+  SELECT lang, nc, len(w) AS nw,
+         list_aggregate(list_transform(w, x -> (length(x) + 3) // 4), 'sum') AS nt
+  FROM toks
+), agg AS (
+  SELECT lang, COUNT(*) AS docs,
+         CAST(SUM(nw) AS BIGINT) AS words,
+         CAST(SUM(COALESCE(nt, 0)) AS BIGINT) AS subtokens,
+         CAST(SUM(nc) AS BIGINT) AS chars
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, docs, words, subtokens, chars,
+       CAST(subtokens AS DOUBLE) / CAST(words AS DOUBLE) AS fertility,
+       CAST(chars AS DOUBLE) / CAST(subtokens AS DOUBLE) AS chars_per_token
+FROM agg
+"""
+
+
+def q_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval per event type — ranking success rates
+    under uncertainty (the correct replacement for raw p̂ when group
+    sizes differ; small-n groups get honest wide intervals instead of
+    winning ties). Success = value > 60. Both bounds are built from the
+    SAME exact-integer (s, n) pair through an identical IEEE expression
+    tree on both engines; the multi-op sqrt chain ships round(·,6) per
+    the determinism rule (rounding absorbs ulp drift on multi-op
+    chains; only single divisions ship unrounded). One grouped
+    aggregate — nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 60, 1).otherwise(0)).alias("s"),
+    )
+    z2 = F.lit(3.8416)
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    rad = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "s",
+        F.round((center - rad) / denom, 6).alias("wilson_lb"),
+        F.round((center + rad) / denom, 6).alias("wilson_ub"),
+    )
+
+
+SQL_WILSON_LOWER_BOUND = """
+WITH agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN value > 60 THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+         - 1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                       + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lb,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+         + 1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                       + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_ub
+FROM agg
+"""
 
 
 CATALOG: dict[str, QueryDef] = {
@@ -11121,5 +11338,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "kcore_decomposition": QueryDef(
         q_kcore_decomposition, SQL_KCORE_DECOMPOSITION
+    ),
+    "abtt_residual": QueryDef(q_abtt_residual, SQL_ABTT_RESIDUAL),
+    "tokenizer_fertility": QueryDef(
+        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY
+    ),
+    "wilson_lower_bound": QueryDef(
+        q_wilson_lower_bound, SQL_WILSON_LOWER_BOUND
     ),
 }

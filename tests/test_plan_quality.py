@@ -370,7 +370,12 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             (tgt_tot/raw_tot smoothing denominators)
 #   perplexity_buckets      — broadcast 1-row vocab-size aggregate (the
 #                             same vsize cross join as bigram_perplexity)
+#   abtt_residual           — broadcast 1-row principal-direction frame
+#                             (the power-iteration rounds hide behind
+#                             checkpoints; the final residual pass's
+#                             1-row cross fold stays visible)
 _NESTED_LOOP_ALLOWED = {
+    "abtt_residual",
     "dsir_importance",
     "perplexity_buckets",
     "frequent_tokens",
