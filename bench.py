@@ -238,6 +238,9 @@ HEADLINE = (
     "abtt_residual",
     "tokenizer_fertility",
     "wilson_lower_bound",
+    "cross_source_dup_matrix",
+    "hashing_tf_vectorize",
+    "lsh_tuning_audit",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -303,7 +306,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "dedup_cascade", "dup_graph_triangles", "record_linkage",
         "graph_degree_distribution", "exact_substring_spans",
         "paragraph_dedup_rebuild", "prefix_filter_jaccard",
-        "minhash_estimate_audit",
+        "minhash_estimate_audit", "cross_source_dup_matrix",
+        "lsh_tuning_audit",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
@@ -321,7 +325,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "pmi_collocations", "token_burstiness",
         "reciprocal_rank_fusion", "bm25_topk",
         "perplexity_buckets", "html_strip_extract",
-        "tokenizer_fertility",
+        "tokenizer_fertility", "hashing_tf_vectorize",
     ),
     "sampling": (
         "train_val_test_split", "stratified_sample", "sequence_packing",

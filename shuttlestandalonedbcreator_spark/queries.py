@@ -10997,6 +10997,310 @@ FROM agg
 """
 
 
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts bucketed by
+    the unordered (source, source) pair — the report that tells a corpus
+    curator WHERE duplication comes from (a hot diagonal cell means one
+    feed re-crawls itself; a hot off-diagonal cell means two feeds
+    overlap and one can be dropped). Pairs are the exact 3-gram Jaccard
+    ≥ 0.5 edges (ngram_jaccard_pairs — inverted index, one shuffle);
+    source decoration is two doc-keyed joins; least/greatest
+    canonicalizes the cell so A×B and B×A land together."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    lab = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+    )
+    return lab.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+SQL_CROSS_SOURCE_DUP_MATRIX = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+)
+SELECT least(da.source, db.source) AS src_lo,
+       greatest(da.source, db.source) AS src_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON id_a = da.doc_id
+JOIN documents db ON id_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+# Feature-hashing bucket count (HashingTF's numFeatures, kept small so
+# the dense fingerprint is cheap to reassemble and the oracle exact).
+HTF_B = 64
+
+
+def q_hashing_tf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (HashingTF): each document becomes a fixed-width
+    dense count vector over 64 hash buckets — the no-vocabulary
+    vectorizer that feeds linear classifiers and clustering without a
+    dictionary build or a model join (the hashing trick; same shape as
+    Spark MLlib's HashingTF, rebuilt relationally so it is oracle-
+    checkable). Sparse (doc, bucket, count) aggregates first (one keyed
+    shuffle); the dense vector reassembles per doc from a map literal
+    via try_element_at (ANSI-safe for absent keys) and ships as an md5
+    fingerprint plus nnz/L1 so every component is value-checked.
+    Token-less docs keep an all-zero fingerprint through the left join.
+    Scale: O(tokens) explode + two keyed aggregates — no vocabulary
+    state, the whole point of the hashing trick."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(D.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % HTF_B
+        ).alias("b"),
+    )
+    sparse = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    dense = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "cnt"))).alias("m"),
+        F.sum("cnt").alias("l1"),
+        F.count(F.lit(1)).alias("nnz"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(HTF_B - 1)),
+        lambda j: F.coalesce(
+            F.try_element_at("m", j.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    out = dense.select(
+        "doc_id",
+        "nnz",
+        "l1",
+        F.md5(
+            F.concat_ws(",", F.transform(vec, lambda t: t.cast("string")))
+        ).alias("vec_md5"),
+    )
+    base = docs.select("doc_id")
+    zero_md5 = F.md5(F.lit(",".join(["0"] * HTF_B)))
+    return base.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nnz", F.lit(0)).cast("long").alias("nnz"),
+        F.coalesce("l1", F.lit(0)).cast("long").alias("l1"),
+        F.coalesce("vec_md5", zero_md5).alias("vec_md5"),
+    )
+
+
+SQL_HASHING_TF_VECTORIZE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+  FROM documents
+), hb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {HTF_B} AS b
+  FROM toks
+), sparse AS (
+  SELECT doc_id, b, COUNT(*) AS cnt FROM hb GROUP BY 1, 2
+), dense AS (
+  SELECT doc_id,
+         map_from_entries(list(struct_pack(k := b, v := cnt))) AS m,
+         CAST(SUM(cnt) AS BIGINT) AS l1,
+         CAST(COUNT(*) AS BIGINT) AS nnz
+  FROM sparse GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, nnz, l1,
+         md5(array_to_string(list_transform(range(0, {HTF_B}),
+           j -> CAST(COALESCE(m[j][1], 0) AS VARCHAR)), ',')) AS vec_md5
+  FROM dense
+)
+SELECT d.doc_id,
+       CAST(COALESCE(nnz, 0) AS BIGINT) AS nnz,
+       CAST(COALESCE(l1, 0) AS BIGINT) AS l1,
+       COALESCE(vec_md5, md5('{",".join(["0"] * HTF_B)}')) AS vec_md5
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
+def q_lsh_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end detection audit of the MinHash-LSH configuration
+    (32 perms × 8 bands) against GROUND TRUTH: one row with candidate
+    count, true-pair count (exact shingle Jaccard ≥ 0.5), false
+    positives (candidates that verify below threshold — wasted verify
+    work) and false negatives (true pairs the bands never surface —
+    silent recall loss). This is the number a 100 TB dedup run signs
+    off on before committing to a (b, r) choice; minhash_estimate_audit
+    measures the ESTIMATOR per pair, this measures the DETECTOR.
+
+    Both sides are exact-integer set algebra; the full-outer join of
+    truth vs candidates classifies every pair exactly once. The shingle
+    frame is checkpointed — it feeds the posting-list truth side while
+    the signature side re-shingles internally (minhash_signature owns
+    its own scan), keeping each pipeline linear."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .distinct()
+    )
+    grams = grams.localCheckpoint(eager=True)
+    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    plists = (
+        grams.join(sz, "doc_id")
+        .groupBy("hh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    shared = (
+        plists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x.doc_id AS id_a, x.n AS na, "
+                    "y.doc_id AS id_b, y.n AS nb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.na", "p.id_b", "p.nb")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    true_pairs = shared.filter(
+        F.lit(3) * F.col("inter") >= F.col("na") + F.col("nb")
+    ).select("id_a", "id_b")
+    sig = D.minhash_signature(docs, "doc_id", "text", n=3, num_hashes=32)
+    banded = D._banded(sig, num_hashes=32, bands=8)
+    cands = (
+        banded.groupBy("_band", "_bucket")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    t = true_pairs.withColumn("is_true", F.lit(1))
+    c = cands.withColumn("is_cand", F.lit(1))
+    joined = t.join(c, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.coalesce("is_cand", F.lit(0))).alias("n_candidates"),
+        F.sum(F.coalesce("is_true", F.lit(0))).alias("n_true"),
+        F.sum(
+            F.when(
+                F.col("is_cand").isNotNull() & F.col("is_true").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(
+                F.col("is_true").isNotNull() & F.col("is_cand").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_false_neg"),
+    )
+
+
+SQL_LSH_TUNING_AUDIT = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), true_pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE 3 * c >= sa.s + sb.s
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+         CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 1000000007 AS h2
+  FROM e
+), mh AS (
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % 1000000007) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS seed)
+  GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(v ORDER BY seed) AS s FROM mh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_transform(s[b*4+1 : b*4+4], x -> CAST(x AS VARCHAR)), ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), joined AS (
+  SELECT COALESCE(t.id_a, c.id_a) AS id_a, COALESCE(t.id_b, c.id_b) AS id_b,
+         t.id_a IS NOT NULL AS is_true, c.id_a IS NOT NULL AS is_cand
+  FROM true_pairs t FULL OUTER JOIN cands c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+FROM joined
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -11346,4 +11650,11 @@ CATALOG: dict[str, QueryDef] = {
     "wilson_lower_bound": QueryDef(
         q_wilson_lower_bound, SQL_WILSON_LOWER_BOUND
     ),
+    "cross_source_dup_matrix": QueryDef(
+        q_cross_source_dup_matrix, SQL_CROSS_SOURCE_DUP_MATRIX
+    ),
+    "hashing_tf_vectorize": QueryDef(
+        q_hashing_tf_vectorize, SQL_HASHING_TF_VECTORIZE
+    ),
+    "lsh_tuning_audit": QueryDef(q_lsh_tuning_audit, SQL_LSH_TUNING_AUDIT),
 }
