@@ -241,6 +241,9 @@ HEADLINE = (
     "cross_source_dup_matrix",
     "hashing_tf_vectorize",
     "lsh_tuning_audit",
+    "moment_profile",
+    "l_diversity_audit",
+    "neardup_keep_longest",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -295,7 +298,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "classifier_calibration", "cohens_kappa", "mutual_information",
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
         "hashed_classifier_infer", "datacard_report",
-        "wilson_lower_bound",
+        "wilson_lower_bound", "moment_profile", "l_diversity_audit",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
@@ -307,7 +310,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "graph_degree_distribution", "exact_substring_spans",
         "paragraph_dedup_rebuild", "prefix_filter_jaccard",
         "minhash_estimate_audit", "cross_source_dup_matrix",
-        "lsh_tuning_audit",
+        "lsh_tuning_audit", "neardup_keep_longest",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",

@@ -11301,6 +11301,207 @@ FROM joined
 """
 
 
+def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment column profile: mean/variance/skewness/kurtosis per
+    return flag from the four raw power sums — the distribution-shape
+    report that column_profile (counts + extrema) doesn't cover, and the
+    standard single-pass formulation: Σx..Σx⁴ accumulate EXACTLY in
+    int64 (l_quantity is integer-valued ≤ 50, so Σx⁴ ≤ 6.25e6·N — safe
+    past 1e12 rows), then the central-moment polynomials run in double
+    from those exact sums with an identical expression tree on both
+    engines (each int sum < 2^53, so the int→double cast is exact and
+    the multi-op chain ships round(6) per the determinism rule; the
+    mean, a single division, ships unrounded). One grouped aggregate:
+    map-side partials, 3-row result, nothing else at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = (
+        s3 / n
+        - F.lit(3.0) * mean * (s2 / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean_qty"),
+        F.round(m2, 6).alias("variance"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis"),
+    )
+
+
+SQL_MOMENT_PROFILE = """
+WITH agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS s1,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+         CAST(s4 AS DOUBLE) AS s4
+  FROM agg
+), m AS (
+  SELECT l_returnflag, n, s1 / nd AS mean_qty,
+         s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+         s3 / nd - 3.0 * (s1 / nd) * (s2 / nd) + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+         s4 / nd - 4.0 * (s1 / nd) * (s3 / nd) + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+               - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+  FROM d
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n, mean_qty,
+       round(m2, 6) AS variance,
+       round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+FROM m
+"""
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the governance check one step past
+    k-anonymity (k_anonymity_audit): a quasi-identifier group can be
+    large yet still leak if its SENSITIVE attribute is homogeneous, so
+    the gate is distinct-sensitive-values ≥ l per group. QI here is
+    (priority, status), sensitive is the customer key, l = 5; reported
+    per priority as group counts + the minimum diversity so the audit
+    is informative at every corpus size (same report-not-offender-list
+    design as the k-anonymity entry). Two stacked aggregates — the
+    count_distinct rides its own group keys, no EXPAND mixing."""
+    orders = _t(spark, sf_dir, "orders")
+    groups = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("gs"),
+        F.count_distinct("o_custkey").alias("nd"),
+    )
+    return groups.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("nd") < 5, 1).otherwise(0)).alias(
+            "n_low_diversity"
+        ),
+        F.min("nd").alias("min_distinct_sensitive"),
+        F.sum("gs").alias("n_rows"),
+    )
+
+
+SQL_L_DIVERSITY_AUDIT = """
+WITH groups AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS gs,
+         COUNT(DISTINCT o_custkey) AS nd
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN nd < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+       CAST(MIN(nd) AS BIGINT) AS min_distinct_sensitive,
+       CAST(SUM(gs) AS BIGINT) AS n_rows
+FROM groups GROUP BY o_orderpriority
+"""
+
+
+def q_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup pruning: within each duplicate cluster keep
+    the LONGEST document (n_chars desc, id tiebreak) instead of
+    neardup_prune's min-id representative — the production policy when
+    near-dups are truncations/excerpts of a fuller original and "keep
+    first" would keep the fragment. Same exact-Jaccard components
+    (inverted index → connected_components, size-gated driver
+    union-find); the keep decision is one row_number window over the
+    component table, which holds only docs that HAVE a duplicate, so
+    the corpus is never shuffled and the final anti-join scales with
+    duplicate mass, not corpus size."""
+    from shuttlestandalonedbcreator_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    ranked = comps.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), F.col("id").asc()
+            )
+        ),
+    )
+    pruned = ranked.filter(F.col("rk") > 1).select(F.col("id").alias("doc_id"))
+    return docs.join(pruned, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_NEARDUP_KEEP_LONGEST = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END) AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(g) AS tok FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(g) AS s FROM grams
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+), comp AS (
+  SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
+), ranked AS (
+  SELECT c.id, c.component,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.id ASC
+         ) AS rk
+  FROM comp c JOIN documents d ON c.id = d.doc_id
+), pruned AS (
+  SELECT id AS doc_id FROM ranked WHERE rk > 1
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d LEFT JOIN pruned p ON d.doc_id = p.doc_id
+WHERE p.doc_id IS NULL
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -11657,4 +11858,11 @@ CATALOG: dict[str, QueryDef] = {
         q_hashing_tf_vectorize, SQL_HASHING_TF_VECTORIZE
     ),
     "lsh_tuning_audit": QueryDef(q_lsh_tuning_audit, SQL_LSH_TUNING_AUDIT),
+    "moment_profile": QueryDef(q_moment_profile, SQL_MOMENT_PROFILE),
+    "l_diversity_audit": QueryDef(
+        q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT
+    ),
+    "neardup_keep_longest": QueryDef(
+        q_neardup_keep_longest, SQL_NEARDUP_KEEP_LONGEST
+    ),
 }
