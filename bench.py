@@ -244,6 +244,8 @@ HEADLINE = (
     "moment_profile",
     "l_diversity_audit",
     "neardup_keep_longest",
+    "epoch_mixing_plan",
+    "ngram_novelty",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -310,7 +312,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "graph_degree_distribution", "exact_substring_spans",
         "paragraph_dedup_rebuild", "prefix_filter_jaccard",
         "minhash_estimate_audit", "cross_source_dup_matrix",
-        "lsh_tuning_audit", "neardup_keep_longest",
+        "lsh_tuning_audit", "neardup_keep_longest", "ngram_novelty",
     ),
     "embedding": (
         "embedding_topk", "embedding_topk_blas", "embedding_cosine_neardup",
@@ -335,6 +337,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "weighted_sample", "mixture_sample", "per_source_cap",
         "shuffle_shards", "benchmark_decontamination", "pareto_frontier",
         "stratified_split_exact", "dsir_importance", "temperature_mixture",
+        "epoch_mixing_plan",
     ),
     "udf": (
         "pandas_udaf_weighted", "groupwise_minmax_norm",

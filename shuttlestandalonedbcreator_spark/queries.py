@@ -10134,7 +10134,9 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary. Verification joins the candidates back to per-doc sorted
     shingle-hash arrays (array_intersect, exact int counts). Oracle is
     the straight all-pairs join, so the pruning is PROVEN lossless at
-    every SF, not assumed."""
+    every SF, not assumed. The distinct shingle frame is eagerly
+    checkpointed — four consumers (sizes, df table, prefix ranking,
+    verify sets) would each re-run the shingle pipeline otherwise."""
     docs = _t(spark, sf_dir, "documents")
     grams = (
         docs.select(
@@ -10148,6 +10150,7 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    grams = grams.localCheckpoint(eager=True)
     sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_tbl = grams.groupBy("hh").agg(F.count(F.lit(1)).alias("df"))
     wrk = Window.partitionBy("doc_id").orderBy(
@@ -11502,6 +11505,134 @@ WHERE p.doc_id IS NULL
 """
 
 
+# Target training-token budget for the epoch plan (a knob, not data).
+EPOCH_BUDGET = 1_000_000
+
+
+def q_epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan — the arithmetic every pretraining run does
+    before launch: given each source's token INVENTORY and a
+    sqrt-temperature target weight (same α=0.5 family as
+    temperature_mixture, which allocates documents; this allocates
+    TOKENS), how many passes over each source a fixed budget implies.
+    epochs > 1000 milli means the source repeats (upsampled); << 1000
+    means it is subsampled. All divisions are integer floor on int64 —
+    exact on both engines. One grouped aggregate over the corpus + a
+    window over the 20-row source table; the corpus scan is the only
+    scale-bearing cost."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(D.tokens(F.col("text"))).cast("long")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(toks).alias("tokens"),
+    )
+    src = src.withColumn(
+        "w", F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    src = src.withColumn("w_tot", F.sum("w").over(wall))
+    return src.select(
+        "source",
+        "docs",
+        "tokens",
+        F.expr(f"({EPOCH_BUDGET} * w) div w_tot").alias("target_tokens"),
+        F.expr(f"(({EPOCH_BUDGET} * w) div w_tot) * 1000 div tokens").alias(
+            "epochs_milli"
+        ),
+    )
+
+
+SQL_EPOCH_MIXING_PLAN = f"""
+WITH src AS (
+  SELECT source, COUNT(*) AS docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, docs, tokens,
+         CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS w,
+         CAST(SUM(CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)) OVER () AS BIGINT) AS w_tot
+  FROM src
+)
+SELECT source, docs, tokens,
+       ({EPOCH_BUDGET} * w) // w_tot AS target_tokens,
+       (({EPOCH_BUDGET} * w) // w_tot) * 1000 // tokens AS epochs_milli
+FROM w
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct 3-grams
+    that appear FIRST in this doc (global first-occurrence by doc_id
+    order) — the redundancy-growth curve behind "is more of this source
+    still adding information?" decisions; a source whose marginal docs
+    score near zero is saturated. Global identity: Σ n_novel = distinct
+    grams in the corpus (each gram is novel exactly once). One gram-
+    keyed min aggregate + a join back on the same key (exchange reuse),
+    then a doc-keyed count — two shuffles, linear at any scale. The
+    novelty ratio is a single division of exact ints, shipped
+    unrounded."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("hh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "hh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        ).alias("novelty"),
+    )
+
+
+SQL_NGRAM_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+           ELSE [] END)) AS g
+  FROM toks
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS hh FROM grams
+), first AS (
+  SELECT hh, MIN(doc_id) AS first_doc FROM h GROUP BY hh
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel
+  FROM h JOIN first USING (hh) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+FROM per_doc
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -11865,4 +11996,8 @@ CATALOG: dict[str, QueryDef] = {
     "neardup_keep_longest": QueryDef(
         q_neardup_keep_longest, SQL_NEARDUP_KEEP_LONGEST
     ),
+    "epoch_mixing_plan": QueryDef(
+        q_epoch_mixing_plan, SQL_EPOCH_MIXING_PLAN
+    ),
+    "ngram_novelty": QueryDef(q_ngram_novelty, SQL_NGRAM_NOVELTY),
 }
