@@ -246,6 +246,9 @@ HEADLINE = (
     "neardup_keep_longest",
     "epoch_mixing_plan",
     "ngram_novelty",
+    "revenue_waterfall",
+    "simpson_diversity",
+    "trimmed_mean",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -290,6 +293,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "pagerank_fixed", "autocorr_daily", "mom_growth",
         "abc_classification", "conversion_lag_quantiles",
         "scd2_point_in_time", "kcore_decomposition",
+        "revenue_waterfall", "trimmed_mean",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -301,6 +305,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
         "hashed_classifier_infer", "datacard_report",
         "wilson_lower_bound", "moment_profile", "l_diversity_audit",
+        "simpson_diversity",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",

@@ -11633,6 +11633,182 @@ FROM per_doc
 """
 
 
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR-style month-over-month revenue waterfall: each (customer,
+    month) revenue cell is classified new (the customer's first-ever
+    month), retained (also bought the immediately-previous month), or
+    reactivated (bought before, but lapsed last month) and the month's
+    revenue decomposes exactly across the three — the subscription-
+    analytics staple, done in exact integer cents. Plan: one customer-
+    month rollup, then lag+min windows over each customer's (tiny)
+    month history — a single customer-keyed exchange — then the final
+    month×kind aggregate. The month arithmetic is add_months on
+    month-truncated dates, exact on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    cm = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    per = cm.groupBy("o_custkey", "m").agg(F.sum("cents").alias("rev"))
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    lab = (
+        per.withColumn("prev_m", F.lag("m").over(w))
+        .withColumn(
+            "first_m", F.min("m").over(Window.partitionBy("o_custkey"))
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("m") == F.col("first_m"), F.lit("new"))
+            .when(
+                F.col("prev_m") == F.add_months(F.col("m"), -1),
+                F.lit("retained"),
+            )
+            .otherwise(F.lit("reactivated")),
+        )
+    )
+    return lab.groupBy(
+        F.date_format("m", "yyyy-MM").alias("month"), "kind"
+    ).agg(
+        F.sum("rev").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+SQL_REVENUE_WATERFALL = """
+WITH cm AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), per AS (
+  SELECT o_custkey, m, CAST(SUM(cents) AS BIGINT) AS rev
+  FROM cm GROUP BY 1, 2
+), lab AS (
+  SELECT o_custkey, m, rev,
+         LAG(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m,
+         MIN(m) OVER (PARTITION BY o_custkey) AS first_m
+  FROM per
+), k AS (
+  SELECT m, rev,
+         CASE WHEN m = first_m THEN 'new'
+              WHEN prev_m = m - INTERVAL 1 MONTH THEN 'retained'
+              ELSE 'reactivated' END AS kind
+  FROM lab
+)
+SELECT strftime(m, '%Y-%m') AS month, kind,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_customers
+FROM k GROUP BY 1, 2
+"""
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of languages within each source — the exact
+    collision probability Σ nᵢ(nᵢ−1) / N(N−1) (probability two random
+    docs from the source share a language) and its 1−D diversity
+    complement. Complements lang_entropy_by_source: entropy weights the
+    tail, Simpson weights the head — a source can have high entropy yet
+    high collision if one language dominates. Pure integer algebra up
+    to one final division (unrounded single division of exact ints).
+    Two stacked tiny aggregates after the (source, lang) rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    agg = cell.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    d = F.col("coll").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    )
+    return agg.select(
+        "source",
+        "n",
+        "n_langs",
+        d.alias("simpson_d"),
+        (F.lit(1.0) - d).alias("diversity"),
+    )
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH cell AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+         COUNT(*) AS n_langs
+  FROM cell GROUP BY source
+)
+SELECT source, n, n_langs,
+       CAST(coll AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS simpson_d,
+       1.0 - CAST(coll AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS diversity
+FROM agg
+"""
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value per priority — the robust-mean
+    report where outliers (fat fingers, test orders) shouldn't move the
+    KPI. Trim is BY COUNT (floor(n/20) rows off each end of the exact
+    cents ranking, deterministic o_orderkey tiebreak), so the kept set
+    is integer-defined and the mean is a single division of exact int64
+    — no percentile-interpolation float hazards. One grouped window
+    (rank + count share the partition exchange) + one aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    base = orders.select(
+        "o_orderpriority", cents.alias("cents"), "o_orderkey"
+    )
+    wg = Window.partitionBy("o_orderpriority")
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            wg.orderBy(F.col("cents").asc(), F.col("o_orderkey").asc())
+        ),
+    ).withColumn("n", F.count(F.lit(1)).over(wg))
+    kept = ranked.filter(
+        (F.col("rk") > F.expr("n div 20"))
+        & (F.col("rk") <= F.col("n") - F.expr("n div 20"))
+    )
+    agg = kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("cents").alias("s"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_kept",
+        (F.col("s").cast("double") / F.col("n_kept").cast("double")).alias(
+            "trimmed_mean_cents"
+        ),
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents ASC, o_orderkey ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM base
+), kept AS (
+  SELECT o_orderpriority, cents FROM ranked
+  WHERE rk > n // 20 AND rk <= n - n // 20
+)
+SELECT o_orderpriority, COUNT(*) AS n_kept,
+       CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean_cents
+FROM kept GROUP BY o_orderpriority
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -12000,4 +12176,11 @@ CATALOG: dict[str, QueryDef] = {
         q_epoch_mixing_plan, SQL_EPOCH_MIXING_PLAN
     ),
     "ngram_novelty": QueryDef(q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "revenue_waterfall": QueryDef(
+        q_revenue_waterfall, SQL_REVENUE_WATERFALL
+    ),
+    "simpson_diversity": QueryDef(
+        q_simpson_diversity, SQL_SIMPSON_DIVERSITY
+    ),
+    "trimmed_mean": QueryDef(q_trimmed_mean, SQL_TRIMMED_MEAN),
 }
