@@ -10626,8 +10626,13 @@ def _power_iteration_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(PI_DIM)
             ]
         )
+        # floor at 1 so a degenerate all-zero corpus renormalizes to the
+        # zero vector instead of an ANSI divide-by-zero
         y = y.withColumn(
-            "m", F.greatest(*[F.abs(F.col(f"y{j}")) for j in range(PI_DIM)])
+            "m",
+            F.greatest(
+                *[F.abs(F.col(f"y{j}")) for j in range(PI_DIM)], F.lit(1)
+            ),
         )
         v = y.select(
             F.array(
@@ -10680,7 +10685,7 @@ d{r} AS (
   FROM d{r}, unnest(range(1, {dim} + 1)) AS u(j)
   GROUP BY j
 ), m{r} AS (
-  SELECT MAX(abs(yv)) AS m FROM y{r}
+  SELECT GREATEST(MAX(abs(yv)), 1) AS m FROM y{r}
 ), v{r} AS (
   SELECT list(CAST(((yv + m) * 1000) // m - 1000 AS BIGINT) ORDER BY j) AS v
   FROM y{r} CROSS JOIN m{r}
@@ -11526,6 +11531,9 @@ def q_epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.sum(toks).alias("tokens"),
     )
+    # a source with zero tokens contributes nothing to the plan (and
+    # would divide by zero in epochs); drop it rather than fabricate
+    src = src.filter(F.col("tokens") > 0)
     src = src.withColumn(
         "w", F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long")
     )
@@ -11549,11 +11557,13 @@ WITH src AS (
   SELECT source, COUNT(*) AS docs,
          CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS tokens
   FROM documents GROUP BY source
+), nz AS (
+  SELECT * FROM src WHERE tokens > 0
 ), w AS (
   SELECT source, docs, tokens,
          CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS w,
          CAST(SUM(CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)) OVER () AS BIGINT) AS w_tot
-  FROM src
+  FROM nz
 )
 SELECT source, docs, tokens,
        ({EPOCH_BUDGET} * w) // w_tot AS target_tokens,
