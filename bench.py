@@ -249,6 +249,9 @@ HEADLINE = (
     "revenue_waterfall",
     "simpson_diversity",
     "trimmed_mean",
+    "ab_test_welch",
+    "cuped_adjustment",
+    "theil_index",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -293,7 +296,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "pagerank_fixed", "autocorr_daily", "mom_growth",
         "abc_classification", "conversion_lag_quantiles",
         "scd2_point_in_time", "kcore_decomposition",
-        "revenue_waterfall", "trimmed_mean",
+        "revenue_waterfall", "trimmed_mean", "theil_index",
     ),
     "quality_eval": (
         "zscore_outliers", "mad_outliers", "k_anonymity_audit",
@@ -305,7 +308,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "rolling_anomaly_zscore", "benford_audit", "ks_drift",
         "hashed_classifier_infer", "datacard_report",
         "wilson_lower_bound", "moment_profile", "l_diversity_audit",
-        "simpson_diversity",
+        "simpson_diversity", "ab_test_welch", "cuped_adjustment",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",

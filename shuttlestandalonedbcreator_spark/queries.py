@@ -11819,6 +11819,251 @@ FROM kept GROUP BY o_orderpriority
 """
 
 
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic per event type between a
+    deterministic 50/50 user split (user_id parity as the assignment
+    hash) — the experimentation readout every A/B platform computes.
+    Per-row values quantize to exact milli ints (floor of a
+    deterministic double product — identical on both engines), group
+    sums are exact int64, and the t assembly is one identical double
+    tree shipped round(6). One grouped aggregate + a 5-row self-join."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * F.lit(1000)).cast("long")
+    g = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        v.alias("vm"),
+    )
+    agg = g.groupBy("event_type", "is_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("s1"),
+        F.sum(F.col("vm") * F.col("vm")).alias("s2"),
+    )
+    a = agg.filter(F.col("is_a")).select(
+        "event_type",
+        F.col("n").alias("na"),
+        F.col("s1").alias("sa1"),
+        F.col("s2").alias("sa2"),
+    )
+    b = agg.filter(~F.col("is_a")).select(
+        "event_type",
+        F.col("n").alias("nb"),
+        F.col("s1").alias("sb1"),
+        F.col("s2").alias("sb2"),
+    )
+    j = a.join(b, "event_type")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa1").cast("double") / na
+    mb = F.col("sb1").cast("double") / nb
+    va = (F.col("sa2").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("sb2").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    se = F.sqrt(va / na + vb / nb)
+    return j.select(
+        "event_type",
+        F.col("na"),
+        F.col("nb"),
+        F.round((ma - mb) / F.lit(1000.0), 6).alias("mean_diff"),
+        F.round((ma - mb) / se, 6).alias("t_stat"),
+    )
+
+
+SQL_AB_TEST_WELCH = """
+WITH g AS (
+  SELECT event_type, (user_id % 2 = 0) AS is_a,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+  FROM events
+), agg AS (
+  SELECT event_type, is_a, COUNT(*) AS n,
+         CAST(SUM(vm) AS BIGINT) AS s1,
+         CAST(SUM(vm * vm) AS BIGINT) AS s2
+  FROM g GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type,
+         a.n AS na, a.s1 AS sa1, a.s2 AS sa2,
+         b.n AS nb, b.s1 AS sb1, b.s2 AS sb2
+  FROM (SELECT * FROM agg WHERE is_a) a
+  JOIN (SELECT * FROM agg WHERE NOT is_a) b USING (event_type)
+), m AS (
+  SELECT event_type, na, nb,
+         CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         (CAST(sa2 AS DOUBLE) - CAST(na AS DOUBLE) * (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) * (CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE))) / (CAST(na AS DOUBLE) - 1.0) AS va,
+         (CAST(sb2 AS DOUBLE) - CAST(nb AS DOUBLE) * (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) * (CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE))) / (CAST(nb AS DOUBLE) - 1.0) AS vb
+  FROM j
+)
+SELECT event_type, na, nb,
+       round((ma - mb) / 1000.0, 6) AS mean_diff,
+       round((ma - mb) / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)), 6) AS t_stat
+FROM m
+"""
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): per user, the
+    pre-period covariate X (value in the first half of the corpus time
+    span) against the experiment metric Y (second half);
+    θ = cov(X,Y)/var(X) from exact milli-int per-user sums, reported as
+    raw vs adjusted metric variance and the % reduction — the number
+    that says how much smaller an experiment can be. The midpoint is
+    pure integer microseconds (unix_micros + div — a timestamp/interval
+    division would round differently across engines); per-row values
+    quantize via the deterministic floor(value·1000). One broadcast of
+    the 1-row span, one user-keyed aggregate, one 1-row moment
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    vm = F.floor(F.col("value") * F.lit(1000)).cast("long")
+    mid_us = F.unix_micros(F.col("t0")) + F.expr(
+        "(unix_micros(t1) - unix_micros(t0)) div 2"
+    )
+    per_user = (
+        ev.crossJoin(bounded_broadcast(span, "one_row"))
+        .select(
+            "user_id",
+            F.when(F.unix_micros(F.col("ts")) < mid_us, vm)
+            .otherwise(F.lit(0))
+            .alias("xv"),
+            F.when(F.unix_micros(F.col("ts")) >= mid_us, vm)
+            .otherwise(F.lit(0))
+            .alias("yv"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xv").alias("x"), F.sum("yv").alias("y"))
+    )
+    n = F.col("n").cast("double")
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    theta = cov / varx
+    var_adj = vary - theta * theta * varx
+    return stats.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(vary / F.lit(1e6), 6).alias("var_raw"),
+        F.round(var_adj / F.lit(1e6), 6).alias("var_adjusted"),
+        F.round((F.lit(1.0) - var_adj / vary) * F.lit(100.0), 6).alias(
+            "variance_reduction_pct"
+        ),
+    )
+
+
+SQL_CUPED_ADJUSTMENT = """
+WITH span AS (
+  SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+), mid AS (
+  SELECT epoch_us(CAST(t0 AS TIMESTAMP)) + (epoch_us(CAST(t1 AS TIMESTAMP)) - epoch_us(CAST(t0 AS TIMESTAMP))) // 2 AS mid_us
+  FROM span
+), per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid_us THEN CAST(FLOOR(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid_us THEN CAST(FLOOR(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN mid
+  GROUP BY user_id
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+), m AS (
+  SELECT n,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS varx,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vary
+  FROM s
+)
+SELECT n,
+       round(cov / varx, 6) AS theta,
+       round(vary / 1000000.0, 6) AS var_raw,
+       round((vary - (cov / varx) * (cov / varx) * varx) / 1000000.0, 6) AS var_adjusted,
+       round((1.0 - (vary - (cov / varx) * (cov / varx) * varx) / vary) * 100.0, 6) AS variance_reduction_pct
+FROM m
+"""
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue per market segment —
+    T = (1/N) Σ (x/μ)·ln(x/μ) — the decomposable inequality measure
+    next to gini_revenue (Theil is additively decomposable across
+    subgroups, which is why data-balance audits prefer it). x/μ is
+    computed as the exact rational x·n/tot in one double division
+    chain; each per-customer term is rounded to integer MICRO-NATS
+    BEFORE the segment sum (double sums are order-dependent — the same
+    exact-accumulation rule as unigram_surprisal). Windows over the
+    per-customer rollup share one segment-keyed exchange."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    per = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(cents).alias("x"))
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    per = per.withColumn("n", F.count(F.lit(1)).over(wall)).withColumn(
+        "tot", F.sum("x").over(wall)
+    )
+    ratio = (
+        F.col("x").cast("double")
+        * F.col("n").cast("double")
+        / F.col("tot").cast("double")
+    )
+    term = F.round(ratio * F.log(ratio) * F.lit(1e6)).cast("long")
+    agg = (
+        per.select("c_mktsegment", "n", term.alias("t"))
+        .groupBy("c_mktsegment")
+        .agg(F.first("n").alias("n_customers"), F.sum("t").alias("st"))
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        (
+            F.col("st").cast("double")
+            / F.col("n_customers").cast("double")
+            / F.lit(1e6)
+        ).alias("theil_t"),
+    )
+
+
+SQL_THEIL_INDEX = """
+WITH per AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), w AS (
+  SELECT c_mktsegment, x,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+         CAST(SUM(x) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+  FROM per
+), t AS (
+  SELECT c_mktsegment, n,
+         CAST(round((CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000) AS BIGINT) AS tt
+  FROM w
+)
+SELECT c_mktsegment, CAST(MIN(n) AS BIGINT) AS n_customers,
+       CAST(SUM(tt) AS BIGINT) / CAST(MIN(n) AS BIGINT) / 1000000.0 AS theil_t
+FROM t GROUP BY c_mktsegment
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -12193,4 +12438,9 @@ CATALOG: dict[str, QueryDef] = {
         q_simpson_diversity, SQL_SIMPSON_DIVERSITY
     ),
     "trimmed_mean": QueryDef(q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "ab_test_welch": QueryDef(q_ab_test_welch, SQL_AB_TEST_WELCH),
+    "cuped_adjustment": QueryDef(
+        q_cuped_adjustment, SQL_CUPED_ADJUSTMENT
+    ),
+    "theil_index": QueryDef(q_theil_index, SQL_THEIL_INDEX),
 }

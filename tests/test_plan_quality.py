@@ -374,8 +374,11 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             (the power-iteration rounds hide behind
 #                             checkpoints; the final residual pass's
 #                             1-row cross fold stays visible)
+#   cuped_adjustment        — broadcast 1-row corpus time-span frame
+#                             (the midpoint every row compares against)
 _NESTED_LOOP_ALLOWED = {
     "abtt_residual",
+    "cuped_adjustment",
     "dsir_importance",
     "perplexity_buckets",
     "frequent_tokens",
