@@ -252,6 +252,7 @@ HEADLINE = (
     "ab_test_welch",
     "cuped_adjustment",
     "theil_index",
+    "mann_kendall_trend",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -309,6 +310,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "hashed_classifier_infer", "datacard_report",
         "wilson_lower_bound", "moment_profile", "l_diversity_audit",
         "simpson_diversity", "ab_test_welch", "cuped_adjustment",
+        "mann_kendall_trend",
     ),
     "dedup": (
         "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",

@@ -12064,6 +12064,82 @@ FROM t GROUP BY c_mktsegment
 """
 
 
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on each nation's monthly
+    revenue series — the standard "is this metric drifting?" monitor
+    when the distribution is unknown (no normality assumption, robust
+    to outliers). S = Σ_{i<j} sign(x_j − x_i) is pure integer; the pair
+    join is within-group over the ~84-point MONTHLY rollup (the series
+    aggregates first, so the quadratic term is months², never orders²
+    — the same pre-shrink discipline as spearman_corr). n is recovered
+    exactly from the pair count via the (2n−1)² perfect square; the
+    continuity-corrected z ships round(6) per the multi-op rule."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    series = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(cents).alias("x"))
+    )
+    a = series.select(
+        F.col("n_name"), F.col("m").alias("mi"), F.col("x").alias("xi")
+    )
+    b = series.select(
+        F.col("n_name"), F.col("m").alias("mj"), F.col("x").alias("xj")
+    )
+    pairs = a.join(b, "n_name").filter(F.col("mi") < F.col("mj"))
+    s_tbl = pairs.groupBy("n_name").agg(
+        F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long")).alias("s"),
+        (
+            (F.lit(1) + F.sqrt(F.lit(1.0) + F.lit(8.0) * F.count(F.lit(1))))
+            / F.lit(2.0)
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    n = F.col("n").cast("double")
+    var = n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0)) / F.lit(18.0)
+    z = (
+        F.col("s").cast("double") - F.signum(F.col("s").cast("double"))
+    ) / F.sqrt(var)
+    return s_tbl.select(
+        "n_name",
+        "n",
+        F.col("s").alias("mk_s"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+SQL_MANN_KENDALL_TREND = """
+WITH series AS (
+  SELECT n_name, date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.n_name,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+  FROM series a JOIN series b
+    ON a.n_name = b.n_name AND a.m < b.m
+), s_tbl AS (
+  SELECT n_name, CAST(SUM(sg) AS BIGINT) AS s,
+         CAST((1 + SQRT(1.0 + 8.0 * COUNT(*))) / 2.0 AS BIGINT) AS n
+  FROM pairs GROUP BY n_name
+)
+SELECT n_name, n, s AS mk_s,
+       round((CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+             / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0), 6) AS z_stat
+FROM s_tbl
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # reference surface (SURVEY.md §2)
     "status_summary": QueryDef(q_status_summary, SQL_STATUS_SUMMARY),
@@ -12443,4 +12519,7 @@ CATALOG: dict[str, QueryDef] = {
         q_cuped_adjustment, SQL_CUPED_ADJUSTMENT
     ),
     "theil_index": QueryDef(q_theil_index, SQL_THEIL_INDEX),
+    "mann_kendall_trend": QueryDef(
+        q_mann_kendall_trend, SQL_MANN_KENDALL_TREND
+    ),
 }
