@@ -36,6 +36,7 @@ from shuttlestandalonedbcreator_spark.functions.paths import (
 from shuttlestandalonedbcreator_spark.functions import text as T
 from shuttlestandalonedbcreator_spark.operators import dedup as D
 from shuttlestandalonedbcreator_spark.operators import joins as J
+from shuttlestandalonedbcreator_spark.operators import scalewin as SW
 from shuttlestandalonedbcreator_spark.operators import similarity as V
 from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
 from shuttlestandalonedbcreator_spark.operators.hierarchy import (
@@ -6292,19 +6293,19 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer CENTS end-to-end: the cumulative sum over
     customers (ordered by revenue desc, custkey tiebreak) and the 80%
     crossing test cum·5 < total·4 are pure int64 — no float enters
-    until the final count ratios. The running window sits ABOVE the
-    per-customer aggregate (reduced cardinality, the
-    `nation_revenue_share` altitude rule)."""
+    until the final count ratios. The running sum rides the blocked
+    decomposition (`operators/scalewin.py`): value-range blocks on rev,
+    per-block running sums, a ≤1024-row block-offset stitch — no
+    single-partition WindowExec over the customer frame, bit-identical
+    to the global window, so the oracle is unchanged."""
     orders = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = SW.with_global_running_sum(
+        per_cust, [("rev", "desc"), ("o_custkey", "asc")], "rev", "cum"
     )
-    tot = per_cust.agg(F.sum("rev").alias("_tot"))
-    ranked = per_cust.withColumn("cum", F.sum("rev").over(w)).crossJoin(
-        bounded_broadcast(tot, "one_row")
-    )
+    tot = cum.agg(F.sum("rev").alias("_tot"))
+    ranked = cum.crossJoin(bounded_broadcast(tot, "one_row"))
     return ranked.agg(
         (
             F.sum((F.col("cum") * 5 < F.col("_tot") * 4).cast("long")) + 1
@@ -6604,13 +6605,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quartile scores for Recency (days
     since last order), Frequency (order count), Monetary (lifetime
     spend), concatenated into the classic 3-digit segment code. The
-    ntile windows sit ABOVE the per-customer aggregate (the
-    `nation_revenue_share` altitude rule): the global sort each ntile
-    needs runs over one row per CUSTOMER, not per order — and at 100 TB
-    you swap ntile for approx-percentile bucket bounds; the aggregate
-    below is unchanged. Deterministic: every ntile orders with a
-    c_custkey tiebreak, recency in whole days (exact ints), spend in
-    DECIMAL then double."""
+    quartile scores sit ABOVE the per-customer aggregate (the
+    `nation_revenue_share` altitude rule) and each NTILE derives
+    exactly from a blocked global row_number + the frame count
+    (`operators/scalewin.py`): the three orderings share ONE
+    checkpointed materialization, each rank is per-block parallel with
+    a ≤1024-row offset stitch — no single-partition sort of the
+    customer frame at any scale, bit-identical scores, oracle
+    unchanged. Deterministic: every ordering carries a c_custkey
+    tiebreak, recency in whole days (exact ints), spend in DECIMAL
+    then double."""
     orders = _t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("_maxd"))
     per_cust = (
@@ -6630,17 +6634,23 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    scored = per_cust.select(
+    ranked = SW.with_global_row_numbers(
+        per_cust,
+        {
+            "_rr": [("recency_days", "asc"), ("custkey", "asc")],
+            "_rf": [("frequency", "desc"), ("custkey", "asc")],
+            "_rm": [("monetary", "desc"), ("custkey", "asc")],
+        },
+    )
+    ndf = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    scored = ranked.crossJoin(bounded_broadcast(ndf, "one_row")).select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        SW.ntile_from_rank(F.col("_rr"), F.col("_n"), 4).alias("r_score"),
+        SW.ntile_from_rank(F.col("_rf"), F.col("_n"), 4).alias("f_score"),
+        SW.ntile_from_rank(F.col("_rm"), F.col("_n"), 4).alias("m_score"),
     )
     return scored.select(
         "custkey",
@@ -7530,7 +7540,11 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum over that histogram: the textbook Mann-Whitney identity
     AUC = [Σ_s n_pos(s)·cumneg(<s) + ½ n_pos(s)·n_neg(s)] / (P·N).
     Doubled into pure integers, so the statistic is ONE division of
-    exact ints (shipped unrounded)."""
+    exact ints (shipped unrounded). The score histogram's cardinality is
+    data-dependent (distinct ratio values), so its running sum rides the
+    blocked decomposition (`operators/scalewin.py`) instead of a
+    single-partition window; exclusive cumneg = inclusive − own (exact
+    ints), bit-identical, oracle unchanged."""
     docs = _t(spark, sf_dir, "documents")
     score = T.stopword_ratio(F.col("text"))
     labeled = docs.select(
@@ -7541,11 +7555,12 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_pos").alias("_np"),
         F.sum(1 - F.col("_pos")).alias("_nn"),
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    terms = hist.select(
+    terms = SW.with_global_running_sum(
+        hist, [("_s", "asc")], "_nn", "_cum"
+    ).select(
         "_np",
         "_nn",
-        F.coalesce(F.sum("_nn").over(w), F.lit(0)).alias("_cumneg"),
+        (F.col("_cum") - F.col("_nn")).alias("_cumneg"),
     )
     return terms.agg(
         F.sum("_np").alias("n_pos"),
@@ -8247,19 +8262,18 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     G itself ONE division of exact ints (unrounded rule).
 
     Scale shape: the global rank runs over the PER-CUSTOMER aggregate
-    (n = customers, already reduced by the first groupBy), not raw
-    orders — the single-partition window is bounded by dimension
-    cardinality, the same bound the reference's in-memory summary
-    accepts. Overflow: n·Σcents needs n·total < 2^63 — at sf1 that is
-    ~1.5e5·2.3e13 ≈ 3.4e18, inside int64; the docstring is the bound's
-    audit trail."""
+    via the blocked decomposition (`operators/scalewin.py`: value-range
+    blocks on cents, per-block row_number, ≤1024-row offset stitch) —
+    no single-partition WindowExec even at a 10^9-customer dimension,
+    bit-identical ranks, oracle unchanged. Overflow: n·Σcents needs
+    n·total < 2^63 — at sf1 that is ~1.5e5·2.3e13 ≈ 3.4e18, inside
+    int64; the docstring is the bound's audit trail."""
     orders = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "cents", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = SW.with_global_row_numbers(
+        per_cust, {"i": [("cents", "asc"), ("o_custkey", "asc")]}
+    ).select("cents", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
@@ -8845,20 +8859,25 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operations-research sibling of revenue_concentration. Class
     boundaries compare in INTEGER cross-multiplication (cum·100 ≤
     tot·80 — no float thresholds, no rounding hazard; tot·100 stays
-    far inside int64 at any SF). The running sum is a global window
-    over the PER-PART aggregate (bounded by the part dimension, the
-    same justification as gini_revenue); (revenue desc, partkey)
-    is a total order."""
+    far inside int64 at any SF). The running sum rides the blocked
+    decomposition (`operators/scalewin.py`: per-block running sums +
+    a ≤1024-row offset stitch) so no single-partition WindowExec
+    touches the per-part frame even at a 10^9-part dimension;
+    (revenue desc, partkey) is a total order and the blocked form is
+    bit-identical to the global window — oracle unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("revenue_cents"))
-    wcum = Window.orderBy(F.desc("revenue_cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked = SW.with_global_running_sum(
+        per_part,
+        [("revenue_cents", "desc"), ("l_partkey", "asc")],
+        "revenue_cents",
+        "cum",
     )
-    wtot = Window.partitionBy()
-    cum = F.sum("revenue_cents").over(wcum)
-    tot = F.sum("revenue_cents").over(wtot)
-    return per_part.select(
+    totdf = ranked.agg(F.sum("revenue_cents").alias("_tot"))
+    cum = F.col("cum")
+    tot = F.col("_tot")
+    return ranked.crossJoin(bounded_broadcast(totdf, "one_row")).select(
         "l_partkey",
         "revenue_cents",
         F.when(cum * 100 <= tot * 80, F.lit("A"))
@@ -8898,18 +8917,30 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pos·N/(n·P) and capture = cum_pos/P are single divisions of exact
     int64 products, shipped UNROUNDED.
 
-    Scale note: ntile needs a global sort of the SCORED set — right for
-    eval corpora (bounded by construction); at 100 TB score a sample or
-    derive decile edges from approx percentiles first."""
+    Scale note: NTILE derives exactly from (global rank, count) via the
+    standard bucket formula, and the rank rides the blocked
+    decomposition (`operators/scalewin.py`) — no single-partition sort
+    of the scored corpus; bit-identical deciles, oracle unchanged. The
+    two remaining unpartitioned windows run over the 10-row decile
+    frame only."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         T.stopword_ratio(F.col("text")).alias("_s"),
         (F.col("lang") == "en").cast("long").alias("_pos"),
         "doc_id",
     )
-    wd = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    ranked = SW.with_global_row_numbers(
+        scored, {"_r": [("_s", "desc"), ("doc_id", "asc")]}
+    )
+    ndf = ranked.agg(F.count(F.lit(1)).alias("_n"))
     cells = (
-        scored.select(F.ntile(10).over(wd).cast("long").alias("decile"), "_pos")
+        ranked.crossJoin(bounded_broadcast(ndf, "one_row"))
+        .select(
+            SW.ntile_from_rank(F.col("_r"), F.col("_n"), 10)
+            .cast("long")
+            .alias("decile"),
+            "_pos",
+        )
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_pos").alias("n_pos"))
     )
@@ -9211,20 +9242,24 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     here length + stopword quality). Both ranks come from total orders
     (doc_id tiebreak), the fused score is a FIXED two-term tree rounded
     once, and the top-20 orders by the rounded value + doc_id — so the
-    cut is identical across engines. Scale note: global ranks are the
-    eval-set shape (same as decile_lift); production fuses per-query
-    candidate lists, which are bounded by construction."""
+    cut is identical across engines. Scale note: both global ranks ride
+    the blocked decomposition (`operators/scalewin.py` — one
+    checkpointed materialization, per-block row_number, ≤1024-row
+    offset stitch), so no single-partition sort of the corpus;
+    bit-identical ranks, oracle unchanged. Production additionally
+    fuses per-query candidate lists, which are bounded by
+    construction."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "n_chars", T.stopword_ratio(F.col("text")).alias("_s")
     )
-    w1 = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    w2 = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
-    ranked = scored.select(
-        "doc_id",
-        F.row_number().over(w1).cast("long").alias("r1"),
-        F.row_number().over(w2).cast("long").alias("r2"),
-    )
+    ranked = SW.with_global_row_numbers(
+        scored,
+        {
+            "r1": [("n_chars", "desc"), ("doc_id", "asc")],
+            "r2": [("_s", "desc"), ("doc_id", "asc")],
+        },
+    ).select("doc_id", "r1", "r2")
     rrf = F.round(
         F.lit(1.0) / (F.lit(60) + F.col("r1"))
         + F.lit(1.0) / (F.lit(60) + F.col("r2")),

@@ -385,6 +385,9 @@ _NESTED_LOOP_ALLOWED = {
     "cohens_kappa",
     "copurchase_lift",
     "rfm_segmentation",
+    # one-row scalar totals crossJoined above the scalewin checkpoint
+    "abc_classification",
+    "decile_lift",
     "dup_graph_triangles",
     "approx_topk_audit",
     "revenue_concentration",
@@ -552,6 +555,24 @@ def test_no_raw_broadcast_hints_outside_audit_point():
     )
 
 
+def test_no_scratch_files_at_repo_root():
+    """Repo hygiene: session scratch harnesses (_draft*.py, _scratch*.py,
+    _tmp*.py) must not ship at the repo root — they sit on the import
+    path and duplicate catalog code (round-4 verdict flagged
+    _draft_r4.py)."""
+    import pathlib
+
+    import shuttlestandalonedbcreator_spark as pkg
+
+    repo_root = pathlib.Path(pkg.__file__).parent.parent
+    strays = [
+        p.name
+        for pat in ("_draft*.py", "_scratch*.py", "_tmp*.py")
+        for p in repo_root.glob(pat)
+    ]
+    assert not strays, f"scratch files at repo root: {strays}"
+
+
 def test_bounded_broadcast_requires_justification(spark):
     """The audit point rejects undeclared/unknown bounded-ness kinds."""
     from shuttlestandalonedbcreator_spark.operators.util import bounded_broadcast
@@ -628,3 +649,102 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_oracle):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_bcast
             )
+
+
+# ---------------------------------------------------------------------------
+# Global-order window gate
+#
+# An unpartitioned Window (ORDER BY with no PARTITION BY, or a global
+# total frame) plans Exchange SinglePartition: the whole frame moves
+# through ONE task. Over a data-sized frame that is the canonical
+# 100 TB scale-killer, so every catalog entry that plans one must appear
+# below with the reason its frame is PROVABLY bounded (constant domain,
+# top-k limit, calendar span, or the scalewin <=1024-block offset
+# stitch). Data-sized global ranks/cumsums/ntiles must instead ride
+# operators/scalewin.py's blocked decomposition.
+_BOUNDED_UNPARTITIONED_WINDOWS = {
+    # scalewin block-offset stitch frames: <= n_blocks+1 = 1025 rows by
+    # construction (operators/scalewin.py)
+    "abc_classification": "scalewin offset stitch (<=1025 rows)",
+    "gini_revenue": "scalewin offset stitch (<=1025 rows)",
+    "revenue_concentration": "scalewin offset stitch (<=1025 rows)",
+    "rfm_segmentation": "3x scalewin offset stitch (<=1025 rows each)",
+    "classifier_auc": "scalewin offset stitch (<=1025 rows)",
+    "reciprocal_rank_fusion": "2x scalewin offset stitch (<=1025 rows)",
+    "decile_lift": "scalewin stitch + 10-row decile frame",
+    # constant value domains
+    "benford_audit": "9 first-digit buckets",
+    "chi_square_independence": "mktsegment x orderpriority cells (<=25)",
+    "datacard_report": "per-source frame (sources are a closed domain)",
+    "epoch_mixing_plan": "per-source frame (sources are a closed domain)",
+    "key_skew_profile": "<=64 log2 count buckets",
+    "mutual_information": "lang x source cells (closed domains)",
+    "nation_revenue_share": "25 nations (TPC-H fixed dimension)",
+    "stratified_split_exact": "per-language strata (closed domain)",
+    "temperature_mixture": "per-source frame (sources are a closed domain)",
+    "woe_information_value": "quality-score bins (fixed bin count)",
+    # bounded by construction
+    "cumulative_distinct_users": "calendar-day frame (bounded time span)",
+    "dsir_importance": "row_number above TakeOrderedAndProject(25)",
+    "id_gap_audit": "id-range blocks (documented block-size knob)",
+    "vocab_build": "rank over the LIMIT 100 vocabulary",
+}
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Count window specs with no partition columns. In executed-plan
+    text a spec prints windowspecdefinition(part..., order..., frame):
+    partition columns carry no ASC/DESC marker and precede order
+    columns, so the spec is unpartitioned iff its FIRST top-level arg is
+    an order column (has a direction) or the frame itself."""
+    import re
+
+    hits = 0
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-*")
+        if not s.startswith("Window ["):
+            continue
+        for m in re.finditer(r"windowspecdefinition\(", s):
+            i, depth, first = m.end(), 1, ""
+            while i < len(s) and depth:
+                ch = s[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 1:
+                    break
+                if depth:
+                    first += ch
+                i += 1
+            first = first.strip()
+            if (
+                first.startswith("specifiedwindowframe")
+                or " ASC" in first
+                or " DESC" in first
+            ):
+                hits += 1
+    return hits
+
+
+def test_no_unpartitioned_window_outside_bounded_allowlist(spark, sf_small):
+    """Full-catalog single-partition-window gate: any entry planning an
+    unpartitioned Window must carry a documented frame bound above — a
+    new query can't silently ship a data-sized global sort through one
+    task, and the allowlist can't go stale."""
+    counts = {
+        name: _unpartitioned_window_count(plan_of(spark, sf_small, name))
+        for name in CATALOG
+    }
+    offenders = {
+        n: c
+        for n, c in counts.items()
+        if c and n not in _BOUNDED_UNPARTITIONED_WINDOWS
+    }
+    assert not offenders, (
+        f"unpartitioned WindowExec without a documented bound: {offenders}"
+    )
+    stale = {
+        n for n in _BOUNDED_UNPARTITIONED_WINDOWS if not counts.get(n)
+    }
+    assert not stale, f"allowlist entries no longer plan one: {stale}"

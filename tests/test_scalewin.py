@@ -1,0 +1,156 @@
+"""operators/scalewin.py — blocked global-order windows.
+
+Cross-engine parity cannot catch a symmetric formula error here because
+the catalog entries' oracles use plain OVER (ORDER BY ...) SQL on both
+sides; these tests pin the blocked decomposition DIRECTLY against
+Spark's own single-partition window on adversarial frames (ties, nulls,
+negatives, all-equal keys, singletons, floats) and the NTILE derivation
+against F.ntile for several k.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shuttlestandalonedbcreator_spark.operators import scalewin as SW
+
+
+def _order_cols(spec):
+    return [F.asc(c) if d == "asc" else F.desc(c) for c, d in spec]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    random.seed(11)
+    rows = [
+        (i, random.randint(-500, 10**6), random.random() * 0.9,
+         random.randint(0, 5))
+        for i in range(5000)
+    ]
+    # heavy ties on v and f; a null-bearing tail on v
+    rows += [(5000 + i, 777, 0.5, 3) for i in range(300)]
+    rows += [(5300 + i, None, 0.1, 1) for i in range(7)]
+    return spark.createDataFrame(
+        rows, "id long, v long, s double, f long"
+    ).cache()
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        [("v", "asc"), ("id", "asc")],
+        [("v", "desc"), ("id", "asc")],
+        [("s", "desc"), ("id", "asc")],
+        [("f", "desc"), ("id", "asc")],  # 6 distinct keys -> huge ties
+    ],
+    ids=["int-asc", "int-desc-nulls", "float-desc", "tie-heavy"],
+)
+def test_row_numbers_match_global_window(spark, frame, spec):
+    got = SW.with_global_row_numbers(frame, {"rn": spec}, n_blocks=64)
+    exp = frame.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long")
+    )
+    assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+
+
+def test_multiple_specs_share_one_frame(spark, frame):
+    specs = {
+        "a": [("v", "asc"), ("id", "asc")],
+        "b": [("s", "desc"), ("id", "asc")],
+        "c": [("f", "desc"), ("id", "asc")],
+    }
+    got = SW.with_global_row_numbers(frame, specs, n_blocks=32)
+    exp = frame
+    for out, spec in specs.items():
+        exp = exp.withColumn(
+            out,
+            F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long"),
+        )
+    cols = ["id", *specs]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_running_sum_matches_global_window(spark, frame, direction):
+    spec = [("v", direction), ("id", "asc")]
+    got = SW.with_global_running_sum(
+        frame.filter(F.col("v").isNotNull()), spec, "v", "cum", n_blocks=64
+    )
+    w = Window.orderBy(*_order_cols(spec)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = frame.filter(F.col("v").isNotNull()).withColumn(
+        "cum", F.sum("v").over(w).cast("long")
+    )
+    assert got.select("id", "cum").exceptAll(exp.select("id", "cum")).count() == 0
+
+
+@pytest.mark.parametrize("k", [4, 7, 10, 100])
+def test_ntile_from_rank_matches_ntile(spark, frame, k):
+    n = frame.count()
+    spec = [("v", "asc"), ("id", "asc")]
+    ranked = SW.with_global_row_numbers(frame, {"r": spec}, n_blocks=64)
+    got = ranked.select(
+        "id", SW.ntile_from_rank(F.col("r"), F.lit(n).cast("long"), k).alias("t")
+    )
+    exp = frame.select(
+        "id", F.ntile(k).over(Window.orderBy(*_order_cols(spec))).alias("t")
+    )
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    df = spark.createDataFrame([(i, i * 3) for i in range(3)], "id long, v long")
+    ranked = SW.with_global_row_numbers(df, {"r": [("v", "asc"), ("id", "asc")]})
+    got = ranked.select(
+        "id", SW.ntile_from_rank(F.col("r"), F.lit(3).cast("long"), 10).alias("t")
+    )
+    exp = df.select(
+        "id",
+        F.ntile(10).over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("t"),
+    )
+    assert got.exceptAll(exp).count() == 0
+
+
+def test_degenerate_frames(spark):
+    # all-equal leading key: one occupied block == the old single
+    # partition, still correct
+    eq = spark.createDataFrame([(i, 5) for i in range(50)], "id long, v long")
+    got = SW.with_global_row_numbers(eq, {"rn": [("v", "asc"), ("id", "asc")]})
+    assert [r["rn"] for r in got.orderBy("id").collect()] == list(range(1, 51))
+    # singleton
+    one = spark.createDataFrame([(1, 9)], "id long, v long")
+    assert (
+        SW.with_global_row_numbers(one, {"rn": [("v", "asc"), ("id", "asc")]})
+        .collect()[0]["rn"]
+        == 1
+    )
+    # empty
+    empty = spark.createDataFrame([], "id long, v long")
+    assert (
+        SW.with_global_row_numbers(empty, {"rn": [("v", "asc"), ("id", "asc")]})
+        .count()
+        == 0
+    )
+    assert (
+        SW.with_global_running_sum(
+            empty, [("v", "asc"), ("id", "asc")], "v", "cum"
+        ).count()
+        == 0
+    )
+
+
+def test_no_data_sized_single_partition_window(spark, frame):
+    """The whole point: the only unpartitioned window in the plan is the
+    block-offset stitch over <= n_blocks+1 rows."""
+    got = SW.with_global_row_numbers(frame, {"rn": [("v", "asc"), ("id", "asc")]})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.lstrip(" :+-*")
+        if s.startswith("Window [") and "_blk" not in s:
+            # any window over the data frame must be partitioned by _blk
+            raise AssertionError(f"unexpected window node: {s[:120]}")
