@@ -4,12 +4,14 @@ counterpart, BASELINE.json north star).
 
 Design: content is a `binary` column + a `modality` tag + typed metadata
 struct. Decode / feature-extract / resize / frame-sample run as
-Arrow-batched `mapInPandas` stages — the Spark-side plumbing (schemas,
-batch shape, partition fan-out) is real and tested; the codec calls
-themselves are STUBBED behind `register_decoder` because image/audio
-libraries are absent in this environment by design. A deployment plugs in
-PIL/torchaudio/ffmpeg by registering real decoders with the same
-signature (bytes -> dict of features).
+Arrow-batched `mapInPandas` stages. The `image` modality ships with a
+REAL default codec (`imagecodec.py`: PIL when importable, else the
+stdlib-zlib PNG decoder/encoder — registered at import below), so
+extract_features / resize_images run on actual PNG bytes end-to-end
+with no extra libraries; unsupported image formats (JPEG/WebP) and the
+audio/video modalities keep the loud per-row failure that tells the
+deployment to register a richer codec (PIL/torchaudio/ffmpeg) with the
+same signatures.
 """
 
 from __future__ import annotations
@@ -117,6 +119,27 @@ def stub_decoder(modality: str) -> Callable[[bytes], dict]:
         )
 
     return decode
+
+
+def register_default_image_codecs(overwrite: bool = False) -> None:
+    """Install the default `image` decoder/resizer (PIL when importable,
+    else the stdlib PNG codec). Called once at import; call again with
+    ``overwrite=True`` to restore the defaults after a test or caller
+    registered its own codec."""
+    import shuttlestandalonedbcreator_spark.streaming.imagecodec as _codec_module
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    # the registered functions live in imagecodec, so that module must
+    # ship by value too — executors may not have the repo importable
+    register_pickle_by_value(_codec_module)
+    decoder, resizer = _codec_module.default_image_codec()
+    if overwrite or "image" not in _DECODERS:
+        _DECODERS["image"] = decoder
+    if overwrite or "image" not in _RESIZERS:
+        _RESIZERS["image"] = resizer
+
+
+register_default_image_codecs()
 
 
 def attach_binary_metadata(

@@ -464,6 +464,87 @@ def _string_expr_query(rng: random.Random) -> str:
     )
 
 
+def _rolling_minhash_query(rng: random.Random) -> str:
+    """Winnowing / substring-span shape (r4 families): a per-partition
+    ROWS-frame MIN/MAX over an md5-derived integer — the window-min
+    fingerprint selection and the stride-aligned window hashes, in the
+    verbatim-portable subset (ascii(substr(md5(x), i, 1)) is an exact
+    0-255 int on both engines; conv/hex-cast hashes are NOT verbatim;
+    CAST AS STRING parses on both, bare VARCHAR does not on Spark 4)."""
+    table = rng.choice(["orders", "lineitem", "events"])
+    cols = _TABLES[table]
+    part = rng.choice(cols["group"])
+    order = rng.choice(cols["num"])
+    c = rng.choice(cols["str"] + cols["num"])
+    pos = rng.randint(1, 30)
+    k = rng.randint(1, 6)
+    fn = rng.choice(["MIN", "MAX"])
+    pred = _predicate(rng, cols)
+    return (
+        f"SELECT {part} AS p, {order} AS o, "
+        f"{fn}(ascii(substr(md5(CAST({c} AS STRING)), {pos}, 1))) OVER ("
+        f"PARTITION BY {part} ORDER BY {order} "
+        f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS w "
+        f"FROM {table} WHERE {pred}"
+    )
+
+
+def _int_arith_query(rng: random.Random) -> str:
+    """Integer-algebra shape (r4 power-iteration / proration /
+    Mann-Kendall class): %, FLOOR-division, ABS, GREATEST/LEAST chains
+    over sign-crossing operands as group keys and exact aggregates —
+    probing exactly the truncation-vs-floor and modulo-sign semantics
+    the catalog's all-integer math leans on. INTEGER-typed columns
+    only: CAST(double AS BIGINT) is the KNOWN Spark-truncates vs
+    DuckDB-rounds divergence (NOTES.md), which this grammar must not
+    re-trip."""
+    ints = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_linenumber", "l_partkey"],
+        "events": ["event_id", "user_id"],
+        "customer": ["c_custkey", "c_nationkey"],
+    }
+    table = rng.choice(list(ints))
+    a = rng.choice(ints[table])
+    b = rng.choice(ints[table])
+    shift = rng.randint(0, 50000)
+    m = rng.randint(2, 97)
+    d = rng.randint(2, 13)
+    exprs = [
+        f"(CAST({a} AS BIGINT) - {shift}) % {m}",
+        f"CAST(FLOOR((CAST({a} AS BIGINT) - {shift}) / {d}) AS BIGINT)",
+        f"ABS(CAST({a} AS BIGINT) - {shift}) % {m}",
+        f"GREATEST(CAST({a} AS BIGINT) % {m}, CAST({b} AS BIGINT) % {d})",
+        f"LEAST(CAST({a} AS BIGINT) % {m}, {d})",
+    ]
+    key = rng.choice(exprs)
+    agg_in = rng.choice(exprs)
+    return (
+        f"SELECT {key} AS k, COUNT(*) AS n, "
+        f"CAST(SUM({agg_in}) AS BIGINT) AS s, "
+        f"MIN({agg_in}) AS mn, MAX({agg_in}) AS mx "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
+def _prefix_selfjoin_query(rng: random.Random) -> str:
+    """Prefix-filter / AllPairs shape (r4): candidate pairs meet on a
+    derived prefix key with an id1 < id2 dedup — the posting-list
+    self-join skeleton, sized by the sf0.001 fixture. Aggregated to
+    per-key pair counts so the result is order-free."""
+    k = rng.randint(1, 3)
+    src = rng.choice(["lang", "source"])
+    lo = rng.randint(0, 2000)
+    return (
+        f"SELECT a.{src} AS g, substr(a.text, 1, {k}) AS pfx, "
+        f"COUNT(*) AS pairs, CAST(MIN(a.doc_id + b.doc_id) AS BIGINT) AS probe "
+        f"FROM documents a JOIN documents b "
+        f"ON substr(a.text, 1, {k}) = substr(b.text, 1, {k}) "
+        f"AND a.{src} = b.{src} AND a.doc_id < b.doc_id "
+        f"WHERE a.doc_id > {lo} GROUP BY 1, 2"
+    )
+
+
 _QUERIES = (
     [_query(random.Random(_SEED + i)) for i in range(_NUM_QUERIES)]
     + [_join_query(random.Random(_SEED + 1000 + i)) for i in range(10)]
@@ -482,6 +563,9 @@ _QUERIES = (
     + [_datetime_query(random.Random(_SEED + 14000 + i)) for i in range(5)]
     + [_cte_query(random.Random(_SEED + 15000 + i)) for i in range(5)]
     + [_string_expr_query(random.Random(_SEED + 16000 + i)) for i in range(5)]
+    + [_rolling_minhash_query(random.Random(_SEED + 17000 + i)) for i in range(5)]
+    + [_int_arith_query(random.Random(_SEED + 18000 + i)) for i in range(5)]
+    + [_prefix_selfjoin_query(random.Random(_SEED + 19000 + i)) for i in range(5)]
 )
 
 
@@ -495,7 +579,7 @@ def engines(spark, sf_small):
     con.close()
 
 
-@pytest.mark.parametrize("i", range(_NUM_QUERIES + 90))
+@pytest.mark.parametrize("i", range(_NUM_QUERIES + 105))
 def test_differential_random_query(engines, i):
     spark, con = engines
     sql = _QUERIES[i]
