@@ -85,17 +85,31 @@ def _block_expr(lead: Column, mn: Column, mx: Column,
 
 
 def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
-            direction: str, out: str) -> DataFrame:
+            direction: str, out: str, total_col: str | None = None) -> DataFrame:
     """Add ``out`` = block-local value + cumulative offset of earlier
     blocks. The offsets window runs over at most n_blocks+1 rows — a
-    constant-bounded frame, never data-sized."""
+    constant-bounded frame, never data-sized. ``total_col`` additionally
+    attaches the GRAND total (sum over all blocks) — free here, because
+    the per-block sums already exist; callers that need the scalar
+    (NTILE's n, an 80%-of-total threshold) read it from this column
+    instead of re-aggregating the frame in a second pass."""
     sizes = d.groupBy(blk).agg(bulk_agg.alias("_bulk"))
     wblk = Window.orderBy(
         F.asc(blk) if direction == "asc" else F.desc(blk)
     ).rowsBetween(Window.unboundedPreceding, -1)
-    offs = sizes.select(
-        blk, F.coalesce(F.sum("_bulk").over(wblk), F.lit(0)).alias("_off")
-    )
+    cols = [
+        F.col(blk),
+        F.coalesce(F.sum("_bulk").over(wblk), F.lit(0)).alias("_off"),
+    ]
+    if total_col is not None:
+        cols.append(
+            F.sum("_bulk").over(
+                Window.orderBy(blk).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("long").alias(total_col)
+        )
+    offs = sizes.select(*cols)
     return (
         d.join(bounded_broadcast(offs, "domain"), blk)
         .withColumn(out, (F.col(local_col) + F.col("_off")).cast("long"))
@@ -108,13 +122,16 @@ def with_global_row_numbers(
     specs: Mapping[str, OrderSpec],
     n_blocks: int = N_BLOCKS,
     block_on: Mapping[str, Column] | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """df + one exact global ROW_NUMBER() column per spec, with no
     data-sized single-partition window. ``specs`` maps output column ->
     total-order spec; several ranks (e.g. RFM's three orderings) share
     one checkpointed materialization of ``df``. ``block_on`` optionally
     overrides the block proxy for a spec's leading key (must be a
-    monotone transform of it)."""
+    monotone transform of it). ``count_col`` attaches the frame's total
+    row count (from the first spec's block sizes — no extra pass), the
+    ``n`` that `ntile_from_rank` needs."""
     block_on = dict(block_on or {})
     mins, maxs = [], []
     for out, spec in specs.items():
@@ -122,22 +139,34 @@ def with_global_row_numbers(
         block_on[out] = proxy
         mins.append(F.min(proxy).alias(f"_mn_{out}"))
         maxs.append(F.max(proxy).alias(f"_mx_{out}"))
-    stats = df.agg(*mins, *maxs)
-    d = df.crossJoin(bounded_broadcast(stats, "one_row"))
+    # checkpoint the INPUT once — every per-spec window and block-size
+    # aggregate then reads the materialized frame instead of
+    # re-evaluating its (often expensive) subtree, and the
+    # materialization makes the block assignment consistent across
+    # those consumers even for a nondeterministic input. The min/max
+    # block bounds ride the SAME job via observe() (CollectMetrics) —
+    # no separate stats pass, and the bounds become driver-side
+    # literals instead of a crossJoined one-row frame.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    d = df.observe(obs, *mins, *maxs).localCheckpoint(eager=True)
+    stats = obs.get
     for out, spec in specs.items():
+        mn, mx = stats[f"_mn_{out}"], stats[f"_mx_{out}"]
+        if mn is None:  # empty frame or all-null leading key
+            mn = mx = 0
         d = d.withColumn(
             f"_blk_{out}",
-            _block_expr(block_on[out],
-                        F.col(f"_mn_{out}"), F.col(f"_mx_{out}"), n_blocks),
+            _block_expr(block_on[out], F.lit(mn), F.lit(mx), n_blocks),
         )
-    d = d.drop(*[f"_mn_{o}" for o in specs], *[f"_mx_{o}" for o in specs])
-    d = d.localCheckpoint(eager=True)
-    for out, spec in specs.items():
+    for i, (out, spec) in enumerate(specs.items()):
         blk = f"_blk_{out}"
         wloc = Window.partitionBy(blk).orderBy(*_order_exprs(spec))
         d = d.withColumn(f"_lrn_{out}", F.row_number().over(wloc))
         d = _stitch(d, blk, f"_lrn_{out}", F.count(F.lit(1)),
-                    spec[0][1], out).drop(blk)
+                    spec[0][1], out,
+                    total_col=count_col if i == 0 else None).drop(blk)
     return d
 
 
@@ -147,20 +176,30 @@ def with_global_running_sum(
     value_col: str,
     out: str,
     n_blocks: int = N_BLOCKS,
+    total_col: str | None = None,
 ) -> DataFrame:
     """df + exact global ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING..CURRENT ROW)`` without a data-sized single-partition
     window. Exactness requires an exact-typed value column (int64 cents
     in every catalog caller) — reordering float partial sums would not
-    be bit-stable."""
+    be bit-stable. ``total_col`` attaches the grand total (free from the
+    block sums; the cum/tot threshold comparisons read it instead of a
+    second aggregation pass)."""
+    from pyspark.sql import Observation
+
     lead, direction = order_by[0]
-    stats = df.agg(F.min(lead).alias("_mn"), F.max(lead).alias("_mx"))
-    d = df.crossJoin(bounded_broadcast(stats, "one_row"))
+    # one materialization; bounds ride the checkpoint job (see above)
+    obs = Observation()
+    d = df.observe(
+        obs, F.min(lead).alias("_mn"), F.max(lead).alias("_mx")
+    ).localCheckpoint(eager=True)
+    stats = obs.get
+    mn, mx = stats["_mn"], stats["_mx"]
+    if mn is None:
+        mn = mx = 0
     d = d.withColumn(
-        "_blk",
-        _block_expr(F.col(lead), F.col("_mn"), F.col("_mx"), n_blocks),
-    ).drop("_mn", "_mx")
-    d = d.localCheckpoint(eager=True)
+        "_blk", _block_expr(F.col(lead), F.lit(mn), F.lit(mx), n_blocks)
+    )
     wloc = (
         Window.partitionBy("_blk")
         .orderBy(*_order_exprs(order_by))
@@ -168,7 +207,7 @@ def with_global_running_sum(
     )
     d = d.withColumn("_lcum", F.sum(value_col).over(wloc))
     return _stitch(d, "_blk", "_lcum", F.sum(value_col), direction,
-                   out).drop("_blk")
+                   out, total_col=total_col).drop("_blk")
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

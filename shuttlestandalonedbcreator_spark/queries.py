@@ -6301,11 +6301,10 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
-    cum = SW.with_global_running_sum(
-        per_cust, [("rev", "desc"), ("o_custkey", "asc")], "rev", "cum"
+    ranked = SW.with_global_running_sum(
+        per_cust, [("rev", "desc"), ("o_custkey", "asc")], "rev", "cum",
+        total_col="_tot",
     )
-    tot = cum.agg(F.sum("rev").alias("_tot"))
-    ranked = cum.crossJoin(bounded_broadcast(tot, "one_row"))
     return ranked.agg(
         (
             F.sum((F.col("cum") * 5 < F.col("_tot") * 4).cast("long")) + 1
@@ -6641,9 +6640,9 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_rf": [("frequency", "desc"), ("custkey", "asc")],
             "_rm": [("monetary", "desc"), ("custkey", "asc")],
         },
+        count_col="_n",
     )
-    ndf = ranked.agg(F.count(F.lit(1)).alias("_n"))
-    scored = ranked.crossJoin(bounded_broadcast(ndf, "one_row")).select(
+    scored = ranked.select(
         "custkey",
         "recency_days",
         "frequency",
@@ -8873,11 +8872,11 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("revenue_cents", "desc"), ("l_partkey", "asc")],
         "revenue_cents",
         "cum",
+        total_col="_tot",
     )
-    totdf = ranked.agg(F.sum("revenue_cents").alias("_tot"))
     cum = F.col("cum")
     tot = F.col("_tot")
-    return ranked.crossJoin(bounded_broadcast(totdf, "one_row")).select(
+    return ranked.select(
         "l_partkey",
         "revenue_cents",
         F.when(cum * 100 <= tot * 80, F.lit("A"))
@@ -8930,12 +8929,10 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     ranked = SW.with_global_row_numbers(
-        scored, {"_r": [("_s", "desc"), ("doc_id", "asc")]}
+        scored, {"_r": [("_s", "desc"), ("doc_id", "asc")]}, count_col="_n"
     )
-    ndf = ranked.agg(F.count(F.lit(1)).alias("_n"))
     cells = (
-        ranked.crossJoin(bounded_broadcast(ndf, "one_row"))
-        .select(
+        ranked.select(
             SW.ntile_from_rank(F.col("_r"), F.col("_n"), 10)
             .cast("long")
             .alias("decile"),

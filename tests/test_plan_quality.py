@@ -384,13 +384,8 @@ _NESTED_LOOP_ALLOWED = {
     "frequent_tokens",
     "cohens_kappa",
     "copurchase_lift",
-    "rfm_segmentation",
-    # one-row scalar totals crossJoined above the scalewin checkpoint
-    "abc_classification",
-    "decile_lift",
     "dup_graph_triangles",
     "approx_topk_audit",
-    "revenue_concentration",
     "important_parts",
     "unigram_surprisal",
     "bigram_perplexity",
