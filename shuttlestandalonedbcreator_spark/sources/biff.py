@@ -21,8 +21,10 @@ their shortest round-trip decimal form, e.g. '100' / '45123.5') so the
 downstream tolerant-cast layer (P1) is source-agnostic.
 
 The writer emits a minimal-but-spec-valid single-workbook-stream CFB with
-LABELSST/RK/NUMBER cells; it exists so tests can fabricate .xls fixtures
-(the environment ships no Excel and the reference ships no workbooks).
+LABELSST/RK/MULRK/NUMBER/BOOLERR cells (consecutive RK-encodable ints
+coalesce into MULRK runs, the shape Excel/POI emit); it exists so tests
+can fabricate .xls fixtures (the environment ships no Excel and the
+reference ships no workbooks).
 """
 
 from __future__ import annotations
@@ -547,8 +549,9 @@ def build_workbook_stream(
 ) -> bytes:
     """BIFF8 workbook stream: globals (BOF, CODEPAGE, FORMAT*/XF*,
     BOUNDSHEET*, SST, EOF) then one substream per sheet. Strings go
-    through a real SST so the reader's LABELSST path is exercised; ints
-    use RK, floats NUMBER. ``cell_formats`` maps (sheet, row, col) → a
+    through a real SST so the reader's LABELSST path is exercised; int
+    runs coalesce into MULRK (single ints RK), floats NUMBER.
+    ``cell_formats`` maps (sheet, row, col) → a
     number-format code string; each distinct code gets a FORMAT record
     (ifmt from 164 up) + an XF entry, and the cell carries that ixfe —
     the fixture surface for the formatted=True scan."""
@@ -583,17 +586,44 @@ def build_workbook_stream(
             R_DIMENSIONS, struct.pack("<IIHHH", 0, n_rows, 0, n_cols, 0)
         )
         for r, row in enumerate(rows):
+            # consecutive RK-encodable ints coalesce into ONE MULRK
+            # record per run (what Excel/POI emit for numeric runs —
+            # [MS-XLS] MulRk): rw, colFirst, (ixfe, rk)*, colLast
+            rk_run: list[tuple[int, int]] = []  # (ixfe, rk) from col c0
+            rk_c0 = 0
+
+            def flush_rk_run() -> None:
+                nonlocal body
+                if not rk_run:
+                    return
+                if len(rk_run) == 1:
+                    ixfe0, rk0 = rk_run[0]
+                    body += _rec(
+                        R_RK, struct.pack("<HHHI", r, rk_c0, ixfe0, rk0)
+                    )
+                else:
+                    payload = struct.pack("<HH", r, rk_c0)
+                    for ixfe0, rk0 in rk_run:
+                        payload += struct.pack("<HI", ixfe0, rk0)
+                    payload += struct.pack("<H", rk_c0 + len(rk_run) - 1)
+                    body += _rec(R_MULRK, payload)
+                rk_run.clear()
+
             for c, v in enumerate(row):
                 if v is None:
+                    flush_rk_run()
                     continue
                 ixfe = code_ixfe.get(cell_formats.get((sheet_name, r, c), ""), 0)
+                if not isinstance(v, bool) and _rk_encodable(v):
+                    if not rk_run:
+                        rk_c0 = c
+                    rk_run.append((ixfe, ((v & 0x3FFFFFFF) << 2) | 0x02))
+                    continue
+                flush_rk_run()
                 if isinstance(v, bool):
                     body += _rec(
                         R_BOOLERR, struct.pack("<HHHBB", r, c, ixfe, int(v), 0)
                     )
-                elif _rk_encodable(v):
-                    rk = ((v & 0x3FFFFFFF) << 2) | 0x02
-                    body += _rec(R_RK, struct.pack("<HHHI", r, c, ixfe, rk))
                 elif isinstance(v, (int, float)):
                     body += _rec(
                         R_NUMBER, struct.pack("<HHH", r, c, ixfe) + struct.pack("<d", float(v))
@@ -602,6 +632,7 @@ def build_workbook_stream(
                     body += _rec(
                         R_LABELSST, struct.pack("<HHHI", r, c, ixfe, intern(str(v)))
                     )
+            flush_rk_run()
         body += _rec(R_EOF, b"")
         sheet_payloads.append(bytes(body))
 

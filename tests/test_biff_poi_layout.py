@@ -264,3 +264,28 @@ def test_poi_layout_through_spark_scan(spark, tmp_path):
     assert got[("data", 1)] == ["7", "-3", "1234.56", "2.5", "3.625"]
     assert got[("data", 3)][1] == "hello from formula"
     assert got[("extra", 0)][:3] == ["3.14159", "11", "22"]
+
+
+def test_writer_coalesces_rk_runs_into_mulrk(tmp_path):
+    """The package writer now emits the run shape a real writer does:
+    consecutive RK-encodable ints become ONE MULRK record; singles stay
+    RK; interruptions (float/string/None/bool) flush the run."""
+    rows = [
+        ["h1", "h2", "h3", "h4", "h5"],
+        [1, 2, 3, 4, 5],                    # one 5-cell MULRK
+        [7, None, 8, 9, 2.5],               # RK, gap, 2-cell MULRK, NUMBER
+        [10, "x", 11, True, 12],            # RK, label, RK, bool, RK
+    ]
+    p = tmp_path / "runs.xls"
+    biff.write_xls({"s": rows}, str(p))
+    data = p.read_bytes()
+    # record-level shape: count MULRK/RK in the workbook stream
+    wb = biff.cfb_streams(data)["Workbook"]
+    ids = [rid for rid, _p, _o in biff._records(wb)]
+    assert ids.count(0x00BD) == 2   # MULRK: row1 run-of-5, row2 run-of-2
+    assert ids.count(0x027E) == 4   # RK singles: 7, 10, 11, 12
+    # value round-trip through the reader is unchanged
+    got = {i: cells for _s, i, cells in biff.parse_xls_rows(data)}
+    assert got[1] == ["1", "2", "3", "4", "5"]
+    assert got[2] == ["7", "", "8", "9", "2.5"]
+    assert got[3] == ["10", "x", "11", "TRUE", "12"]

@@ -470,8 +470,16 @@ def _rolling_minhash_query(rng: random.Random) -> str:
     fingerprint selection and the stride-aligned window hashes, in the
     verbatim-portable subset (ascii(substr(md5(x), i, 1)) is an exact
     0-255 int on both engines; conv/hex-cast hashes are NOT verbatim;
-    CAST AS STRING parses on both, bare VARCHAR does not on Spark 4)."""
-    table = rng.choice(["orders", "lineitem", "events"])
+    CAST AS STRING parses on both, bare VARCHAR does not on Spark 4).
+    The window ORDER BY carries the table's unique-key tiebreak — a
+    ROWS frame over a tied order is engine-dependent by definition
+    (first sweep caught exactly that on events.user_id)."""
+    tiebreak = {
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+        "events": "event_id",
+    }
+    table = rng.choice(list(tiebreak))
     cols = _TABLES[table]
     part = rng.choice(cols["group"])
     order = rng.choice(cols["num"])
@@ -483,7 +491,7 @@ def _rolling_minhash_query(rng: random.Random) -> str:
     return (
         f"SELECT {part} AS p, {order} AS o, "
         f"{fn}(ascii(substr(md5(CAST({c} AS STRING)), {pos}, 1))) OVER ("
-        f"PARTITION BY {part} ORDER BY {order} "
+        f"PARTITION BY {part} ORDER BY {order}, {tiebreak[table]} "
         f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS w "
         f"FROM {table} WHERE {pred}"
     )

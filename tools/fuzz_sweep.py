@@ -39,8 +39,11 @@ def main() -> int:
         _full_outer_query,
         _grouping_sets_query,
         _in_subquery_query,
+        _int_arith_query,
         _join_query,
+        _prefix_selfjoin_query,
         _query,
+        _rolling_minhash_query,
         _scalar_query,
         _scalar_subquery_query,
         _setop_query,
@@ -60,7 +63,8 @@ def main() -> int:
             _setop_query, _exists_query, _frame_window_query, _distinct_query,
             _grouping_sets_query, _case_agg_query, _in_subquery_query,
             _scalar_subquery_query, _full_outer_query, _datetime_query,
-            _cte_query, _string_expr_query]
+            _cte_query, _string_expr_query, _rolling_minhash_query,
+            _int_arith_query, _prefix_selfjoin_query]
     divergences = errors = 0
     for seed in range(base, base + n_seeds):
         sql = random.Random(seed).choice(gens)(random.Random(seed))

@@ -1,0 +1,84 @@
+"""Measure the blocked global-window crossover vs frame size.
+
+The blocked decomposition (operators/scalewin.py) costs a constant
+extra ~2x at catalog scale (20k-row frames — SCALING.md). This probe
+answers "when does it start WINNING on one machine?": synthetic frames
+of n rows (unique long key + a double tiebreak-breaker), timing
+
+- ``single``: ROW_NUMBER() OVER (ORDER BY v, id) — one task sorts all
+  n rows through Exchange SinglePartition;
+- ``blocked``: with_global_row_numbers — per-block parallel sort +
+  the <=1025-row offset stitch.
+
+Both sides share one cached input (generation excluded from timing).
+On a real cluster the single-partition side additionally ships the
+whole frame to ONE executor over the network, so the local[32]
+crossover here is an upper bound on the cluster crossover.
+
+Usage: python tools/scalewin_crossover.py [n_rows ...]
+One JSON line per size; quoted in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from shuttlestandalonedbcreator_spark.operators import scalewin as SW  # noqa: E402
+from shuttlestandalonedbcreator_spark.session import get_spark  # noqa: E402
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sizes = [int(x) for x in sys.argv[1:]] or [20_000, 500_000, 2_000_000,
+                                               8_000_000, 20_000_000]
+    spark = get_spark(app_name="scalewin_crossover")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in sizes:
+        base = (
+            spark.range(n, numPartitions=32)
+            .select(
+                F.col("id"),
+                (F.xxhash64("id") % 1_000_003).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        spec = [("v", "asc"), ("id", "asc")]
+        # warm both plans once at the smallest size only (codegen)
+        single = base.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.asc("v"), F.asc("id")))
+            .cast("long"),
+        )
+        blocked = SW.with_global_row_numbers(base, {"rn": spec})
+        t_single = timed(single)
+        t_blocked = timed(blocked)
+        print(
+            json.dumps(
+                {
+                    "rows": n,
+                    "single_partition_sec": t_single,
+                    "blocked_sec": t_blocked,
+                    "blocked_speedup": round(t_single / max(t_blocked, 1e-9), 2),
+                }
+            ),
+            flush=True,
+        )
+        base.unpersist()
+
+
+if __name__ == "__main__":
+    main()
