@@ -618,6 +618,12 @@ def build_workbook_stream(
                     if not rk_run:
                         rk_c0 = c
                     rk_run.append((ixfe, ((v & 0x3FFFFFFF) << 2) | 0x02))
+                    # BIFF records cap at 8224 payload bytes: 6 + 6k
+                    # <= 8224 -> k <= 1369 (theoretical here — sheets
+                    # are <=256 columns — but never emit an oversized
+                    # record even for out-of-spec fixture widths)
+                    if len(rk_run) == 1369:
+                        flush_rk_run()  # next rk cell restarts the run
                     continue
                 flush_rk_run()
                 if isinstance(v, bool):

@@ -43,7 +43,7 @@ def _chunks(data: bytes):
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
             raise ImageFormatError("truncated PNG chunk")
         # CRC covers type+body
         (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
@@ -136,9 +136,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None:
         raise ImageFormatError("no IHDR chunk")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bound the inflate by the size IHDR promises — a crafted IDAT
+    # (zlib bomb) must not allocate more than one image worth of bytes
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected)
+    except zlib.error as e:
+        raise ImageFormatError(f"corrupt PNG pixel stream: {e}") from e
+    if len(raw) != expected or (
+        dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1)
+    ):
         raise ImageFormatError("PNG pixel stream length mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)
@@ -169,8 +178,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if color == 3:
         if palette is None:
             raise ImageFormatError("palette PNG without PLTE chunk")
+        n_entries = len(palette) // 3
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ImageFormatError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
             rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)

@@ -289,3 +289,16 @@ def test_writer_coalesces_rk_runs_into_mulrk(tmp_path):
     assert got[1] == ["1", "2", "3", "4", "5"]
     assert got[2] == ["7", "", "8", "9", "2.5"]
     assert got[3] == ["10", "x", "11", "TRUE", "12"]
+
+
+def test_writer_caps_mulrk_record_size():
+    """An out-of-spec 3000-int row must split into <=1369-cell MULRK
+    records (BIFF 8224-byte record cap), never one oversized record."""
+    rows = [list(range(3000))]
+    stream = biff.build_workbook_stream({"s": rows})
+    muls = [p for rid, p, _o in biff._records(stream) if rid == 0x00BD]
+    assert len(muls) == 3  # 1369 + 1369 + 262
+    assert all(len(p) <= 8224 for p in muls)
+    got = {i: cells for _s, i, cells in biff.parse_xls_rows(
+        biff.wrap_cfb(stream))}
+    assert got[0] == [str(v) for v in range(3000)]

@@ -211,3 +211,44 @@ def test_real_png_end_to_end_through_spark(spark):
         )
     assert not out[3]["resize_ok"] and "register a PIL" in out[3]["resize_err"]
     assert not out[4]["resize_ok"] and "no resizer" in out[4]["resize_err"]
+
+
+def test_palette_index_out_of_range_raises():
+    w, h = 3, 1
+    palette = bytes([255, 0, 0])  # ONE entry; indices 1,2 invalid
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"\x00" + bytes([0, 1, 2])
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(IC.ImageFormatError, match="palette index"):
+        IC.decode_png(data)
+
+
+def test_truncated_inside_crc_raises_format_error():
+    data = IC.encode_png(4, 4, 3, _pixels(4, 4, 3))
+    # cut inside the IEND CRC (last 2 bytes gone); png_info stops at
+    # IHDR so only the full-chunk walk of decode_png sees the cut
+    with pytest.raises(IC.ImageFormatError, match="truncated|IEND"):
+        IC.decode_png(data[:-2])
+
+
+def test_idat_inflate_is_bounded_by_ihdr_dimensions():
+    # IDAT inflates to far more than the 2x2 image IHDR promises — the
+    # decoder must reject it after at most one image worth of output,
+    # never materialize the whole bomb
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10KB compressed
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(IC.ImageFormatError, match="length mismatch"):
+        IC.decode_png(data)

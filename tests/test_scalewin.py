@@ -54,7 +54,9 @@ def test_row_numbers_match_global_window(spark, frame, spec):
     exp = frame.withColumn(
         "rn", F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long")
     )
+    assert got.count() == exp.count()
     assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+    assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
 
 
 def test_multiple_specs_share_one_frame(spark, frame):
@@ -71,7 +73,9 @@ def test_multiple_specs_share_one_frame(spark, frame):
             F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long"),
         )
     cols = ["id", *specs]
+    assert got.count() == exp.count()
     assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
 
 
 @pytest.mark.parametrize("direction", ["asc", "desc"])
@@ -86,7 +90,9 @@ def test_running_sum_matches_global_window(spark, frame, direction):
     exp = frame.filter(F.col("v").isNotNull()).withColumn(
         "cum", F.sum("v").over(w).cast("long")
     )
+    assert got.count() == exp.count()
     assert got.select("id", "cum").exceptAll(exp.select("id", "cum")).count() == 0
+    assert exp.select("id", "cum").exceptAll(got.select("id", "cum")).count() == 0
 
 
 @pytest.mark.parametrize("k", [4, 7, 10, 100])
@@ -101,6 +107,7 @@ def test_ntile_from_rank_matches_ntile(spark, frame, k):
         "id", F.ntile(k).over(Window.orderBy(*_order_cols(spec))).alias("t")
     )
     assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
 
 
 def test_ntile_fewer_rows_than_tiles(spark):
@@ -114,6 +121,7 @@ def test_ntile_fewer_rows_than_tiles(spark):
         F.ntile(10).over(Window.orderBy(F.asc("v"), F.asc("id"))).alias("t"),
     )
     assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
 
 
 def test_degenerate_frames(spark):
@@ -154,3 +162,69 @@ def test_no_data_sized_single_partition_window(spark, frame):
         if s.startswith("Window [") and "_blk" not in s:
             # any window over the data frame must be partitioned by _blk
             raise AssertionError(f"unexpected window node: {s[:120]}")
+
+
+# --- property-based: random frames, random direction, tiny block count --
+# n_blocks=4 forces many rows per block AND many occupied blocks, so the
+# stitch math is exercised far harder than the 1024-block default; the
+# oracle is Spark's own single-partition window on the same frame.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=120,
+    ),
+    direction=st.sampled_from(["asc", "desc"]),
+    k=st.sampled_from([3, 5, 10]),
+)
+def test_blocked_rank_and_ntile_match_for_random_frames(
+    spark, vals, direction, k
+):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    spec = [("v", direction), ("id", "asc")]
+    got = SW.with_global_row_numbers(
+        df, {"rn": spec}, n_blocks=4, count_col="n"
+    ).select(
+        "id",
+        "rn",
+        SW.ntile_from_rank(F.col("rn"), F.col("n"), k).alias("t"),
+    )
+    w = Window.orderBy(*_order_cols(spec))
+    exp = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(k).over(w).alias("t"),
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=100),
+    direction=st.sampled_from(["asc", "desc"]),
+)
+def test_blocked_running_sum_matches_for_random_frames(spark, vals, direction):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    spec = [("v", direction), ("id", "asc")]
+    got = SW.with_global_running_sum(
+        df, spec, "v", "cum", n_blocks=4, total_col="tot"
+    )
+    w = Window.orderBy(*_order_cols(spec)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = df.withColumn("cum", F.sum("v").over(w).cast("long")).withColumn(
+        "tot", F.lit(sum(vals)).cast("long")
+    )
+    cols = ["id", "cum", "tot"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
