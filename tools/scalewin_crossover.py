@@ -85,5 +85,71 @@ def main() -> None:
         base.unpersist()
 
 
+def skew_probe(n: int = 8_000_000) -> None:
+    """Skew mode (``--skew [n]``): value-range blocking keys on the VALUE
+    distribution, so a heavy-tailed key piles rows into few blocks. This
+    measures exactly how bad, and what the documented ``block_on``
+    escape hatch (a monotone log1p proxy) buys back: a Zipf-ish key
+    (v = n / rank, so half the mass sits in the lowest value decile),
+    identity blocking vs log1p blocking, wall time + occupied blocks +
+    max single-block row share."""
+    spark = get_spark(app_name="scalewin_skew_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = (
+        spark.range(n, numPartitions=32)
+        .select(
+            F.col("id"),
+            (F.lit(n) / ((F.xxhash64("id") % n + n) % n + 1))
+            .cast("long")
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spec = [("v", "asc"), ("id", "asc")]
+    for label, proxy in (
+        ("identity", None),
+        ("log1p", {"rn": F.log1p(F.col("v").cast("double"))}),
+    ):
+        t0 = time.perf_counter()
+        out = SW.with_global_row_numbers(base, {"rn": spec}, block_on=proxy)
+        out.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        # re-derive the block id the helper used to audit its balance
+        stats = base.agg(
+            F.min(proxy["rn"] if proxy else F.col("v")).alias("mn"),
+            F.max(proxy["rn"] if proxy else F.col("v")).alias("mx"),
+        ).first()
+        lead = proxy["rn"] if proxy else F.col("v")
+        blk = F.floor(
+            (lead - F.lit(stats.mn)).cast("double")
+            * 1024.0
+            / (F.lit(stats.mx) - F.lit(stats.mn) + F.lit(1.0)).cast("double")
+        )
+        dist = (
+            base.groupBy(blk.alias("b"))
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("occupied"),
+                (F.max("count") / F.lit(n)).alias("max_share"),
+            )
+            .first()
+        )
+        print(
+            json.dumps(
+                {
+                    "skew_block_on": label,
+                    "rows": n,
+                    "wall_sec": wall,
+                    "occupied_blocks": dist.occupied,
+                    "max_block_row_share": round(dist.max_share, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000)
+    else:
+        main()
