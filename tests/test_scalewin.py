@@ -228,3 +228,47 @@ def test_blocked_running_sum_matches_for_random_frames(spark, vals, direction):
     cols = ["id", "cum", "tot"]
     assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
     assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_decimal_leading_key(spark):
+    """The numeric-leading-key contract includes DECIMAL: observe()
+    returns Decimal bounds and the block math must stay monotone."""
+    from decimal import Decimal
+
+    rows = [(i, Decimal(str((i * 37) % 100)) / 4) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v decimal(10,2)")
+    spec = [("v", "desc"), ("id", "asc")]
+    got = SW.with_global_row_numbers(df, {"rn": spec}, n_blocks=16)
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long")
+    )
+    assert got.count() == exp.count()
+    assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+    assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_date_leading_key_fails_loudly_and_block_on_fixes_it(spark):
+    """DATE leading keys: date subtraction yields an INTERVAL, so the
+    block math fails at CONSTRUCTION time (AnalysisException — loud,
+    never a silent wrong answer), and the documented fix is a numeric
+    `block_on` proxy (unix_date is monotone in the date)."""
+    import datetime
+
+    from pyspark.errors import AnalysisException
+
+    rows = [(i, datetime.date(2024, 1, 1) + datetime.timedelta(days=(i * 13) % 90))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, d date")
+    spec = [("d", "asc"), ("id", "asc")]
+    with pytest.raises(AnalysisException):
+        SW.with_global_row_numbers(df, {"rn": spec}, n_blocks=8)
+    got = SW.with_global_row_numbers(
+        df, {"rn": spec}, n_blocks=8, block_on={"rn": F.unix_date(F.col("d"))}
+    )
+    exp = df.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long"),
+    )
+    assert got.count() == exp.count()
+    assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+    assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
