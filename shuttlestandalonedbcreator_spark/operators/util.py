@@ -98,6 +98,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     core count and this is a no-op. The repartition shuffles only the raw
     input (cheap when it matters, absent when it doesn't).
     """
+    if df.isStreaming:
+        # streaming frames can't be partition-inspected (df.rdd throws);
+        # file sources already split by file per micro-batch, so the
+        # single-split hazard this guards against is a batch-only shape
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -252,3 +252,51 @@ def test_idat_inflate_is_bounded_by_ihdr_dimensions():
             + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
     with pytest.raises(IC.ImageFormatError, match="length mismatch"):
         IC.decode_png(data)
+
+
+def test_streaming_image_decode_end_to_end(spark, tmp_path):
+    """Streaming integration: PNG files dropped in a folder flow through
+    readStream(binaryFile) -> metadata -> the default codec's
+    extract_features -> memory sink, per-row E1 errors intact — the
+    multimodal stages compose with Structured Streaming unchanged."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.streaming import multimodal as M
+
+    M.register_default_image_codecs(overwrite=True)
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.png").write_bytes(IC.encode_png(9, 7, 3, _pixels(9, 7, 3)))
+    (src / "b.png").write_bytes(IC.encode_png(4, 5, 4, _pixels(4, 5, 4)))
+    (src / "c.png").write_bytes(b"\xff\xd8\xffnot-a-png")
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(str(src))
+        .select(
+            F.xxhash64("path").alias("content_id"),
+            F.lit("image").alias("modality"),
+            F.octet_length("content").cast("long").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha"),
+            F.col("content"),
+        )
+    )
+    feats = M.extract_features(stream)
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("img_feats")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    rows = spark.sql("SELECT * FROM img_feats").collect()
+    assert len(rows) == 3
+    dims = sorted(
+        (r["width"], r["height"]) for r in rows if r["feature_ok"]
+    )
+    assert dims == [(4, 5), (9, 7)]
+    bad = [r for r in rows if not r["feature_ok"]]
+    assert len(bad) == 1 and "register a PIL" in bad[0]["feature_err"]
