@@ -101,8 +101,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.isStreaming:
         # streaming frames can't be partition-inspected (df.rdd throws);
         # file sources already split by file per micro-batch, so the
-        # single-split hazard this guards against is a batch-only shape
-        return df
+        # DEFAULT floor is a batch-only concern — but an EXPLICIT
+        # min_partitions is a caller contract and repartition does work
+        # on streams, so honor it unconditionally
+        return df.repartition(min_partitions) if min_partitions else df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -149,6 +149,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1)
     ):
         raise ImageFormatError("PNG pixel stream length mismatch")
+    if not dec.eof:
+        # right length but the stream never terminated — the adler32
+        # trailer is missing/cut, so the integrity checksum was never
+        # verified (plain zlib.decompress would have raised here too)
+        raise ImageFormatError("PNG pixel stream truncated (no trailer)")
     out = bytearray(stride * height)
     prev = bytearray(stride)
     pos = 0
@@ -179,12 +184,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         if palette is None:
             raise ImageFormatError("palette PNG without PLTE chunk")
         n_entries = len(palette) // 3
+        # one C-speed pass validates every index before the (Python)
+        # expansion loop runs
+        if out and max(out) >= n_entries:
+            raise ImageFormatError(
+                f"palette index {max(out)} out of range ({n_entries} entries)"
+            )
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
-            if idx >= n_entries:
-                raise ImageFormatError(
-                    f"palette index {idx} out of range ({n_entries} entries)"
-                )
             rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)

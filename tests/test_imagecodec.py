@@ -27,6 +27,11 @@ def _pixels(w: int, h: int, ch: int) -> bytes:
     )
 
 
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
 def _encode_with_filters(w: int, h: int, ch: int, px: bytes,
                          ftype_of_row) -> bytes:
     """Spec-side filtering: filt(x) = orig(x) - pred(x) mod 256."""
@@ -55,13 +60,9 @@ def _encode_with_filters(w: int, h: int, ch: int, px: bytes,
         prev = line
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
 
-    def chunk(ctype, body):
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
 
 
 @pytest.mark.parametrize("ch", [1, 2, 3, 4])
@@ -98,14 +99,10 @@ def test_palette_expands_to_rgb():
         raw.append(0)
         raw.extend(idx[y * w:(y + 1) * w])
 
-    def chunk(ctype, body):
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"PLTE", palette)
-            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b""))
     got = IC.decode_png(data)
     assert got[:3] == (w, h, 3)
     assert got[3][:6] == bytes([255, 0, 0, 0, 255, 0])
@@ -146,11 +143,7 @@ def test_non_png_fails_loudly_with_register_hint():
 def test_interlaced_rejected():
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
 
-    def chunk(ctype, body):
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
-
-    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    data = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(IC.ImageFormatError, match="Adam7"):
         IC.png_info(data)
 
@@ -217,15 +210,11 @@ def test_palette_index_out_of_range_raises():
     w, h = 3, 1
     palette = bytes([255, 0, 0])  # ONE entry; indices 1,2 invalid
 
-    def chunk(ctype, body):
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     raw = b"\x00" + bytes([0, 1, 2])
-    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"PLTE", palette)
-            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
     with pytest.raises(IC.ImageFormatError, match="palette index"):
         IC.decode_png(data)
 
@@ -242,14 +231,10 @@ def test_idat_inflate_is_bounded_by_ihdr_dimensions():
     # IDAT inflates to far more than the 2x2 image IHDR promises — the
     # decoder must reject it after at most one image worth of output,
     # never materialize the whole bomb
-    def chunk(ctype, body):
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
     bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10KB compressed
-    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
     with pytest.raises(IC.ImageFormatError, match="length mismatch"):
         IC.decode_png(data)
 
@@ -300,3 +285,21 @@ def test_streaming_image_decode_end_to_end(spark, tmp_path):
     assert dims == [(4, 5), (9, 7)]
     bad = [r for r in rows if not r["feature_ok"]]
     assert len(bad) == 1 and "register a PIL" in bad[0]["feature_err"]
+
+
+def test_missing_adler_trailer_rejected():
+    """A zlib stream cut inside its adler32 trailer inflates to exactly
+    the right length but never verifies the checksum — the bounded
+    decompressobj path must still reject it (dec.eof gate)."""
+    w, h, ch = 6, 4, 3
+    px = _pixels(w, h, ch)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(px[y * w * ch:(y + 1) * w * ch])
+    stream = zlib.compress(bytes(raw))[:-3]  # cut inside the trailer
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", stream) + _chunk(b"IEND", b""))
+    with pytest.raises(IC.ImageFormatError, match="trailer|stream"):
+        IC.decode_png(data)

@@ -114,17 +114,11 @@ def skew_probe(n: int = 8_000_000) -> None:
         out = SW.with_global_row_numbers(base, {"rn": spec}, block_on=proxy)
         out.write.format("noop").mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 3)
-        # re-derive the block id the helper used to audit its balance
-        stats = base.agg(
-            F.min(proxy["rn"] if proxy else F.col("v")).alias("mn"),
-            F.max(proxy["rn"] if proxy else F.col("v")).alias("mx"),
-        ).first()
+        # audit block balance with the helper's OWN formula so the probe
+        # can't drift from what scalewin actually does
         lead = proxy["rn"] if proxy else F.col("v")
-        blk = F.floor(
-            (lead - F.lit(stats.mn)).cast("double")
-            * 1024.0
-            / (F.lit(stats.mx) - F.lit(stats.mn) + F.lit(1.0)).cast("double")
-        )
+        stats = base.agg(F.min(lead).alias("mn"), F.max(lead).alias("mx")).first()
+        blk = SW._block_expr(lead, F.lit(stats.mn), F.lit(stats.mx), SW.N_BLOCKS)
         dist = (
             base.groupBy(blk.alias("b"))
             .count()
