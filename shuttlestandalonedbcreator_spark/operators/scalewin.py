@@ -30,9 +30,12 @@ oracles unchanged.
 
 Input contract: the leading sort key must be numeric. NULLs map to a
 sentinel block consistent with Spark's defaults (ASC => NULLS FIRST,
-DESC => NULLS LAST). Equal leading-key values always land in the same
-block, so ties are broken entirely inside a block by the remaining sort
-columns. The frame is ``localCheckpoint(eager=True)``-ed once so the
+DESC => NULLS LAST); NaN floating keys map to the top block (Spark
+sorts NaN greatest under both directions). Equal leading-key values
+always land in the same block, so ties are broken entirely inside a
+block by the remaining sort columns — a dominant equal-value atom
+bounds parallelism, which the helpers now observe and surface as a
+`BlockSkewWarning` (or an error under ``on_skew="raise"``). The frame is ``localCheckpoint(eager=True)``-ed once so the
 block assignment, the per-block windows, and the block-size aggregate
 all consume one materialization of the (already aggregated) input
 instead of re-evaluating its subtree.
@@ -47,9 +50,10 @@ via ``block_on``.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .util import bounded_broadcast
@@ -57,6 +61,49 @@ from .util import bounded_broadcast
 OrderSpec = Sequence[tuple[str, str]]  # [(column, "asc"|"desc"), ...]
 
 N_BLOCKS = 1024
+
+# Above this share of the frame in ONE block, value-range blocking has
+# effectively degenerated to the single-partition window it exists to
+# replace (equal-value atoms of the leading key cannot be split across
+# blocks). The helpers observe the realized share and warn past the
+# threshold, so the hazard is a runtime signal instead of a doc note.
+BLOCK_SHARE_WARN = 0.5
+
+
+class BlockSkewWarning(UserWarning):
+    """A scalewin block holds most of the frame — parallelism degraded.
+
+    Fired when the largest value-range block exceeds the warn threshold
+    share of rows. Fix: pass a finer-grained leading sort key, or a
+    monotone spreading transform of it via ``block_on`` (e.g. ``log1p``
+    for heavy-tailed revenue)."""
+
+
+_WINDOWEXEC_QUIETED = False
+
+
+def _quiet_windowexec_warn(spark: SparkSession) -> None:
+    """Silence the JVM WindowExec "No Partition Defined" runtime WARN.
+
+    Every unpartitioned window this module plans is the offset stitch —
+    bounded at n_blocks+1 rows by construction, never data-sized. The
+    REAL guard against data-sized single-partition windows is the static
+    plan gate (tests/test_plan_quality.py sweeps all executed catalog
+    plans against a bounded allowlist); the runtime WARN is pure noise
+    for those allowlisted frames and spams driver logs dozens of times
+    per parity run. Cosmetic, best-effort: log4j2 API via py4j."""
+    global _WINDOWEXEC_QUIETED
+    if _WINDOWEXEC_QUIETED:
+        return
+    _WINDOWEXEC_QUIETED = True
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # cosmetic only — never fail an operator over log noise
 
 
 def _order_exprs(order_by: OrderSpec) -> list[Column]:
@@ -72,28 +119,53 @@ def _block_expr(lead: Column, mn: Column, mx: Column,
                 n_blocks: int) -> Column:
     """Monotone non-decreasing map of the leading key into
     [0, n_blocks-1]; NULLs to the sentinel block that matches Spark's
-    default null ordering. Double math is safe here: IEEE multiply and
-    divide by positive constants are weakly monotone, and block
-    assignment only needs v1 <= v2  =>  blk(v1) <= blk(v2)."""
-    span = (mx - mn).cast("double") + F.lit(1.0)
-    raw = F.floor((lead - mn).cast("double") * F.lit(float(n_blocks)) / span)
+    default null ordering. All arithmetic runs in double AFTER the cast:
+    IEEE subtract/multiply/divide by positive constants are weakly
+    monotone (block assignment only needs v1 <= v2 => blk(v1) <=
+    blk(v2)), and casting each operand BEFORE subtracting means a key
+    range wider than int64 (large negative min, large positive max)
+    can never overflow integer math. NaN floating keys sort greatest
+    under BOTH Spark orderings (asc and desc treat NaN as the largest
+    value), so they map to the top block explicitly — NaN arithmetic
+    would otherwise silently land them in block 0."""
+    leadd = lead.cast("double")
+    mnd, mxd = mn.cast("double"), mx.cast("double")
+    span = (mxd - mnd) + F.lit(1.0)
+    raw = F.floor((leadd - mnd) * F.lit(float(n_blocks)) / span)
     blk = F.greatest(F.lit(0), F.least(F.lit(n_blocks - 1), raw))
     # Spark defaults: ASC => NULLS FIRST, DESC => NULLS LAST. Block -1
     # satisfies both: it sorts before every real block ascending and
-    # after every real block descending.
-    return F.when(lead.isNull(), F.lit(-1)).otherwise(blk).cast("long")
+    # after every real block descending. NaN is the symmetric top case.
+    return (
+        F.when(lead.isNull(), F.lit(-1))
+        .when(F.isnan(leadd), F.lit(n_blocks - 1))
+        .otherwise(blk)
+        .cast("long")
+    )
 
 
 def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
-            direction: str, out: str, total_col: str | None = None) -> DataFrame:
+            direction: str, out: str, total_col: str | None = None,
+            nonnull_count_agg: Column | None = None) -> DataFrame:
     """Add ``out`` = block-local value + cumulative offset of earlier
     blocks. The offsets window runs over at most n_blocks+1 rows — a
     constant-bounded frame, never data-sized. ``total_col`` additionally
     attaches the GRAND total (sum over all blocks) — free here, because
     the per-block sums already exist; callers that need the scalar
     (NTILE's n, an 80%-of-total threshold) read it from this column
-    instead of re-aggregating the frame in a second pass."""
-    sizes = d.groupBy(blk).agg(bulk_agg.alias("_bulk"))
+    instead of re-aggregating the frame in a second pass.
+
+    ``nonnull_count_agg`` (running sums over a nullable value column):
+    a per-block COUNT of non-null values whose cumulative offset decides
+    the NULL case exactly as the global window would — a row whose
+    block-local cumulative sum is NULL (all-NULL block prefix) still
+    returns the earlier blocks' sum when any earlier non-null value
+    exists, and NULL only when none does."""
+    _quiet_windowexec_warn(d.sparkSession)
+    aggs = [bulk_agg.alias("_bulk")]
+    if nonnull_count_agg is not None:
+        aggs.append(nonnull_count_agg.alias("_nn"))
+    sizes = d.groupBy(blk).agg(*aggs)
     wblk = Window.orderBy(
         F.asc(blk) if direction == "asc" else F.desc(blk)
     ).rowsBetween(Window.unboundedPreceding, -1)
@@ -101,6 +173,10 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
         F.col(blk),
         F.coalesce(F.sum("_bulk").over(wblk), F.lit(0)).alias("_off"),
     ]
+    if nonnull_count_agg is not None:
+        cols.append(
+            F.coalesce(F.sum("_nn").over(wblk), F.lit(0)).alias("_offn")
+        )
     if total_col is not None:
         cols.append(
             F.sum("_bulk").over(
@@ -110,11 +186,58 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
             ).cast("long").alias(total_col)
         )
     offs = sizes.select(*cols)
-    return (
-        d.join(bounded_broadcast(offs, "domain"), blk)
-        .withColumn(out, (F.col(local_col) + F.col("_off")).cast("long"))
-        .drop(local_col, "_off")
+    joined = d.join(bounded_broadcast(offs, "domain"), blk)
+    if nonnull_count_agg is None:
+        out_expr = (F.col(local_col) + F.col("_off")).cast("long")
+        drop = [local_col, "_off"]
+    else:
+        out_expr = (
+            F.when(
+                F.col(local_col).isNotNull(),
+                F.col(local_col) + F.col("_off"),
+            )
+            .when(F.col("_offn") > 0, F.col("_off"))
+            .cast("long")  # otherwise NULL: no non-null value seen yet
+        )
+        drop = [local_col, "_off", "_offn"]
+    return joined.withColumn(out, out_expr).drop(*drop)
+
+
+def _check_block_share(d: DataFrame, blk: str, context: str,
+                       warn_share: float, on_skew: str,
+                       n_blocks: int) -> None:
+    """Observe the realized max block share and surface degeneration.
+
+    One tiny aggregate job over the already-checkpointed frame (counts
+    per block collapse map-side; the grouped frame is <= n_blocks+1
+    rows). Equal-value atoms of the leading key cannot be split across
+    blocks, so a dominant atom bounds parallelism at 1/share — warn (or
+    raise under ``on_skew="raise"``) past the threshold instead of
+    leaving the hazard as documentation. Frames smaller than
+    ``n_blocks`` rows never warn: below that, even the single-partition
+    window is in the constant-bounded class the plan gate allowlists."""
+    if on_skew == "ignore":
+        return
+    row = (
+        d.groupBy(blk)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_n"))
+        .collect()[0]
     )
+    if not row["_n"] or row["_n"] < n_blocks:
+        return
+    share = row["_mx"] / row["_n"]
+    if share > warn_share:
+        msg = (
+            f"scalewin {context}: largest value-range block holds "
+            f"{share:.0%} of {row['_n']} rows (> {warn_share:.0%}) — "
+            "blocking has degenerated toward a single partition. Use a "
+            "finer leading sort key, or pass a monotone spreading "
+            "transform via block_on (e.g. log1p for heavy-tailed keys)."
+        )
+        if on_skew == "raise":
+            raise ValueError(msg)
+        warnings.warn(msg, BlockSkewWarning, stacklevel=3)
 
 
 def with_global_row_numbers(
@@ -123,6 +246,7 @@ def with_global_row_numbers(
     n_blocks: int = N_BLOCKS,
     block_on: Mapping[str, Column] | None = None,
     count_col: str | None = None,
+    on_skew: str = "warn",
 ) -> DataFrame:
     """df + one exact global ROW_NUMBER() column per spec, with no
     data-sized single-partition window. ``specs`` maps output column ->
@@ -131,7 +255,8 @@ def with_global_row_numbers(
     overrides the block proxy for a spec's leading key (must be a
     monotone transform of it). ``count_col`` attaches the frame's total
     row count (from the first spec's block sizes — no extra pass), the
-    ``n`` that `ntile_from_rank` needs."""
+    ``n`` that `ntile_from_rank` needs. ``on_skew`` ("warn" | "raise" |
+    "ignore") controls the max-block-share degeneration signal."""
     block_on = dict(block_on or {})
     mins, maxs = [], []
     for out, spec in specs.items():
@@ -160,6 +285,11 @@ def with_global_row_numbers(
             f"_blk_{out}",
             _block_expr(block_on[out], F.lit(mn), F.lit(mx), n_blocks),
         )
+    for out in specs:
+        # observe degeneration on the bare blocked checkpoint, before
+        # the stitch joins widen the plan the check would re-read
+        _check_block_share(d, f"_blk_{out}", f"row_numbers[{out}]",
+                           BLOCK_SHARE_WARN, on_skew, n_blocks)
     for i, (out, spec) in enumerate(specs.items()):
         blk = f"_blk_{out}"
         wloc = Window.partitionBy(blk).orderBy(*_order_exprs(spec))
@@ -177,14 +307,19 @@ def with_global_running_sum(
     out: str,
     n_blocks: int = N_BLOCKS,
     total_col: str | None = None,
+    on_skew: str = "warn",
 ) -> DataFrame:
     """df + exact global ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING..CURRENT ROW)`` without a data-sized single-partition
     window. Exactness requires an exact-typed value column (int64 cents
     in every catalog caller) — reordering float partial sums would not
-    be bit-stable. ``total_col`` attaches the grand total (free from the
+    be bit-stable. NULLs in ``value_col`` reproduce the window's exact
+    semantics (NULL until the first non-null value in order, then the
+    running sum of non-nulls) via a per-block non-null count in the
+    stitch. ``total_col`` attaches the grand total (free from the
     block sums; the cum/tot threshold comparisons read it instead of a
-    second aggregation pass)."""
+    second aggregation pass). ``on_skew`` as in
+    `with_global_row_numbers`."""
     from pyspark.sql import Observation
 
     lead, direction = order_by[0]
@@ -200,6 +335,8 @@ def with_global_running_sum(
     d = d.withColumn(
         "_blk", _block_expr(F.col(lead), F.lit(mn), F.lit(mx), n_blocks)
     )
+    _check_block_share(d, "_blk", f"running_sum[{out}]",
+                       BLOCK_SHARE_WARN, on_skew, n_blocks)
     wloc = (
         Window.partitionBy("_blk")
         .orderBy(*_order_exprs(order_by))
@@ -207,7 +344,8 @@ def with_global_running_sum(
     )
     d = d.withColumn("_lcum", F.sum(value_col).over(wloc))
     return _stitch(d, "_blk", "_lcum", F.sum(value_col), direction,
-                   out, total_col=total_col).drop("_blk")
+                   out, total_col=total_col,
+                   nonnull_count_agg=F.count(value_col)).drop("_blk")
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
@@ -215,12 +353,15 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     the standard bucket formula Spark and DuckDB both implement: the
     first ``n % k`` buckets take ``n div k + 1`` rows, the rest take
     ``n div k``. Lets NTILE ride the blocked row_number instead of its
-    own single-partition window."""
-    # all operands are non-negative ints < 2^53, so double division +
-    # long cast is an exact floor throughout
-    q = (n / F.lit(k)).cast("long")
+    own single-partition window. Pure integral division (``div`` —
+    IntegralDivide) on non-negative operands, where truncation equals
+    floor — exact for ALL int64 inputs, with no double round-trip."""
+    def idiv(a: Column, b: Column) -> Column:
+        return F.call_function("div", a.cast("long"), b.cast("long"))
+
+    q = idiv(n, F.lit(k))
     rem = n % F.lit(k)
     cut = (q + 1) * rem
-    small = ((rank - 1) / (q + 1)).cast("long") + 1
-    big = rem + ((rank - cut - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    small = idiv(rank - 1, q + 1) + 1
+    big = rem + idiv(rank - cut - 1, F.greatest(q, F.lit(1))) + 1
     return F.when(rank <= cut, small).otherwise(big).cast("int")

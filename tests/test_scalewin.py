@@ -272,3 +272,126 @@ def test_date_leading_key_fails_loudly_and_block_on_fixes_it(spark):
     assert got.count() == exp.count()
     assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
     assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_nan_leading_key_matches_global_window(spark):
+    """NaN floating keys sort greatest under BOTH Spark orderings; the
+    block map sends them to the top block explicitly (floor(NaN) would
+    otherwise silently land them in block 0 and corrupt every rank)."""
+    rows = [(i, float(i % 37)) for i in range(500)]
+    rows += [(500 + i, float("nan")) for i in range(9)]
+    rows += [(509, None), (510, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for direction in ("asc", "desc"):
+        spec = [("v", direction), ("id", "asc")]
+        got = SW.with_global_row_numbers(df, {"rn": spec}, n_blocks=16)
+        exp = df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long"),
+        )
+        assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+        assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_int64_extreme_range_no_overflow(spark):
+    """A key range wider than int64 (min near -2^62, max near +2^62):
+    per-operand double casts keep the span arithmetic in IEEE range —
+    integer-typed (mx - mn) would overflow and break block monotonicity."""
+    lo, hi = -(2**62), 2**62
+    rows = [(0, lo), (1, hi), (2, 0), (3, -17), (4, 10**15), (5, lo + 1)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    spec = [("v", "asc"), ("id", "asc")]
+    got = SW.with_global_row_numbers(df, {"rn": spec}, n_blocks=8)
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*_order_cols(spec))).cast("long")
+    )
+    assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+    assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_running_sum_null_values_match_global_window(spark):
+    """NULLs in value_col: the stitch's non-null count reproduces the
+    window's exact semantics — NULL until the first non-null value in
+    order (even across an all-NULL leading block), then the running sum
+    of non-nulls. Leading keys chosen so the earliest blocks are
+    entirely NULL-valued."""
+    rows = [(i, i, None if i < 40 or i % 7 == 0 else (i * 3) % 101)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, k long, x long")
+    for direction in ("asc", "desc"):
+        spec = [("k", direction), ("id", "asc")]
+        got = SW.with_global_running_sum(df, spec, "x", "cum", n_blocks=16)
+        w = Window.orderBy(*_order_cols(spec)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        exp = df.withColumn("cum", F.sum("x").over(w).cast("long"))
+        assert got.count() == exp.count()
+        assert got.select("id", "cum").exceptAll(exp.select("id", "cum")).count() == 0
+        assert exp.select("id", "cum").exceptAll(got.select("id", "cum")).count() == 0
+
+
+def test_ntile_integral_division_exact_at_int64_extremes(spark):
+    """The div-based derivation is exact for ALL int64 (the old double
+    division could round a quotient near 2^52 up across a bucket edge).
+    Pin the expression against Python integer math at adversarial
+    (rank, n, k) points around 2^52..2^53 and the small-n edges."""
+    k = 7
+    points = []
+    for n in (2**52 - 1, 2**52 + 1, 2**53 - 1, 10**18, 49, 50, 7, 6, 1):
+        for rank in (1, 2, n // 2, max(1, n - 1), n):
+            points.append((rank, n))
+    df = spark.createDataFrame(points, "rank long, n long")
+    got = df.select(
+        "rank", "n",
+        SW.ntile_from_rank(F.col("rank"), F.col("n"), k).alias("t"),
+    ).collect()
+
+    def pytile(rank, n):
+        q, rem = divmod(n, k)
+        cut = (q + 1) * rem
+        if rank <= cut:
+            return (rank - 1) // (q + 1) + 1
+        return rem + (rank - cut - 1) // max(q, 1) + 1
+
+    for r in got:
+        assert r["t"] == pytile(r["rank"], r["n"]), (r["rank"], r["n"])
+
+
+def test_block_skew_warning_fires_on_tie_atom_not_uniform(spark):
+    """The degeneration hazard is a runtime signal now: a >50% equal-value
+    atom on the leading key warns (or raises under on_skew='raise');
+    uniform keys stay silent; frames smaller than n_blocks never warn."""
+    import warnings as _w
+
+    n_blocks = 64
+    tied = spark.createDataFrame(
+        [(i, 5 if i % 3 != 2 else i) for i in range(400)], "id long, v long"
+    )
+    uniform = spark.createDataFrame(
+        [(i, i) for i in range(400)], "id long, v long"
+    )
+    spec = {"rn": [("v", "asc"), ("id", "asc")]}
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        SW.with_global_row_numbers(tied, spec, n_blocks=n_blocks)
+        assert any(issubclass(w.category, SW.BlockSkewWarning) for w in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        SW.with_global_row_numbers(uniform, spec, n_blocks=n_blocks)
+        assert not any(issubclass(w.category, SW.BlockSkewWarning) for w in rec)
+    # below the n_blocks floor even an all-equal frame is the bounded
+    # class the plan gate allowlists — no warning
+    tiny = spark.createDataFrame([(i, 1) for i in range(50)], "id long, v long")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        SW.with_global_row_numbers(tiny, spec, n_blocks=n_blocks)
+        assert not any(issubclass(w.category, SW.BlockSkewWarning) for w in rec)
+    with pytest.raises(ValueError, match="degenerated"):
+        SW.with_global_row_numbers(tied, spec, n_blocks=n_blocks, on_skew="raise")
+    # running sum shares the signal
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        SW.with_global_running_sum(
+            tied, [("v", "asc"), ("id", "asc")], "id", "cum", n_blocks=n_blocks
+        )
+        assert any(issubclass(w.category, SW.BlockSkewWarning) for w in rec)
