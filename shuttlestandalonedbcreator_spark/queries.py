@@ -87,6 +87,48 @@ class QueryDef:
 
 
 # ---------------------------------------------------------------------------
+# Golden-fixture oracle pins
+# ---------------------------------------------------------------------------
+
+_PIN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_pins")
+
+# Per-input-table content fingerprint, evaluated BY DUCKDB at check time,
+# so the oracle selects the fixture captured for the scale factor it is
+# actually running against — and yields an EMPTY result (a loud row-count
+# mismatch, never a silent false green) on a regenerated or foreign
+# dataset. Values recorded by tools/pin_fixture_oracles.py.
+_PIN_FINGERPRINTS = {
+    "documents": (
+        "SELECT SUM(LENGTH(text)) FROM documents",
+        {"sf0_001": 153156, "sf0_01": 149174, "sf0_1": 1485576},
+    ),
+    "embeddings": (
+        "SELECT SUM(LENGTH(CAST(embedding AS VARCHAR))) FROM embeddings",
+        {"sf0_001": 410084, "sf0_01": 409917, "sf0_1": 1639460},
+    ),
+}
+
+
+def _pinned_oracle(name: str, table: str) -> str:
+    """DuckDB oracle for a deterministic entry whose semantics no SQL
+    engine can recompute (zlib DEFLATE, the iterative BPE merge loop,
+    MLlib k-means cells): serve the committed golden-fixture parquet for
+    the running scale factor, guarded by the input table's content
+    fingerprint. Upgrades the entry from the driver's rows-only check to
+    a full value-hash regression pin. Fixtures + fingerprints are
+    (re)generated by ``tools/pin_fixture_oracles.py``, which refuses to
+    pin a non-deterministic result."""
+    fp_sql, fps = _PIN_FINGERPRINTS[table]
+    parts = [
+        "SELECT * FROM read_parquet('{}')\nWHERE ({}) = {}".format(
+            os.path.join(_PIN_DIR, f"{name}.{tag}.parquet"), fp_sql, fp
+        )
+        for tag, fp in fps.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Reference surface — SURVEY.md §2 (operators cited per query)
 # ---------------------------------------------------------------------------
 
@@ -1053,11 +1095,14 @@ SQL_EMBEDDING_LSH_TOPK = _sql_lsh_topk()
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (k-means cells, n_probe nearest
-    probed) — the inverted-file scale path for ANN. Rows-only: the
-    clustering step is iterative and not SQL-expressible; the result
-    contract (k rows/query, rank monotonicity, per-query recall floor vs
-    exact) is oracle-hash-checked by `embedding_ivf_contract`, and mean
-    recall by tests/test_scale_ops.py::test_ivf_recall_against_exact."""
+    probed) — the inverted-file scale path for ANN. The clustering step
+    is iterative and not SQL-expressible, but seeded MLlib k-means is
+    deterministic on a fixed dataset, so the driver oracle is a
+    golden-fixture pin (`_pinned_oracle`; determinism re-verified at
+    every regeneration). The result contract (k rows/query, rank
+    monotonicity, per-query recall floor vs exact) stays independently
+    oracle-hash-checked by `embedding_ivf_contract`, and mean recall by
+    tests/test_scale_ops.py::test_ivf_recall_against_exact."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
     return V.ivf_topk(
@@ -7416,10 +7461,11 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): one corpus
     pass for word frequencies, then merge rounds over the (much smaller)
     vocab — argmax pair per round with lexicographic tie-break, so the
-    merge sequence is a pure function of the corpus. Rows-only: the
-    merge loop is iterative (not SQL-expressible); equivalence with an
-    independent pure-Python reference implementation is pinned by
-    tests/test_bpe.py."""
+    merge sequence is a pure function of the corpus. The merge loop is
+    iterative (not SQL-expressible), so the driver oracle is a
+    golden-fixture pin (`_pinned_oracle`; determinism re-verified at
+    every regeneration) and equivalence with an independent pure-Python
+    reference implementation is pinned by tests/test_bpe.py."""
     from shuttlestandalonedbcreator_spark.operators.bpe import train_bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
@@ -9497,10 +9543,11 @@ def q_compression_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quality.py:compression_ratio): deflate-bytes / raw-bytes
     per doc plus the keep decision (repetitive boilerplate compresses
     far below prose — the cheap cousin of the bigram-perplexity gate).
-    Rows-only check by design: no SQL engine exposes DEFLATE, so the
-    driver records a rows-only result and correctness is pinned by
+    No SQL engine exposes DEFLATE, so the driver oracle is a
+    golden-fixture pin (`_pinned_oracle`; zlib level fixed at 6 makes
+    the result a pure function of the corpus), backed by
     driver-vs-executor byte-equality and monotonicity tests
-    (test_operators.py) — the same twin pattern as bpe_train_merges."""
+    (test_operators.py)."""
     from shuttlestandalonedbcreator_spark.operators.quality import compression_ratio
 
     docs = _t(spark, sf_dir, "documents")
@@ -12226,7 +12273,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "embedding_lsh_topk": QueryDef(q_embedding_lsh_topk, SQL_EMBEDDING_LSH_TOPK),
     "embedding_topk_blas": QueryDef(q_embedding_topk_blas, SQL_EMBEDDING_TOPK_BLAS),
-    "embedding_ivf_topk": QueryDef(q_embedding_ivf_topk, None),
+    "embedding_ivf_topk": QueryDef(
+        q_embedding_ivf_topk, _pinned_oracle("embedding_ivf_topk", "embeddings")
+    ),
     "embedding_ivf_contract": QueryDef(
         q_embedding_ivf_contract, SQL_EMBEDDING_IVF_CONTRACT
     ),
@@ -12388,7 +12437,9 @@ CATALOG: dict[str, QueryDef] = {
         q_nearest_centroid_assign, SQL_NEAREST_CENTROID_ASSIGN
     ),
     "time_weighted_avg": QueryDef(q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
-    "bpe_train_merges": QueryDef(q_bpe_train_merges, None),
+    "bpe_train_merges": QueryDef(
+        q_bpe_train_merges, _pinned_oracle("bpe_train_merges", "documents")
+    ),
     "bigram_perplexity": QueryDef(q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "classifier_auc": QueryDef(q_classifier_auc, SQL_CLASSIFIER_AUC),
     "dedup_cascade": QueryDef(q_dedup_cascade, SQL_DEDUP_CASCADE),
@@ -12466,7 +12517,10 @@ CATALOG: dict[str, QueryDef] = {
     "graph_degree_distribution": QueryDef(
         q_graph_degree_distribution, SQL_GRAPH_DEGREE_DISTRIBUTION
     ),
-    "compression_ratio_gate": QueryDef(q_compression_ratio_gate, None),
+    "compression_ratio_gate": QueryDef(
+        q_compression_ratio_gate,
+        _pinned_oracle("compression_ratio_gate", "documents"),
+    ),
     "column_entropy_profile": QueryDef(
         q_column_entropy_profile, SQL_COLUMN_ENTROPY_PROFILE
     ),
