@@ -253,6 +253,9 @@ HEADLINE = (
     "cuped_adjustment",
     "theil_index",
     "mann_kendall_trend",
+    # round-6 widening
+    "image_dhash_neardup",
+    "image_quality_gate",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -363,7 +366,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "incremental_neardup", "exact_percentiles", "below_avg_qty",
         "window_distribution", "rolling_hour_count", "tfidf_top_terms",
         "multimodal_metadata", "multimodal_frame_sample",
-        "approx_topk_audit",
+        "approx_topk_audit", "image_dhash_neardup", "image_quality_gate",
     ),
 }
 

@@ -1319,6 +1319,348 @@ FROM frames
 """
 
 
+def _image_px(emb_col, i):
+    """Gray pixel i synthesized from the embedding vector — pure integer
+    result from IEEE-identical expression trees, so Spark and the DuckDB
+    oracle rebuild the exact same image: float→double widening is exact,
+    double multiply+floor are per-row order-stable, and the double-mod
+    keeps the value in [0, 255]."""
+    return (
+        (
+            F.floor(F.get(emb_col, i % 64).cast("double") * F.lit(1000.0))
+            % 256 + 256
+        ) % 256
+    ).cast("int")
+
+
+def _image_idiv(c, k):
+    """Integral division (IntegralDivide) — DuckDB's `//` on
+    non-negative operands, with no double round-trip."""
+    return F.call_function("div", c, F.lit(k).cast("long"))
+
+
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs via dHash + banded LSH —
+    the image member of the dedup family (exact / MinHash / SimHash /
+    embedding-cosine / **dHash**), same banded-join shape as MinHash-LSH.
+
+    Pipeline (all real multimodal plumbing): synthesize two 16x16 gray
+    variants per embedding (base + a clamped +3-brightness copy — dHash
+    compares adjacent pixels, so the shift preserves most bits and flips
+    only those at the 255 clamp boundary), encode each to a REAL PNG and
+    decode it back with the stdlib codec (streaming/imagecodec.py) inside
+    Arrow-batched mapInPandas stages, nearest-neighbor resize to the 9x8
+    dHash grid, pack the 64 comparison bits into two 32-bit halves, then
+    band into 4x16-bit keys: candidate pairs meet ONLY inside a band
+    bucket (keyed shuffle — output-bounded, never all-pairs) and verify
+    with the exact Hamming distance.
+
+    100 TB shape: the hash pass is a narrow map (one Python hop per
+    image, PNG lossless so the oracle recomputes pixels from the
+    formula); the banded self-join is keyed on (band, value) exactly
+    like minhash_lsh_candidates; the tiny hash table broadcast-joins
+    back for verification."""
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # two variants per vector in ONE projection (a union of two
+    # transform()-projections of the same frame trips a Catalyst
+    # constraint-rewrite NoSuchElementException under localCheckpoint)
+    imgs = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    ).select(
+        (F.col("vec_id") * 2 + F.col("v")).alias("img_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: F.when(
+                F.col("v") == 1,
+                F.least(F.lit(255), _image_px(F.col("embedding"), i) + 3),
+            ).otherwise(_image_px(F.col("embedding"), i)).cast("int"),
+        ).alias("px"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            png = [
+                IC.encode_png(16, 16, 1, np.asarray(px, dtype=np.uint8).tobytes())
+                for px in pdf["px"]
+            ]
+            yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for data in pdf["png"]:
+                w, h, ch, px = IC.decode_png(bytes(data))
+                small = IC.resize_nearest(w, h, ch, px, 9, 8)
+                out.append(
+                    np.frombuffer(small, dtype=np.uint8).astype("int32").tolist()
+                )
+            yield pd.DataFrame({"img_id": pdf["img_id"], "px9": out})
+
+    px9 = imgs.mapInPandas(enc, "img_id long, png binary").mapInPandas(
+        dec, "img_id long, px9 array<int>"
+    )
+
+    # dHash: bit(r,c) = px9[r*9+c] > px9[r*9+c+1]; MSB-first fold
+    # (acc*2 + bit) packs bit p-offset without shift expressions
+    def half(offset):
+        def idx(p):
+            return (_image_idiv(p, 8) * 9 + p % 8).cast("int")
+
+        return F.aggregate(
+            F.sequence(F.lit(offset + 31), F.lit(offset), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2
+            + F.when(
+                F.get(F.col("px9"), idx(p)) > F.get(F.col("px9"), idx(p) + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+
+    # checkpoint: bands, and both verify sides read ONE materialization
+    # of the hash table instead of re-running the codec pipeline
+    hashed = px9.select(
+        "img_id", half(0).alias("hi"), half(32).alias("lo")
+    ).localCheckpoint(eager=True)
+    bands = hashed.select(
+        "img_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("hi") % 65536).alias("bv")),
+                F.struct(F.lit(1).alias("band"), _image_idiv(F.col("hi"), 65536).alias("bv")),
+                F.struct(F.lit(2).alias("band"), (F.col("lo") % 65536).alias("bv")),
+                F.struct(F.lit(3).alias("band"), _image_idiv(F.col("lo"), 65536).alias("bv")),
+            )
+        ).alias("b"),
+    ).select("img_id", "b.band", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("c"), ["band", "bv"])
+        .filter(F.col("a.img_id") < F.col("c.img_id"))
+        .select(F.col("a.img_id").alias("id_a"), F.col("c.img_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("img_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = hashed.select(
+        F.col("img_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select(
+            "id_a", "id_b", "hamming",
+            (
+                _image_idiv(F.col("id_a"), 2) == _image_idiv(F.col("id_b"), 2)
+            ).alias("same_source"),
+        )
+    )
+
+
+SQL_IMAGE_DHASH_NEARDUP = """
+WITH imgs AS (
+  SELECT vec_id * 2 + v AS img_id,
+         [CAST(CASE WHEN v = 1
+               THEN LEAST(255, ((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256 + 256) % 256) + 3)
+               ELSE ((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256 + 256) % 256)
+               END AS INT)
+          for i in range(0, 256)] AS px
+  FROM embeddings, (SELECT UNNEST([0, 1]) AS v)
+),
+px9 AS (
+  SELECT img_id,
+         [px[(r // 9) * 2 * 16 + ((r % 9) * 16) // 9 + 1]
+          for r in range(0, 72)] AS p
+  FROM imgs
+),
+hashed AS (
+  SELECT img_id,
+         CAST(list_sum([CASE WHEN p[(b // 8) * 9 + (b % 8) + 1] > p[(b // 8) * 9 + (b % 8) + 2]
+                        THEN 1 << (b % 32) ELSE 0 END
+                        for b in range(0, 32)]) AS BIGINT) AS hi,
+         CAST(list_sum([CASE WHEN p[((b + 32) // 8) * 9 + (b % 8) + 1] > p[((b + 32) // 8) * 9 + (b % 8) + 2]
+                        THEN 1 << (b % 32) ELSE 0 END
+                        for b in range(0, 32)]) AS BIGINT) AS lo
+  FROM px9
+),
+bands AS (
+  SELECT img_id, u.band,
+         CASE u.band WHEN 0 THEN hi % 65536 WHEN 1 THEN hi // 65536
+                     WHEN 2 THEN lo % 65536 ELSE lo // 65536 END AS bv
+  FROM hashed, (SELECT UNNEST(range(0, 4)) AS band) u
+),
+cand AS (
+  SELECT DISTINCT a.img_id AS id_a, c.img_id AS id_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv
+  WHERE a.img_id < c.img_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming,
+       cand.id_a // 2 = cand.id_b // 2 AS same_source
+FROM cand
+JOIN hashed ha ON ha.img_id = cand.id_a
+JOIN hashed hb ON hb.img_id = cand.id_b
+WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 6
+"""
+
+
+def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-stats quality gate over decoded pixels — the image member
+    of the quality-gate family (length/stopword/perplexity/zlib for
+    text; **size/aspect/diversity/entropy** for images): per image the
+    gray-level histogram yields n_levels (distinct values), simpson_px
+    (sum of squared counts — the exact-integer Rényi-2 concentration; a
+    flat/synthetic image concentrates, a natural one spreads) and
+    entropy in integer micro-nats (per-term floor BEFORE the sum, the
+    theil_index pattern, so both engines accumulate identical int64
+    terms); keep = big enough AND not extreme-aspect AND diverse enough.
+
+    Spark side runs the REAL multimodal path: variable-size gray images
+    (8..31 px sides derived from vec_id) synthesized from embeddings,
+    encoded to PNG and decoded back by the stdlib codec
+    (streaming/imagecodec.py) in Arrow-batched mapInPandas — width and
+    height in the output come from the PNG HEADER, so a codec dimension
+    regression fails the driver hash. One keyed histogram shuffle; the
+    oracle recomputes everything from the pixel formula (PNG lossless)."""
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w_e = (F.lit(8) + F.col("vec_id") % 24).cast("int")
+    h_e = (F.lit(8) + (F.col("vec_id") * 7) % 24).cast("int")
+    imgs = emb.select(
+        F.col("vec_id").alias("img_id"),
+        w_e.alias("w"),
+        h_e.alias("h"),
+        F.transform(
+            F.sequence(F.lit(0), (w_e * h_e - 1).cast("int")),
+            lambda i: _image_px(F.col("embedding"), i),
+        ).alias("px"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            png = [
+                IC.encode_png(int(w), int(h), 1,
+                              np.asarray(px, dtype=np.uint8).tobytes())
+                for w, h, px in zip(pdf["w"], pdf["h"], pdf["px"])
+            ]
+            yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ws, hs, pxs = [], [], []
+            for data in pdf["png"]:
+                w, h, ch, px = IC.decode_png(bytes(data))
+                ws.append(w)
+                hs.append(h)
+                pxs.append(
+                    np.frombuffer(px, dtype=np.uint8).astype("int32").tolist()
+                )
+            yield pd.DataFrame(
+                {"img_id": pdf["img_id"], "width": ws, "height": hs, "px": pxs}
+            )
+
+    decoded = imgs.mapInPandas(enc, "img_id long, png binary").mapInPandas(
+        dec, "img_id long, width int, height int, px array<int>"
+    )
+    hist = (
+        decoded.select("img_id", "width", "height", F.explode("px").alias("val"))
+        .groupBy("img_id", "width", "height", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = (F.col("width") * F.col("height")).cast("double")
+    term = F.floor(
+        F.lit(-1000000.0) * F.col("c").cast("double")
+        * F.log(F.col("c").cast("double") / n) / n
+    ).cast("long")
+    stats = hist.groupBy("img_id", "width", "height").agg(
+        F.count(F.lit(1)).cast("int").alias("n_levels"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("simpson_px"),
+        F.sum(term).cast("long").alias("entropy_mnat"),
+    )
+    return stats.select(
+        "img_id", "width", "height", "n_levels", "simpson_px", "entropy_mnat",
+        (
+            (F.col("width") >= 16) & (F.col("height") >= 16)
+            & ~(F.greatest("width", "height") > F.least("width", "height") * 3)
+            & (F.col("n_levels") >= 16)
+        ).alias("keep"),
+    )
+
+
+SQL_IMAGE_QUALITY_GATE = """
+WITH imgs AS (
+  SELECT vec_id AS img_id,
+         CAST(8 + vec_id % 24 AS INT) AS width,
+         CAST(8 + (vec_id * 7) % 24 AS INT) AS height,
+         [CAST(((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256) + 256) % 256 AS INT)
+          for i in range(0, (8 + vec_id % 24) * (8 + (vec_id * 7) % 24))] AS px
+  FROM embeddings
+),
+hist AS (
+  SELECT img_id, width, height, u.val, COUNT(*) AS c
+  FROM imgs, UNNEST(px) AS u(val)
+  GROUP BY img_id, width, height, u.val
+),
+stats AS (
+  SELECT img_id, width, height,
+         CAST(COUNT(*) AS INT) AS n_levels,
+         CAST(SUM(c * c) AS BIGINT) AS simpson_px,
+         CAST(SUM(CAST(FLOOR(-1000000.0 * CAST(c AS DOUBLE)
+              * LN(CAST(c AS DOUBLE) / CAST(width * height AS DOUBLE))
+              / CAST(width * height AS DOUBLE)) AS BIGINT)) AS BIGINT) AS entropy_mnat
+  FROM hist
+  GROUP BY img_id, width, height
+)
+SELECT img_id, width, height, n_levels, simpson_px, entropy_mnat,
+       (width >= 16 AND height >= 16
+        AND NOT (GREATEST(width, height) > LEAST(width, height) * 3)
+        AND n_levels >= 16) AS keep
+FROM stats
+"""
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregation surface — the 100 TB path for distinct
     counts and quantiles: HLL++ (`approx_count_distinct`), mergeable HLL
@@ -12319,6 +12661,12 @@ CATALOG: dict[str, QueryDef] = {
     "normalize_text": QueryDef(q_normalize_text, SQL_NORMALIZE_TEXT),
     "text_token_stats": QueryDef(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
+    "image_dhash_neardup": QueryDef(
+        q_image_dhash_neardup, SQL_IMAGE_DHASH_NEARDUP
+    ),
+    "image_quality_gate": QueryDef(
+        q_image_quality_gate, SQL_IMAGE_QUALITY_GATE
+    ),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_frame_sample": QueryDef(
         q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE
