@@ -283,9 +283,10 @@ def test_hard_negative_topk_excludes_anchor_label(spark, sf_small):
 
 def test_compression_ratio_matches_driver_zlib(spark, sf_small):
     """compression_ratio's executor-side zlib must byte-match a driver
-    recompute on the same texts — the reference-equality pin for the
-    rows-only compression_ratio_gate entry (no SQL engine can oracle
-    DEFLATE)."""
+    recompute on the same texts — the reference-equality pin behind the
+    compression_ratio_gate entry's golden-fixture oracle (no SQL engine
+    can recompute DEFLATE; the fixture pin is only as trustworthy as
+    this equality)."""
     import zlib
 
     from shuttlestandalonedbcreator_spark.operators.quality import (

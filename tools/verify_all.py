@@ -13,6 +13,10 @@ run, in one command.
    sf0.001 over a FIXED seed block (80000-80049 — disjoint from the 50
    pinned suite seeds), failing on any divergence. Every ship exercises
    the fuzzer, not just ad-hoc hunts.
+6. Blocked-window fuzz (tools/scalewin_fuzz.py): 10 fixed seeds of
+   random frames through the scalewin helpers vs Spark's own
+   single-partition window — the operator surface the SQL fuzzer
+   cannot reach.
 
 Exit code 0 = shippable.
 """
@@ -90,6 +94,24 @@ def main() -> int:
     print(f"fuzz sweep (seeds 80000-80049): {last}")
     if r.returncode != 0:
         failures.append(f"differential fuzz divergence: {last}")
+
+    # 6: blocked-window fuzz (operators/scalewin.py vs Spark's own
+    # single-partition window — the SQL fuzzer cannot reach this
+    # Python-side operator). Fixed 10-seed block, ~20 s.
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "scalewin_fuzz.py"),
+            "/root/testdata/sf0.001",
+            "10",
+            "81000",
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"scalewin fuzz (seeds 81000-81009): {last}")
+    if r.returncode != 0:
+        failures.append(f"scalewin fuzz divergence: {last}")
 
     print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
