@@ -203,41 +203,50 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
     return joined.withColumn(out, out_expr).drop(*drop)
 
 
-def _check_block_share(d: DataFrame, blk: str, context: str,
-                       warn_share: float, on_skew: str,
-                       n_blocks: int) -> None:
-    """Observe the realized max block share and surface degeneration.
-
-    One tiny aggregate job over the already-checkpointed frame (counts
-    per block collapse map-side; the grouped frame is <= n_blocks+1
-    rows). Equal-value atoms of the leading key cannot be split across
-    blocks, so a dominant atom bounds parallelism at 1/share — warn (or
-    raise under ``on_skew="raise"``) past the threshold instead of
-    leaving the hazard as documentation. Frames smaller than
-    ``n_blocks`` rows never warn: below that, even the single-partition
-    window is in the constant-bounded class the plan gate allowlists."""
-    if on_skew == "ignore":
+def _check_block_shares(d: DataFrame, blks: Mapping[str, str],
+                        warn_share: float, on_skew: str,
+                        n_blocks: int) -> None:
+    """Observe the realized max block share per spec and surface
+    degeneration — ONE aggregate job over the already-checkpointed frame
+    for ALL specs (explode to (spec, block) pairs; map-side combine
+    collapses each task's contribution to <= specs x (n_blocks+1) rows).
+    Equal-value atoms of the leading key cannot be split across blocks,
+    so a dominant atom bounds parallelism at 1/share — warn (or raise
+    under ``on_skew="raise"``) past the threshold instead of leaving the
+    hazard as documentation. Frames smaller than ``n_blocks`` rows never
+    warn: below that, even the single-partition window is in the
+    constant-bounded class the plan gate allowlists."""
+    if on_skew == "ignore" or not blks:
         return
-    row = (
-        d.groupBy(blk)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(ctx).alias("_spec"), F.col(b).alias("_b"))
+            for ctx, b in blks.items()
+        ])
+    ).alias("_p")
+    rows = (
+        d.select(pairs)
+        .groupBy("_p._spec", "_p._b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_spec")
         .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_n"))
-        .collect()[0]
+        .collect()
     )
-    if not row["_n"] or row["_n"] < n_blocks:
-        return
-    share = row["_mx"] / row["_n"]
-    if share > warn_share:
-        msg = (
-            f"scalewin {context}: largest value-range block holds "
-            f"{share:.0%} of {row['_n']} rows (> {warn_share:.0%}) — "
-            "blocking has degenerated toward a single partition. Use a "
-            "finer leading sort key, or pass a monotone spreading "
-            "transform via block_on (e.g. log1p for heavy-tailed keys)."
-        )
-        if on_skew == "raise":
-            raise ValueError(msg)
-        warnings.warn(msg, BlockSkewWarning, stacklevel=3)
+    for row in rows:
+        if not row["_n"] or row["_n"] < n_blocks:
+            continue
+        share = row["_mx"] / row["_n"]
+        if share > warn_share:
+            msg = (
+                f"scalewin {row['_spec']}: largest value-range block holds "
+                f"{share:.0%} of {row['_n']} rows (> {warn_share:.0%}) — "
+                "blocking has degenerated toward a single partition. Use a "
+                "finer leading sort key, or pass a monotone spreading "
+                "transform via block_on (e.g. log1p for heavy-tailed keys)."
+            )
+            if on_skew == "raise":
+                raise ValueError(msg)
+            warnings.warn(msg, BlockSkewWarning, stacklevel=3)
 
 
 def with_global_row_numbers(
@@ -262,8 +271,15 @@ def with_global_row_numbers(
     for out, spec in specs.items():
         proxy = block_on.get(out, F.col(spec[0][0]))
         block_on[out] = proxy
-        mins.append(F.min(proxy).alias(f"_mn_{out}"))
-        maxs.append(F.max(proxy).alias(f"_mx_{out}"))
+        # NaN-EXCLUDED bounds: F.max over a double column returns NaN if
+        # ANY value is NaN (Spark sorts NaN greatest), which would poison
+        # the span and collapse every non-NaN row into block 0 — the
+        # exact single-task shape this module exists to prevent. NaN
+        # rows are routed to the top block explicitly by _block_expr,
+        # so the bounds must come from the non-NaN values only.
+        clean = F.nanvl(proxy.cast("double"), F.lit(None).cast("double"))
+        mins.append(F.min(clean).alias(f"_mn_{out}"))
+        maxs.append(F.max(clean).alias(f"_mx_{out}"))
     # checkpoint the INPUT once — every per-spec window and block-size
     # aggregate then reads the materialized frame instead of
     # re-evaluating its (often expensive) subtree, and the
@@ -285,11 +301,13 @@ def with_global_row_numbers(
             f"_blk_{out}",
             _block_expr(block_on[out], F.lit(mn), F.lit(mx), n_blocks),
         )
-    for out in specs:
-        # observe degeneration on the bare blocked checkpoint, before
-        # the stitch joins widen the plan the check would re-read
-        _check_block_share(d, f"_blk_{out}", f"row_numbers[{out}]",
-                           BLOCK_SHARE_WARN, on_skew, n_blocks)
+    # observe degeneration on the bare blocked checkpoint, before the
+    # stitch joins widen the plan — ONE combined job for all specs
+    _check_block_shares(
+        d,
+        {f"row_numbers[{out}]": f"_blk_{out}" for out in specs},
+        BLOCK_SHARE_WARN, on_skew, n_blocks,
+    )
     for i, (out, spec) in enumerate(specs.items()):
         blk = f"_blk_{out}"
         wloc = Window.partitionBy(blk).orderBy(*_order_exprs(spec))
@@ -323,10 +341,12 @@ def with_global_running_sum(
     from pyspark.sql import Observation
 
     lead, direction = order_by[0]
-    # one materialization; bounds ride the checkpoint job (see above)
+    # one materialization; bounds ride the checkpoint job (see above).
+    # NaN-excluded bounds — see with_global_row_numbers.
+    clean = F.nanvl(F.col(lead).cast("double"), F.lit(None).cast("double"))
     obs = Observation()
     d = df.observe(
-        obs, F.min(lead).alias("_mn"), F.max(lead).alias("_mx")
+        obs, F.min(clean).alias("_mn"), F.max(clean).alias("_mx")
     ).localCheckpoint(eager=True)
     stats = obs.get
     mn, mx = stats["_mn"], stats["_mx"]
@@ -335,8 +355,8 @@ def with_global_running_sum(
     d = d.withColumn(
         "_blk", _block_expr(F.col(lead), F.lit(mn), F.lit(mx), n_blocks)
     )
-    _check_block_share(d, "_blk", f"running_sum[{out}]",
-                       BLOCK_SHARE_WARN, on_skew, n_blocks)
+    _check_block_shares(d, {f"running_sum[{out}]": "_blk"},
+                        BLOCK_SHARE_WARN, on_skew, n_blocks)
     wloc = (
         Window.partitionBy("_blk")
         .orderBy(*_order_exprs(order_by))

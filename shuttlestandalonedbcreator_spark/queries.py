@@ -92,21 +92,35 @@ class QueryDef:
 
 _PIN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_pins")
 
-# Per-input-table content fingerprint, evaluated BY DUCKDB at check time,
-# so the oracle selects the fixture captured for the scale factor it is
-# actually running against — and yields an EMPTY result (a loud row-count
-# mismatch, never a silent false green) on a regenerated or foreign
-# dataset. Values recorded by tools/pin_fixture_oracles.py.
-_PIN_FINGERPRINTS = {
-    "documents": (
-        "SELECT SUM(LENGTH(text)) FROM documents",
-        {"sf0_001": 153156, "sf0_01": 149174, "sf0_1": 1485576},
-    ),
-    "embeddings": (
-        "SELECT SUM(LENGTH(CAST(embedding AS VARCHAR))) FROM embeddings",
-        {"sf0_001": 410084, "sf0_01": 409917, "sf0_1": 1639460},
-    ),
+# Per-input-table content fingerprint SQL, evaluated BY DUCKDB at check
+# time, so the oracle selects the fixture captured for the scale factor
+# it is actually running against — and yields an EMPTY result (a loud
+# row-count mismatch, never a silent false green) on a regenerated or
+# foreign dataset. NOTE sf0.001 and sf0.01 both carry 500 documents /
+# embeddings rows with DIFFERENT contents, so a COUNT(*) fingerprint
+# cannot discriminate; the length-sums can.
+_PIN_FINGERPRINT_SQL = {
+    "documents": "SELECT SUM(LENGTH(text)) FROM documents",
+    "embeddings": "SELECT SUM(LENGTH(CAST(embedding AS VARCHAR))) FROM embeddings",
 }
+
+
+def _pin_fingerprint_values() -> dict[str, dict[str, int]] | None:
+    """Per-table {sf_tag: fingerprint} recorded by
+    tools/pin_fixture_oracles.py alongside the fixtures it pins — one
+    regeneration rewrites fixtures AND fingerprints together, so they
+    can never drift apart. Returns None when the file is absent (the
+    bootstrap path: the pin tool must be able to import this module
+    BEFORE the first generation); `_pinned_oracle` then emits a
+    deliberately-invalid oracle whose error text says how to fix it —
+    loud at check time, never a silent false green."""
+    import json
+
+    try:
+        with open(os.path.join(_PIN_DIR, "fingerprints.json")) as f:
+            return json.load(f)
+    except OSError:
+        return None
 
 
 def _pinned_oracle(name: str, table: str) -> str:
@@ -118,7 +132,14 @@ def _pinned_oracle(name: str, table: str) -> str:
     a full value-hash regression pin. Fixtures + fingerprints are
     (re)generated by ``tools/pin_fixture_oracles.py``, which refuses to
     pin a non-deterministic result."""
-    fp_sql, fps = _PIN_FINGERPRINTS[table]
+    fp_sql = _PIN_FINGERPRINT_SQL[table]
+    values = _pin_fingerprint_values()
+    if values is None:
+        return (
+            "PIN_FINGERPRINTS_MISSING: run tools/pin_fixture_oracles.py "
+            "to (re)generate oracle_pins fixtures + fingerprints.json"
+        )
+    fps = values[table]
     parts = [
         "SELECT * FROM read_parquet('{}')\nWHERE ({}) = {}".format(
             os.path.join(_PIN_DIR, f"{name}.{tag}.parquet"), fp_sql, fp

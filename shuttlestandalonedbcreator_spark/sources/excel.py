@@ -435,15 +435,24 @@ def read_workbook_rows_sheet_parallel(
 
 
 def read_transfer_reports(
-    spark: SparkSession, path: str, sheet_prefix: str = "Transfer Report"
+    spark: SparkSession,
+    path: str,
+    sheet_prefix: str = "Transfer Report",
+    parallel: bool = False,
 ) -> DataFrame:
     """The reference's ingest scan (S1-S5): matching sheets, header row
     dropped, cells mapped POSITIONALLY onto the 19 RAW_COLUMNS (headers
     captured but never validated, :469-472, :511-513), short rows padded
-    with '' (:512). Feed the result to plans.transfer_pipeline.ingest."""
+    with '' (:512). Feed the result to plans.transfer_pipeline.ingest.
+
+    ``parallel=True`` scans per SHEET instead of per file
+    (`read_workbook_rows_sheet_parallel`) — the shape for ONE huge
+    multi-sheet workbook (xlsx only); projection rules are identical, so
+    capacity rehearsals measure exactly the production mapping."""
     from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import RAW_COLUMNS
 
-    raw = read_workbook_rows(spark, path, sheet_prefix=sheet_prefix)
+    scan = read_workbook_rows_sheet_parallel if parallel else read_workbook_rows
+    raw = scan(spark, path, sheet_prefix=sheet_prefix)
     no_header = raw.filter(F.col("_row_index") > 0)  # S5 per sheet
     cols = [
         # F.get (not getItem) → NULL past the end under ANSI; '' via coalesce

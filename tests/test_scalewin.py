@@ -395,3 +395,33 @@ def test_block_skew_warning_fires_on_tie_atom_not_uniform(spark):
             tied, [("v", "asc"), ("id", "asc")], "id", "cum", n_blocks=n_blocks
         )
         assert any(issubclass(w.category, SW.BlockSkewWarning) for w in rec)
+
+
+def test_nan_key_does_not_poison_block_bounds(spark):
+    """One NaN in the leading key must not poison the min/max bounds:
+    F.max over doubles returns NaN when any value is NaN, which would
+    collapse every non-NaN row into block 0 — the single-task shape the
+    module exists to prevent. NaN-excluded bounds keep real rows spread
+    (no BlockSkewWarning) while NaN rows ride the explicit top block,
+    and the result still matches the global window exactly."""
+    import warnings as _w
+
+    rows = [(i, float(i)) for i in range(2000)]
+    rows += [(2000 + i, float("nan")) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    spec = {"rn": [("v", "asc"), ("id", "asc")]}
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = SW.with_global_row_numbers(df, spec, n_blocks=64)
+        got_rows = got.count()
+        assert not any(issubclass(w.category, SW.BlockSkewWarning) for w in rec), \
+            "NaN poisoned the block bounds: all real rows in one block"
+    exp = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.asc("v"), F.asc("id"))
+        ).cast("long"),
+    )
+    assert got_rows == exp.count()
+    assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+    assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0

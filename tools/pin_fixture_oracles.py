@@ -19,8 +19,22 @@ Usage:
 
 Fixtures land in ``shuttlestandalonedbcreator_spark/oracle_pins/`` and
 are committed; queries.py builds the matching SQL via
-``_pinned_oracle``. Regenerate ONLY when the entry's algorithm changes
-deliberately or the driver regenerates /root/testdata.
+``_pinned_oracle``. Regeneration also rewrites
+``oracle_pins/fingerprints.json`` (the per-SF input-table fingerprints
+the oracles switch on) in the same run, so fixtures and fingerprints
+can never drift apart. Regenerate ONLY when the entry's algorithm
+changes deliberately or the driver regenerates /root/testdata.
+
+Residual risk, documented: the embedding_ivf_topk pin assumes seeded
+MLlib k-means reproduces across environments. Verified here across
+local[2]/local[8]/local[32] and repeated fresh sessions (identical
+results at all 3 SFs), but a Spark minor-version bump or a different
+file-split layout could ULP-shift centroids and flip a borderline cell
+assignment — if that fires, the failure is a loud fixture mismatch on
+an unchanged codebase; rerun this tool to re-pin after confirming the
+change is environmental, not a regression (the oracle-green
+`embedding_ivf_contract` twin distinguishes the two: it stays green
+under centroid drift, red under real regressions).
 """
 
 from __future__ import annotations
@@ -63,8 +77,33 @@ def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def regenerate() -> None:
+    import json
+
     spark = get_spark()
     os.makedirs(PIN_DIR, exist_ok=True)
+    # fingerprints FIRST, and in the same run as the fixtures they
+    # guard: one regeneration rewrites both together, so a testdata
+    # refresh can never leave queries.py selecting zero fixtures with
+    # stale hardcoded values
+    fps: dict[str, dict[str, int]] = {}
+    for table, fp_sql in Q._PIN_FINGERPRINT_SQL.items():
+        fps[table] = {}
+        for tag, sf_dir in SFS:
+            con = _connect(sf_dir)
+            fps[table][tag] = int(con.execute(fp_sql).fetchone()[0])
+    values = list(fps["documents"].values()) + list(fps["embeddings"].values())
+    if len(set(fps["documents"].values())) != len(SFS) or len(
+        set(fps["embeddings"].values())
+    ) != len(SFS):
+        raise SystemExit(
+            f"fingerprints do not discriminate the SFs: {fps} — pick a "
+            "different fingerprint expression"
+        )
+    fp_path = os.path.join(PIN_DIR, "fingerprints.json")
+    with open(fp_path, "w") as f:
+        json.dump(fps, f, indent=1, sort_keys=True)
+    print(f"fingerprints -> {fp_path}: {values}")
+
     for name in PINNED:
         fn = Q.CATALOG[name].spark
         for tag, sf_dir in SFS:

@@ -72,8 +72,11 @@ def _lead_expr(rng: random.Random, F, idc: str, intc: str, dblc: str):
         ), None
     if kind == "negated":
         return -F.col(intc), None
-    # md5_int: hash-spread key (uniform, no ties)
-    return F.ascii(F.substring(F.md5(F.col(idc).cast("string")), 1, 8)), None
+    # md5_int: hash-spread key (~2^32 values — genuinely uniform, no
+    # ties; F.ascii would read only the FIRST hex char = 16 atoms)
+    return F.conv(
+        F.substring(F.md5(F.col(idc).cast("string")), 1, 8), 16, 10
+    ).cast("long"), None
 
 
 def run_seed(spark, seed: int) -> list[str]:

@@ -62,35 +62,43 @@ def _col_letters(ci: int) -> str:
     return s
 
 
-def _row_cells(g: int) -> list[tuple[str, object]]:
-    """(kind, value) per RAW_COLUMNS position: kind 'n' numeric literal,
-    's' pooled shared string, 'u' per-row unique shared string (value is
-    its offset 0.._UNIQUE_PER_ROW-1)."""
+def _row_cells_builder():
+    """Returns g -> [(kind, value)] per RAW_COLUMNS position: kind 'n'
+    numeric literal, 's' pooled shared string, 'u' per-row unique shared
+    string (value is its offset). Import + column-order resolution
+    happen ONCE — this runs in the ~3M-row generation hot loop."""
     from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import RAW_COLUMNS
 
-    path_u, checksum_u, name_u = 0, 1, 2
-    cells = {
-        "file_name": ("u", path_u),
-        "source_file_size": ("n", (g * 37) % 5_000_000),
-        "target_file_size": ("n", (g * 37) % 5_000_000),
-        "target_file_id": ("n", 10_000_000 + g),
-        "source_account": ("s", "acct-src"),
-        "target_account": ("s", "acct-tgt"),
-        "creation_time": ("n", 44000 + (g % 900)),
-        "source_last_modified_by": ("s", f"user{g % 13}"),
-        "source_last_modification_time": ("n", 44100 + (g % 900)),
-        "target_last_modification_time": ("n", 45000.5),
-        "last_access_time": ("n", 44500.25),
-        "start_time": ("n", 44600),
-        "transfer_time": ("n", 44601),
-        "checksum_method": ("s", "md5"),
-        "checksum": ("u", checksum_u),
-        "file_status": ("s", "success" if g % 7 else "failed"),
-        "errors": ("s", "" if g % 7 else "timeout"),
-        "status": ("s", "done"),
-        "translated_file_name": ("u", name_u),
-    }
-    return [cells[c] for c in RAW_COLUMNS]
+    def cells_for(g: int) -> dict:
+        return {
+            "file_name": ("u", 0),
+            "source_file_size": ("n", (g * 37) % 5_000_000),
+            "target_file_size": ("n", (g * 37) % 5_000_000),
+            "target_file_id": ("n", 10_000_000 + g),
+            "source_account": ("s", "acct-src"),
+            "target_account": ("s", "acct-tgt"),
+            "creation_time": ("n", 44000 + (g % 900)),
+            "source_last_modified_by": ("s", f"user{g % 13}"),
+            "source_last_modification_time": ("n", 44100 + (g % 900)),
+            "target_last_modification_time": ("n", 45000.5),
+            "last_access_time": ("n", 44500.25),
+            "start_time": ("n", 44600),
+            "transfer_time": ("n", 44601),
+            "checksum_method": ("s", "md5"),
+            "checksum": ("u", 1),
+            "file_status": ("s", "success" if g % 7 else "failed"),
+            "errors": ("s", "" if g % 7 else "timeout"),
+            "status": ("s", "done"),
+            "translated_file_name": ("u", 2),
+        }
+
+    cols = list(RAW_COLUMNS)
+
+    def build(g: int) -> list[tuple[str, object]]:
+        c = cells_for(g)
+        return [c[name] for name in cols]
+
+    return build
 
 
 def _unique_strings(g: int) -> list[str]:
@@ -108,6 +116,7 @@ def _unique_strings(g: int) -> list[str]:
 def generate(path: str, rows_per_sheet: int, n_sheets: int) -> int:
     from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import RAW_COLUMNS
 
+    _row_cells = _row_cells_builder()
     header_base = len(_POOL)  # header strings: one per column
     row_base = header_base + len(RAW_COLUMNS)
     total_rows = rows_per_sheet * n_sheets
@@ -263,17 +272,12 @@ def main() -> None:
     # (measured: a 705 MB file OOMs an 8g heap; set
     # SPARK_DRIVER_MEMORY=24g for this mode)
 
-    from pyspark.sql import functions as F
-
     from shuttlestandalonedbcreator_spark.plans.sinks import write_transfer_table
-    from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import (
-        RAW_COLUMNS,
-        ingest,
-    )
+    from shuttlestandalonedbcreator_spark.plans.transfer_pipeline import ingest
     from shuttlestandalonedbcreator_spark.session import get_spark
     from shuttlestandalonedbcreator_spark.sources.excel import (
+        read_transfer_reports,
         read_workbook_rows,
-        read_workbook_rows_sheet_parallel,
     )
 
     # calibrate rows/sheet from a small probe (bytes/row is stable)
@@ -310,16 +314,9 @@ def main() -> None:
                 "jvm_peak_mb": _jvm_peak_mb(),
             }))
             return
-        raw = read_workbook_rows_sheet_parallel(spark, src)
-        no_header = raw.filter(F.col("_row_index") > 0)
-        mapped = no_header.select(
-            *[
-                F.coalesce(F.get(F.col("_cells"), i), F.lit("")).alias(name)
-                for i, name in enumerate(RAW_COLUMNS)
-            ],
-            F.col("_source_file"),
-            F.monotonically_increasing_id().alias("_ingest_seq"),
-        )
+        # the PRODUCTION projection (read_transfer_reports), per-sheet
+        # parallel — the rehearsal measures exactly the pipeline users run
+        mapped = read_transfer_reports(spark, src, parallel=True)
         t1 = time.time()
         out = ingest(mapped, materialize=True)
         write_transfer_table(out, os.path.join(work, "transfer"))
