@@ -17,8 +17,11 @@ primitives the catalog uses — ROW_NUMBER, running SUM, NTILE — into:
    exceed one block);
 3. a block-offset stitch: per-block row counts / value sums are a frame
    of at most ``n_blocks`` rows (constant, default 1024 — the
-   "histogram buckets" bounded class), so their cumulative offsets run
-   through one tiny window and broadcast-join back.
+   "histogram buckets" bounded class); it is collected once, the
+   cumulative offsets are computed driver-side in exact Python
+   integers, and the tiny offsets relation broadcast-joins back. No
+   unpartitioned window appears anywhere in the plan, and the same
+   collected rows feed the skew observation for free.
 
 The result is BIT-IDENTICAL to the single-partition form for any total
 order: global row_number = block-local row_number + (rows in earlier
@@ -53,7 +56,7 @@ from __future__ import annotations
 import warnings
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import bounded_broadcast
@@ -79,31 +82,10 @@ class BlockSkewWarning(UserWarning):
     for heavy-tailed revenue)."""
 
 
-_WINDOWEXEC_QUIETED = False
-
-
-def _quiet_windowexec_warn(spark: SparkSession) -> None:
-    """Silence the JVM WindowExec "No Partition Defined" runtime WARN.
-
-    Every unpartitioned window this module plans is the offset stitch —
-    bounded at n_blocks+1 rows by construction, never data-sized. The
-    REAL guard against data-sized single-partition windows is the static
-    plan gate (tests/test_plan_quality.py sweeps all executed catalog
-    plans against a bounded allowlist); the runtime WARN is pure noise
-    for those allowlisted frames and spams driver logs dozens of times
-    per parity run. Cosmetic, best-effort: log4j2 API via py4j."""
-    global _WINDOWEXEC_QUIETED
-    if _WINDOWEXEC_QUIETED:
-        return
-    _WINDOWEXEC_QUIETED = True
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:
-        pass  # cosmetic only — never fail an operator over log noise
+# NOTE: this module plans NO unpartitioned window at all — the offset
+# stitch computes cumulative block offsets driver-side from the
+# collected (<= n_blocks+1 row) block-size aggregate, so the JVM
+# WindowExec "No Partition Defined" WARN can never fire from here.
 
 
 def _order_exprs(order_by: OrderSpec) -> list[Column]:
@@ -146,7 +128,9 @@ def _block_expr(lead: Column, mn: Column, mx: Column,
 
 def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
             direction: str, out: str, total_col: str | None = None,
-            nonnull_count_agg: Column | None = None) -> DataFrame:
+            nonnull_count_agg: Column | None = None,
+            context: str = "", on_skew: str = "warn",
+            n_blocks: int = N_BLOCKS) -> DataFrame:
     """Add ``out`` = block-local value + cumulative offset of earlier
     blocks. The offsets window runs over at most n_blocks+1 rows — a
     constant-bounded frame, never data-sized. ``total_col`` additionally
@@ -160,32 +144,43 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
     the NULL case exactly as the global window would — a row whose
     block-local cumulative sum is NULL (all-NULL block prefix) still
     returns the earlier blocks' sum when any earlier non-null value
-    exists, and NULL only when none does."""
-    _quiet_windowexec_warn(d.sparkSession)
-    aggs = [bulk_agg.alias("_bulk")]
+    exists, and NULL only when none does.
+
+    The per-block aggregate (at most n_blocks+1 rows by construction)
+    is collected ONCE and the cumulative offsets are computed
+    driver-side in exact Python integers, then broadcast-joined back
+    as a local relation: no unpartitioned stitch window remains in the
+    plan, and the same collected rows feed the max-block-share
+    degeneration signal for free (``context``/``on_skew``) — observing
+    skew costs zero extra jobs."""
+    aggs = [bulk_agg.alias("_bulk"), F.count(F.lit(1)).alias("_cnt")]
     if nonnull_count_agg is not None:
         aggs.append(nonnull_count_agg.alias("_nn"))
-    sizes = d.groupBy(blk).agg(*aggs)
-    wblk = Window.orderBy(
-        F.asc(blk) if direction == "asc" else F.desc(blk)
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    cols = [
-        F.col(blk),
-        F.coalesce(F.sum("_bulk").over(wblk), F.lit(0)).alias("_off"),
-    ]
+    sizes = d.groupBy(blk).agg(*aggs).collect()  # <= n_blocks+1 rows
+    sizes.sort(key=lambda r: r[blk], reverse=(direction == "desc"))
+    _warn_block_share(sizes, context, on_skew, n_blocks)
+
+    nonnull_bulks = [r["_bulk"] for r in sizes if r["_bulk"] is not None]
+    total = sum(nonnull_bulks) if nonnull_bulks else None
+    cum = cumn = 0
+    off_rows = []
+    for r in sizes:
+        row = [r[blk], cum]
+        if nonnull_count_agg is not None:
+            row.append(cumn)
+            cumn += r["_nn"]
+        if total_col is not None:
+            row.append(total)
+        off_rows.append(tuple(row))
+        if r["_bulk"] is not None:
+            cum += r["_bulk"]
+    schema = f"{blk} long, _off long"
     if nonnull_count_agg is not None:
-        cols.append(
-            F.coalesce(F.sum("_nn").over(wblk), F.lit(0)).alias("_offn")
-        )
+        schema += ", _offn long"
     if total_col is not None:
-        cols.append(
-            F.sum("_bulk").over(
-                Window.orderBy(blk).rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).cast("long").alias(total_col)
-        )
-    offs = sizes.select(*cols)
+        schema += f", {total_col} long"
+    offs = d.sparkSession.createDataFrame(off_rows, schema)
+
     joined = d.join(bounded_broadcast(offs, "domain"), blk)
     if nonnull_count_agg is None:
         out_expr = (F.col(local_col) + F.col("_off")).cast("long")
@@ -203,50 +198,33 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
     return joined.withColumn(out, out_expr).drop(*drop)
 
 
-def _check_block_shares(d: DataFrame, blks: Mapping[str, str],
-                        warn_share: float, on_skew: str,
-                        n_blocks: int) -> None:
-    """Observe the realized max block share per spec and surface
-    degeneration — ONE aggregate job over the already-checkpointed frame
-    for ALL specs (explode to (spec, block) pairs; map-side combine
-    collapses each task's contribution to <= specs x (n_blocks+1) rows).
-    Equal-value atoms of the leading key cannot be split across blocks,
-    so a dominant atom bounds parallelism at 1/share — warn (or raise
-    under ``on_skew="raise"``) past the threshold instead of leaving the
-    hazard as documentation. Frames smaller than ``n_blocks`` rows never
-    warn: below that, even the single-partition window is in the
-    constant-bounded class the plan gate allowlists."""
-    if on_skew == "ignore" or not blks:
+def _warn_block_share(sizes, context: str, on_skew: str,
+                      n_blocks: int) -> None:
+    """Surface blocking degeneration from the stitch's own collected
+    per-block rows (zero extra jobs). Equal-value atoms of the leading
+    key cannot be split across blocks, so a dominant atom bounds
+    parallelism at 1/share — warn (or raise under ``on_skew="raise"``)
+    past the threshold instead of leaving the hazard as documentation.
+    Frames smaller than ``n_blocks`` rows never warn: below that, even
+    the single-partition window is in the constant-bounded class the
+    plan gate allowlists."""
+    if on_skew == "ignore" or not sizes:
         return
-    pairs = F.explode(
-        F.array(*[
-            F.struct(F.lit(ctx).alias("_spec"), F.col(b).alias("_b"))
-            for ctx, b in blks.items()
-        ])
-    ).alias("_p")
-    rows = (
-        d.select(pairs)
-        .groupBy("_p._spec", "_p._b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("_spec")
-        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_n"))
-        .collect()
-    )
-    for row in rows:
-        if not row["_n"] or row["_n"] < n_blocks:
-            continue
-        share = row["_mx"] / row["_n"]
-        if share > warn_share:
-            msg = (
-                f"scalewin {row['_spec']}: largest value-range block holds "
-                f"{share:.0%} of {row['_n']} rows (> {warn_share:.0%}) — "
-                "blocking has degenerated toward a single partition. Use a "
-                "finer leading sort key, or pass a monotone spreading "
-                "transform via block_on (e.g. log1p for heavy-tailed keys)."
-            )
-            if on_skew == "raise":
-                raise ValueError(msg)
-            warnings.warn(msg, BlockSkewWarning, stacklevel=3)
+    n = sum(r["_cnt"] for r in sizes)
+    if not n or n < n_blocks:
+        return
+    share = max(r["_cnt"] for r in sizes) / n
+    if share > BLOCK_SHARE_WARN:
+        msg = (
+            f"scalewin {context}: largest value-range block holds "
+            f"{share:.0%} of {n} rows (> {BLOCK_SHARE_WARN:.0%}) — "
+            "blocking has degenerated toward a single partition. Use a "
+            "finer leading sort key, or pass a monotone spreading "
+            "transform via block_on (e.g. log1p for heavy-tailed keys)."
+        )
+        if on_skew == "raise":
+            raise ValueError(msg)
+        warnings.warn(msg, BlockSkewWarning, stacklevel=4)
 
 
 def with_global_row_numbers(
@@ -301,20 +279,17 @@ def with_global_row_numbers(
             f"_blk_{out}",
             _block_expr(block_on[out], F.lit(mn), F.lit(mx), n_blocks),
         )
-    # observe degeneration on the bare blocked checkpoint, before the
-    # stitch joins widen the plan — ONE combined job for all specs
-    _check_block_shares(
-        d,
-        {f"row_numbers[{out}]": f"_blk_{out}" for out in specs},
-        BLOCK_SHARE_WARN, on_skew, n_blocks,
-    )
     for i, (out, spec) in enumerate(specs.items()):
         blk = f"_blk_{out}"
         wloc = Window.partitionBy(blk).orderBy(*_order_exprs(spec))
         d = d.withColumn(f"_lrn_{out}", F.row_number().over(wloc))
+        # the stitch's collected block sizes double as the
+        # degeneration observation — zero extra jobs
         d = _stitch(d, blk, f"_lrn_{out}", F.count(F.lit(1)),
                     spec[0][1], out,
-                    total_col=count_col if i == 0 else None).drop(blk)
+                    total_col=count_col if i == 0 else None,
+                    context=f"row_numbers[{out}]", on_skew=on_skew,
+                    n_blocks=n_blocks).drop(blk)
     return d
 
 
@@ -355,8 +330,6 @@ def with_global_running_sum(
     d = d.withColumn(
         "_blk", _block_expr(F.col(lead), F.lit(mn), F.lit(mx), n_blocks)
     )
-    _check_block_shares(d, {f"running_sum[{out}]": "_blk"},
-                        BLOCK_SHARE_WARN, on_skew, n_blocks)
     wloc = (
         Window.partitionBy("_blk")
         .orderBy(*_order_exprs(order_by))
@@ -365,7 +338,9 @@ def with_global_running_sum(
     d = d.withColumn("_lcum", F.sum(value_col).over(wloc))
     return _stitch(d, "_blk", "_lcum", F.sum(value_col), direction,
                    out, total_col=total_col,
-                   nonnull_count_agg=F.count(value_col)).drop("_blk")
+                   nonnull_count_agg=F.count(value_col),
+                   context=f"running_sum[{out}]", on_skew=on_skew,
+                   n_blocks=n_blocks).drop("_blk")
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

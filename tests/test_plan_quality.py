@@ -658,15 +658,12 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_oracle):
 # stitch). Data-sized global ranks/cumsums/ntiles must instead ride
 # operators/scalewin.py's blocked decomposition.
 _BOUNDED_UNPARTITIONED_WINDOWS = {
-    # scalewin block-offset stitch frames: <= n_blocks+1 = 1025 rows by
-    # construction (operators/scalewin.py)
-    "abc_classification": "scalewin offset stitch (<=1025 rows)",
-    "gini_revenue": "scalewin offset stitch (<=1025 rows)",
-    "revenue_concentration": "scalewin offset stitch (<=1025 rows)",
-    "rfm_segmentation": "3x scalewin offset stitch (<=1025 rows each)",
-    "classifier_auc": "scalewin offset stitch (<=1025 rows)",
-    "reciprocal_rank_fusion": "2x scalewin offset stitch (<=1025 rows)",
-    "decile_lift": "scalewin stitch + 10-row decile frame",
+    # round 6: the scalewin offset stitch computes its cumulative block
+    # offsets DRIVER-SIDE from the collected <=1025-row block-size
+    # aggregate, so the seven scalewin entries plan NO unpartitioned
+    # window at all anymore — their rows left this allowlist (the
+    # stale-check enforces the shrink).
+    "decile_lift": "10-row decile frame",
     # constant value domains
     "benford_audit": "9 first-digit buckets",
     "chi_square_independence": "mktsegment x orderpriority cells (<=25)",
