@@ -130,7 +130,8 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
             direction: str, out: str, total_col: str | None = None,
             nonnull_count_agg: Column | None = None,
             context: str = "", on_skew: str = "warn",
-            n_blocks: int = N_BLOCKS) -> DataFrame:
+            n_blocks: int = N_BLOCKS,
+            sizes_rows: list | None = None) -> DataFrame:
     """Add ``out`` = block-local value + cumulative offset of earlier
     blocks. The offsets window runs over at most n_blocks+1 rows — a
     constant-bounded frame, never data-sized. ``total_col`` additionally
@@ -152,12 +153,19 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
     as a local relation: no unpartitioned stitch window remains in the
     plan, and the same collected rows feed the max-block-share
     degeneration signal for free (``context``/``on_skew``) — observing
-    skew costs zero extra jobs."""
-    aggs = [bulk_agg.alias("_bulk"), F.count(F.lit(1)).alias("_cnt")]
-    if nonnull_count_agg is not None:
-        aggs.append(nonnull_count_agg.alias("_nn"))
-    sizes = d.groupBy(blk).agg(*aggs).collect()  # <= n_blocks+1 rows
-    sizes.sort(key=lambda r: r[blk], reverse=(direction == "desc"))
+    skew costs zero extra jobs. Multi-spec callers pass ``sizes_rows``
+    (rows keyed ``_b``/``_bulk``/``_cnt``, pre-collected for ALL specs
+    in one job) so K specs cost one job, not K."""
+    if sizes_rows is None:
+        aggs = [bulk_agg.alias("_bulk"), F.count(F.lit(1)).alias("_cnt")]
+        if nonnull_count_agg is not None:
+            aggs.append(nonnull_count_agg.alias("_nn"))
+        sizes_rows = (
+            d.groupBy(F.col(blk).alias("_b")).agg(*aggs).collect()
+        )  # <= n_blocks+1 rows
+    sizes = sorted(
+        sizes_rows, key=lambda r: r["_b"], reverse=(direction == "desc")
+    )
     _warn_block_share(sizes, context, on_skew, n_blocks)
 
     nonnull_bulks = [r["_bulk"] for r in sizes if r["_bulk"] is not None]
@@ -165,7 +173,7 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
     cum = cumn = 0
     off_rows = []
     for r in sizes:
-        row = [r[blk], cum]
+        row = [r["_b"], cum]
         if nonnull_count_agg is not None:
             row.append(cumn)
             cumn += r["_nn"]
@@ -279,17 +287,37 @@ def with_global_row_numbers(
             f"_blk_{out}",
             _block_expr(block_on[out], F.lit(mn), F.lit(mx), n_blocks),
         )
+    # block sizes for ALL specs in ONE collected job (explode to
+    # (spec, block) pairs; map-side combine collapses each task's
+    # contribution to <= specs x (n_blocks+1) rows) — K specs cost one
+    # extra job, not K, and the same rows feed the skew observation
+    pair_structs = [
+        F.struct(F.lit(out).alias("_s"), F.col(f"_blk_{out}").alias("_b"))
+        for out in specs
+    ]
+    all_rows = (
+        d.select(F.explode(F.array(*pair_structs)).alias("_p"))
+        .groupBy(F.col("_p._s").alias("_s"), F.col("_p._b").alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_bulk"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .collect()
+    )
+    sizes_by_spec: dict[str, list] = {out: [] for out in specs}
+    for r in all_rows:
+        sizes_by_spec[r["_s"]].append(r)
+
     for i, (out, spec) in enumerate(specs.items()):
         blk = f"_blk_{out}"
         wloc = Window.partitionBy(blk).orderBy(*_order_exprs(spec))
         d = d.withColumn(f"_lrn_{out}", F.row_number().over(wloc))
-        # the stitch's collected block sizes double as the
-        # degeneration observation — zero extra jobs
         d = _stitch(d, blk, f"_lrn_{out}", F.count(F.lit(1)),
                     spec[0][1], out,
                     total_col=count_col if i == 0 else None,
                     context=f"row_numbers[{out}]", on_skew=on_skew,
-                    n_blocks=n_blocks).drop(blk)
+                    n_blocks=n_blocks,
+                    sizes_rows=sizes_by_spec[out]).drop(blk)
     return d
 
 
