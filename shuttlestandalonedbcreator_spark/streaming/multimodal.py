@@ -4,14 +4,16 @@ counterpart, BASELINE.json north star).
 
 Design: content is a `binary` column + a `modality` tag + typed metadata
 struct. Decode / feature-extract / resize / frame-sample run as
-Arrow-batched `mapInPandas` stages. The `image` modality ships with a
-REAL default codec (`imagecodec.py`: PIL when importable, else the
-stdlib-zlib PNG decoder/encoder — registered at import below), so
-extract_features / resize_images run on actual PNG bytes end-to-end
-with no extra libraries; unsupported image formats (JPEG/WebP) and the
-audio/video modalities keep the loud per-row failure that tells the
-deployment to register a richer codec (PIL/torchaudio/ffmpeg) with the
-same signatures.
+Arrow-batched `mapInPandas` stages. All three modalities ship with a
+REAL default codec, registered at import below: `image` (imagecodec.py:
+PIL when importable, else the stdlib-zlib PNG decoder/encoder), `audio`
+(audiocodec.py: stdlib PCM-WAV), `video` (videocodec.py: SSVF PNG-frame
+container, incl. a real frame sampler) — so extract_features /
+resize_images / sample_frames run on actual codec bytes end-to-end with
+no extra libraries. Formats that genuinely need codec libraries
+(JPEG/WebP, MP3/AAC, H.264/MP4) keep the loud per-row failure that
+tells the deployment to register a richer codec (PIL/torchaudio/ffmpeg)
+with the same signatures.
 """
 
 from __future__ import annotations
@@ -139,7 +141,33 @@ def register_default_image_codecs(overwrite: bool = False) -> None:
         _RESIZERS["image"] = resizer
 
 
+def register_default_av_codecs(overwrite: bool = False) -> None:
+    """Install the default `audio` decoder (stdlib PCM-WAV,
+    audiocodec.py) and `video` decoder + frame sampler (SSVF PNG-frame
+    container, videocodec.py). Same contract as the image defaults:
+    real codecs for the dependency-free formats, loud per-row failures
+    (AudioFormatError/VideoFormatError via feature_err) for bytes that
+    need a real library (MP3/AAC/H.264/MP4 ...). No audio resizer or
+    audio frame sampler is installed — resampling genuinely needs a DSP
+    library, so those stay loud-fail until a deployment registers one."""
+    import shuttlestandalonedbcreator_spark.streaming.audiocodec as _audio_module
+    import shuttlestandalonedbcreator_spark.streaming.imagecodec as _image_module
+    import shuttlestandalonedbcreator_spark.streaming.videocodec as _video_module
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_audio_module)
+    register_pickle_by_value(_image_module)  # video frames decode as PNG
+    register_pickle_by_value(_video_module)
+    if overwrite or "audio" not in _DECODERS:
+        _DECODERS["audio"] = _audio_module.default_audio_decoder()
+    if overwrite or "video" not in _DECODERS:
+        _DECODERS["video"] = _video_module.default_video_decoder()
+    if overwrite or "video" not in _FRAME_SAMPLERS:
+        _FRAME_SAMPLERS["video"] = _video_module.default_video_frame_sampler()
+
+
 register_default_image_codecs()
+register_default_av_codecs()
 
 
 def attach_binary_metadata(
