@@ -256,6 +256,9 @@ HEADLINE = (
     # round-6 widening
     "image_dhash_neardup",
     "image_quality_gate",
+    # round-7 widening
+    "audio_fingerprint",
+    "video_keyframes",
 )
 
 # Family assignment for the compact summary line (full per-query map goes
@@ -367,6 +370,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "window_distribution", "rolling_hour_count", "tfidf_top_terms",
         "multimodal_metadata", "multimodal_frame_sample",
         "approx_topk_audit", "image_dhash_neardup", "image_quality_gate",
+        "audio_fingerprint", "video_keyframes",
     ),
 }
 

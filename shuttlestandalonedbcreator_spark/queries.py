@@ -1682,6 +1682,392 @@ FROM stats
 """
 
 
+def _audio_sample(emb_col, i, v):
+    """16-bit PCM sample i of an audio track synthesized from the
+    embedding vector — the `_image_px` construction widened to the int16
+    range, with a per-frame gain ramp (1 + i div 64) and a linear phase
+    term (i * 31) so the 16 analysis frames carry distinct spectra.
+    Variant v=1 adds +1000 clamped at the int16 ceiling — the additive
+    perturbation preserves most band-energy-difference signs (the
+    fingerprint bits) while flipping a few, like a re-encoded copy."""
+    base = (
+        (
+            F.floor(F.get(emb_col, i % 64).cast("double") * F.lit(1000.0))
+            * (1 + _image_idiv(i, 64))
+            + i * 31
+        ) % 65536 + 65536
+    ) % 65536 - 32768
+    return (
+        F.when(v == 1, F.least(F.lit(32767), base + 1000)).otherwise(base)
+    ).cast("int")
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-duplicate pairs — the audio member of
+    the dedup family (exact / MinHash / SimHash / dHash / **band-energy
+    fingerprint**), the Haitsma-Kalker robust-hash construction
+    (ISMIR 2002) on exact integer band energies: bit(n,m) = sign of the
+    time-and-frequency second difference of frame-band energies.
+
+    Pipeline (all real multimodal plumbing): synthesize two 1024-sample
+    16-bit PCM variants per embedding (base + a clamped +1000 copy),
+    encode each to a REAL RIFF/WAVE file and decode it back with the
+    stdlib codec (streaming/audiocodec.py) inside Arrow-batched
+    mapInPandas stages, then 16 frames x 8 bands of exact int64 energies
+    (sum of squared samples), 105 fingerprint bits, and 4 INTERLEAVED
+    27/26-bit LSH bands (bit t -> band t mod 4): adjacent bits share
+    energy terms and correlate, so bit-slice bands collide ~30x more
+    than interleaved ones (measured at sf0.1: 220k vs 7.5k candidates).
+    Candidate pairs meet ONLY inside a band bucket (keyed shuffle —
+    output-bounded, never all-pairs) and verify with the exact Hamming
+    distance over the packed 53+52-bit halves.
+
+    100 TB shape: the fingerprint pass is a narrow map (one Python hop
+    per track through the WAV codec; PCM is lossless so the oracle
+    recomputes samples from the formula); the banded self-join is keyed
+    on (band, value) exactly like minhash_lsh_candidates; the tiny hash
+    table broadcast-joins back for verification."""
+    from shuttlestandalonedbcreator_spark.streaming import audiocodec as AC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # two variants per vector in ONE projection (union of two
+    # transform()-projections of one frame trips the Catalyst
+    # constraint-rewrite bug under localCheckpoint)
+    tracks = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    ).select(
+        (F.col("vec_id") * 2 + F.col("v")).alias("track_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(1023)),
+            lambda i: _audio_sample(F.col("embedding"), i, F.col("v")),
+        ).alias("s"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[AC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            wav = [
+                AC.encode_wav(8000, 1, np.asarray(s, dtype="<i2").tobytes())
+                for s in pdf["s"]
+            ]
+            yield pd.DataFrame({"track_id": pdf["track_id"], "wav": wav})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for data in pdf["wav"]:
+                _rate, ch, n_frames, pcm = AC.decode_wav(bytes(data))
+                out.append(
+                    np.frombuffer(pcm, dtype="<i2")[: n_frames * ch]
+                    .astype("int32")
+                    .tolist()
+                )
+            yield pd.DataFrame({"track_id": pdf["track_id"], "s": out})
+
+    decoded = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
+        dec, "track_id long, s array<int>"
+    )
+
+    # E[q] for q = n*8+m: frame n (64 samples), band m (8 samples)
+    def sq(q, j):
+        samp = F.get(F.col("s"), (_image_idiv(q, 8) * 64 + (q % 8) * 8 + j).cast("int"))
+        return samp.cast("long") * samp.cast("long")
+
+    energies = decoded.select(
+        "track_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(127)),
+            lambda q: F.aggregate(
+                F.sequence(F.lit(0), F.lit(7)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc + sq(q, j),
+            ),
+        ).alias("e"),
+    )
+
+    # bit t (t=0..104): n = t div 7 + 1, m = t mod 7 — the
+    # Haitsma-Kalker sign of (E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])
+    def bit(t):
+        q = ((_image_idiv(t, 7) + 1) * 8 + t % 7).cast("int")
+        return F.when(
+            (F.get(F.col("e"), q) - F.get(F.col("e"), q + 1))
+            - (F.get(F.col("e"), q - 8) - F.get(F.col("e"), q - 7))
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    def fold(seq):  # MSB-first acc*2+bit: bit at the smallest t gets 2^0
+        return F.aggregate(seq, F.lit(0).cast("long"), lambda acc, t: acc * 2 + bit(t))
+
+    # checkpoint: bands and both verify sides read ONE materialization
+    # of the fingerprint table instead of re-running the codec pipeline
+    hashed = energies.select(
+        "track_id",
+        fold(F.sequence(F.lit(52), F.lit(0), F.lit(-1))).alias("hi"),
+        fold(F.sequence(F.lit(104), F.lit(53), F.lit(-1))).alias("lo"),
+        fold(F.sequence(F.lit(104), F.lit(0), F.lit(-4))).alias("b0"),
+        fold(F.sequence(F.lit(101), F.lit(1), F.lit(-4))).alias("b1"),
+        fold(F.sequence(F.lit(102), F.lit(2), F.lit(-4))).alias("b2"),
+        fold(F.sequence(F.lit(103), F.lit(3), F.lit(-4))).alias("b3"),
+    ).localCheckpoint(eager=True)
+    bands = hashed.select(
+        "track_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bv"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("track_id", "b.band", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("c"), ["band", "bv"])
+        .filter(F.col("a.track_id") < F.col("c.track_id"))
+        .select(F.col("a.track_id").alias("id_a"), F.col("c.track_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col("track_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = hashed.select(
+        F.col("track_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select(
+            "id_a", "id_b", "hamming",
+            (
+                _image_idiv(F.col("id_a"), 2) == _image_idiv(F.col("id_b"), 2)
+            ).alias("same_source"),
+        )
+    )
+
+
+SQL_AUDIO_FINGERPRINT = """
+WITH base AS (
+  SELECT vec_id, v,
+         [((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT)
+            * (1 + i // 64) + i * 31) % 65536 + 65536) % 65536 - 32768
+          for i in range(0, 1024)] AS b
+  FROM embeddings, (SELECT UNNEST([0, 1]) AS v)
+),
+tracks AS (
+  SELECT vec_id * 2 + v AS track_id,
+         CASE WHEN v = 1 THEN [LEAST(32767, x + 1000) for x in b] ELSE b END AS s
+  FROM base
+),
+nrg AS (
+  SELECT track_id,
+         [CAST(list_sum([CAST(s[(q // 8) * 64 + (q % 8) * 8 + j + 1] AS BIGINT)
+                         * s[(q // 8) * 64 + (q % 8) * 8 + j + 1]
+                         for j in range(0, 8)]) AS BIGINT)
+          for q in range(0, 128)] AS e
+  FROM tracks
+),
+hashed AS (
+  SELECT track_id,
+         CAST(list_sum([CASE WHEN (e[(t // 7 + 1) * 8 + t % 7 + 1] - e[(t // 7 + 1) * 8 + t % 7 + 2])
+                           - (e[(t // 7) * 8 + t % 7 + 1] - e[(t // 7) * 8 + t % 7 + 2]) > 0
+                        THEN CAST(1 AS BIGINT) << t ELSE 0 END
+                        for t in range(0, 53)]) AS BIGINT) AS hi,
+         CAST(list_sum([CASE WHEN (e[(t // 7 + 1) * 8 + t % 7 + 1] - e[(t // 7 + 1) * 8 + t % 7 + 2])
+                           - (e[(t // 7) * 8 + t % 7 + 1] - e[(t // 7) * 8 + t % 7 + 2]) > 0
+                        THEN CAST(1 AS BIGINT) << (t - 53) ELSE 0 END
+                        for t in range(53, 105)]) AS BIGINT) AS lo,
+         CAST(list_sum([CASE WHEN (e[((0 + 4 * j) // 7 + 1) * 8 + (0 + 4 * j) % 7 + 1] - e[((0 + 4 * j) // 7 + 1) * 8 + (0 + 4 * j) % 7 + 2])
+                           - (e[((0 + 4 * j) // 7) * 8 + (0 + 4 * j) % 7 + 1] - e[((0 + 4 * j) // 7) * 8 + (0 + 4 * j) % 7 + 2]) > 0
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END
+                        for j in range(0, 27)]) AS BIGINT) AS b0,
+         CAST(list_sum([CASE WHEN (e[((1 + 4 * j) // 7 + 1) * 8 + (1 + 4 * j) % 7 + 1] - e[((1 + 4 * j) // 7 + 1) * 8 + (1 + 4 * j) % 7 + 2])
+                           - (e[((1 + 4 * j) // 7) * 8 + (1 + 4 * j) % 7 + 1] - e[((1 + 4 * j) // 7) * 8 + (1 + 4 * j) % 7 + 2]) > 0
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END
+                        for j in range(0, 26)]) AS BIGINT) AS b1,
+         CAST(list_sum([CASE WHEN (e[((2 + 4 * j) // 7 + 1) * 8 + (2 + 4 * j) % 7 + 1] - e[((2 + 4 * j) // 7 + 1) * 8 + (2 + 4 * j) % 7 + 2])
+                           - (e[((2 + 4 * j) // 7) * 8 + (2 + 4 * j) % 7 + 1] - e[((2 + 4 * j) // 7) * 8 + (2 + 4 * j) % 7 + 2]) > 0
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END
+                        for j in range(0, 26)]) AS BIGINT) AS b2,
+         CAST(list_sum([CASE WHEN (e[((3 + 4 * j) // 7 + 1) * 8 + (3 + 4 * j) % 7 + 1] - e[((3 + 4 * j) // 7 + 1) * 8 + (3 + 4 * j) % 7 + 2])
+                           - (e[((3 + 4 * j) // 7) * 8 + (3 + 4 * j) % 7 + 1] - e[((3 + 4 * j) // 7) * 8 + (3 + 4 * j) % 7 + 2]) > 0
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END
+                        for j in range(0, 26)]) AS BIGINT) AS b3
+  FROM nrg
+),
+bands AS (
+  SELECT track_id, u.band,
+         CASE u.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM hashed, (SELECT UNNEST(range(0, 4)) AS band) u
+),
+cand AS (
+  SELECT DISTINCT a.track_id AS id_a, c.track_id AS id_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv
+  WHERE a.track_id < c.track_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming,
+       cand.id_a // 2 = cand.id_b // 2 AS same_source
+FROM cand
+JOIN hashed ha ON ha.track_id = cand.id_a
+JOIN hashed hb ON hb.track_id = cand.id_b
+WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 6
+"""
+
+
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction from a real video container — the video
+    member of the multimodal family: per-frame absolute pixel change
+    against the previous frame, keyframe = first frame or a
+    scene-cut-sized change (the content-based shot-boundary detector
+    every training-data video pipeline runs before frame sampling).
+
+    Pipeline (all real multimodal plumbing): synthesize 12 gray 12x12
+    frames per embedding in 3 scenes of 4 (each scene reads the
+    embedding at a different stride, so scene boundaries change nearly
+    every pixel; within a scene a clamped +3/frame brightness ramp keeps
+    the change small and one-sided — bounded by 3*144=432 against a
+    measured >=8028 at scene cuts, threshold 2000), encode every frame
+    to a REAL PNG inside a REAL frame container (streaming/videocodec.py
+    SSVF: PNG frames + timestamps — the MJPEG shape) and decode it back
+    in Arrow-batched mapInPandas stages; frame numbers and timestamps in
+    the output come from the CONTAINER, so a demux regression fails the
+    driver hash.
+
+    100 TB shape: encode/decode are narrow maps (one Python hop per
+    video; PNG lossless so the oracle recomputes pixels from the
+    formula); the frame-diff window is KEYED by vid_id (12 rows per
+    key — never a global sort), the same per-key shape as
+    sessionization."""
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+    from shuttlestandalonedbcreator_spark.streaming import videocodec as VC
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vids = emb.select(
+        F.col("vec_id").alias("vid_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda f: F.transform(
+                F.sequence(F.lit(0), F.lit(143)),
+                lambda i: F.least(
+                    F.lit(255),
+                    _image_px(F.col("embedding"), i * (3 + _image_idiv(f, 4)))
+                    + (f % 4) * 3,
+                ).cast("int"),
+            ),
+        ).alias("frames"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+    register_pickle_by_value(_sys.modules[VC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vid = [
+                VC.encode_video(
+                    [
+                        (f_no * 40,
+                         IC.encode_png(12, 12, 1,
+                                       np.asarray(fr, dtype=np.uint8).tobytes()))
+                        for f_no, fr in enumerate(frames)
+                    ]
+                )
+                for frames in pdf["frames"]
+            ]
+            yield pd.DataFrame({"vid_id": pdf["vid_id"], "video": vid})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fnos, tss, pxs = [], [], [], []
+            for vid_id, data in zip(pdf["vid_id"], pdf["video"]):
+                for f_no, (ts_ms, png) in enumerate(VC.decode_video(bytes(data))):
+                    _w, _h, _ch, px = IC.decode_png(bytes(png))
+                    ids.append(vid_id)
+                    fnos.append(f_no)
+                    tss.append(ts_ms)
+                    pxs.append(
+                        np.frombuffer(px, dtype=np.uint8).astype("int32").tolist()
+                    )
+            yield pd.DataFrame(
+                {"vid_id": ids, "frame_no": fnos, "ts_ms": tss, "px": pxs}
+            )
+
+    frames = vids.mapInPandas(enc, "vid_id long, video binary").mapInPandas(
+        dec, "vid_id long, frame_no int, ts_ms int, px array<int>"
+    )
+
+    w = Window.partitionBy("vid_id").orderBy("frame_no")
+    diff = F.aggregate(
+        F.zip_with("px", F.lag("px").over(w), lambda a, b: F.abs(a - b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        frames.select("vid_id", "frame_no", "ts_ms", diff.alias("diff_sum"))
+        .filter((F.col("frame_no") == 0) | (F.col("diff_sum") > 2000))
+    )
+
+
+SQL_VIDEO_KEYFRAMES = """
+WITH fr AS (
+  SELECT vec_id AS vid_id, f,
+         [LEAST(255, ((CAST(FLOOR(CAST(embedding[(i * (3 + f // 4)) % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256 + 256) % 256)
+                 + (f % 4) * 3)
+          for i in range(0, 144)] AS px
+  FROM embeddings, (SELECT UNNEST(range(0, 12)) AS f)
+),
+lagged AS (
+  SELECT vid_id, f, px,
+         lag(px) OVER (PARTITION BY vid_id ORDER BY f) AS prev
+  FROM fr
+),
+d AS (
+  SELECT vid_id, f,
+         CAST(list_sum([abs(px[i + 1] - prev[i + 1]) for i in range(0, 144)]) AS BIGINT) AS diff_sum
+  FROM lagged
+)
+SELECT vid_id, CAST(f AS INT) AS frame_no, CAST(f * 40 AS INT) AS ts_ms, diff_sum
+FROM d
+WHERE f = 0 OR diff_sum > 2000
+"""
+
+
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregation surface — the 100 TB path for distinct
     counts and quantiles: HLL++ (`approx_count_distinct`), mergeable HLL
@@ -12688,6 +13074,8 @@ CATALOG: dict[str, QueryDef] = {
     "image_quality_gate": QueryDef(
         q_image_quality_gate, SQL_IMAGE_QUALITY_GATE
     ),
+    "audio_fingerprint": QueryDef(q_audio_fingerprint, SQL_AUDIO_FINGERPRINT),
+    "video_keyframes": QueryDef(q_video_keyframes, SQL_VIDEO_KEYFRAMES),
     "multimodal_metadata": QueryDef(q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_frame_sample": QueryDef(
         q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE

@@ -28,6 +28,10 @@ import struct
 
 MAGIC = b"SSVF"
 _VERSION = 1
+# PNG signature inlined (not imported from imagecodec) so this module
+# stays executor-safe when shipped by value — an in-function import of
+# a sibling module would need the repo importable on the worker
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 class VideoFormatError(ValueError):
@@ -62,8 +66,6 @@ def _require_ssvf(data: bytes) -> None:
 
 def encode_video(frames: list[tuple[int, bytes]]) -> bytes:
     """[(ts_ms, png_bytes), ...] -> container bytes."""
-    from shuttlestandalonedbcreator_spark.streaming.imagecodec import _PNG_SIG
-
     parts = [MAGIC, struct.pack(">BI", _VERSION, len(frames))]
     last_ts = -1
     for ts_ms, png in frames:
