@@ -173,12 +173,25 @@ def test_approx_aggregates_accuracy(spark, sf_small):
         .collect()
     }
     approx = {r["l_returnflag"]: r for r in q_approx_aggregates(spark, sf_small).collect()}
+    # percentile_approx moved out of the hashed entry (its shuffle-fetch
+    # merge order is layout-sensitive — NOTES.md round 7); its accuracy
+    # stays pinned here directly, plus the audit twin's median_band_ok
+    med = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                F.col("l_extendedprice").cast("double"), F.lit(0.5), F.lit(1000)
+            ).alias("m")
+        )
+        .collect()
+    }
     assert set(approx) == set(exact)
     for k, e in exact.items():
         a = approx[k]
         assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.05
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.05
-        assert abs(a["approx_median_price"] - e["median"]) / e["median"] < 0.02
+        assert abs(med[k] - e["median"]) / e["median"] < 0.02
 
 
 def test_lsh_topk_finds_duplicate_clusters(spark):

@@ -55,7 +55,12 @@ from shuttlestandalonedbcreator_spark.session import get_spark  # noqa: E402
 PIN_DIR = os.path.join(
     REPO, "shuttlestandalonedbcreator_spark", "oracle_pins"
 )
-PINNED = ("bpe_train_merges", "compression_ratio_gate", "embedding_ivf_topk")
+PINNED = (
+    "bpe_train_merges",
+    "compression_ratio_gate",
+    "embedding_ivf_topk",
+    "approx_aggregates",
+)
 SFS = (
     ("sf0_001", "/root/testdata/sf0.001"),
     ("sf0_01", "/root/testdata/sf0.01"),
@@ -91,10 +96,8 @@ def regenerate() -> None:
         for tag, sf_dir in SFS:
             con = _connect(sf_dir)
             fps[table][tag] = int(con.execute(fp_sql).fetchone()[0])
-    values = list(fps["documents"].values()) + list(fps["embeddings"].values())
-    if len(set(fps["documents"].values())) != len(SFS) or len(
-        set(fps["embeddings"].values())
-    ) != len(SFS):
+    values = [v for per_table in fps.values() for v in per_table.values()]
+    if any(len(set(per_table.values())) != len(SFS) for per_table in fps.values()):
         raise SystemExit(
             f"fingerprints do not discriminate the SFs: {fps} — pick a "
             "different fingerprint expression"
@@ -122,8 +125,14 @@ def regenerate() -> None:
 
 
 def check() -> int:
+    import importlib
+
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from check_parity import compare  # noqa: E402
+
+    # CATALOG bakes the pinned-oracle SQL at import; a regeneration in
+    # this same process (new fingerprints.json) must be re-read
+    importlib.reload(Q)
 
     spark = get_spark()
     failures = 0
