@@ -4,8 +4,12 @@ JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 
 The printed line stays COMPACT — "queries" holds per-family subtotals
 (the driver's capture truncates at ~2 KB, which swallowed the r02
-106-entry map) — and the full per-query timing map is written to
-BENCH_DETAIL.json next to this script for the judge / diffing.
+106-entry map) — and the full per-query timing map is written next to
+this script for the judge / diffing: to the UNTRACKED
+BENCH_DETAIL.live.json by default (driver runs and verify sweeps land
+there, keeping the git tree clean), or to the committed
+BENCH_DETAIL.json — the pinned idle recording — when
+SPARK_GRAFT_BENCH_RECORD=1 is set (set it only on an idle box).
 
 Results are materialized with a noop-format write (forces full execution
 of every operator incl. windows/joins; nothing ships to the driver).
@@ -693,8 +697,13 @@ def main() -> None:
         fam: round(sum(timings[q] for q in members if q in timings), 3)
         for fam, members in FAMILIES.items()
     }
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1"
+        else "BENCH_DETAIL.live.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -724,7 +733,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "fixtures": fixtures,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )

@@ -63,8 +63,13 @@ def _lead_expr(rng: random.Random, F, idc: str, intc: str, dblc: str):
             F.col(idc) % k == 0, F.lit(float("nan"))
         ).otherwise(F.col(dblc)), None
     if kind == "decimal":
-        return (F.col(dblc).cast("decimal(38,10)")
-                * F.lit(10) ** rng.choice([0, 5, 15])), None
+        # multiply by a DECIMAL literal: `** k` lowers to F.pow (DOUBLE)
+        # and decimal*double is implicitly cast back to double, which
+        # silently un-decimaled this key until round 7 (ADVICE r6)
+        k = rng.choice([0, 5, 15])
+        key = (F.col(dblc).cast("decimal(38,10)")
+               * F.lit(10 ** k).cast("decimal(38,0)"))
+        return key, None
     if kind == "int64_extreme":
         sign = rng.choice([1, -1])
         return (F.col(idc) % 2 * 2 - 1) * (

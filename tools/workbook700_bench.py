@@ -133,11 +133,16 @@ def generate(path: str, rows_per_sheet: int, n_sheets: int) -> int:
         # sharedStrings: pool + headers + per-row uniques, streamed
         with zf.open(_deflated("xl/sharedStrings.xml"), "w", force_zip64=True) as f:
             n_sst = row_base + total_rows * _UNIQUE_PER_ROW
+            # count = TOTAL string-cell references (strict consumers like
+            # POI validate it), not the unique count: per-row s/u cells
+            # plus one header reference per column per sheet
+            str_per_row = sum(1 for kind, _v in _row_cells(0) if kind != "n")
+            n_refs = total_rows * str_per_row + n_sheets * len(RAW_COLUMNS)
             f.write(
                 b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             )
             f.write(
-                f'<sst xmlns="{_NS}" count="{n_sst}" uniqueCount="{n_sst}">'.encode()
+                f'<sst xmlns="{_NS}" count="{n_refs}" uniqueCount="{n_sst}">'.encode()
             )
             buf = []
             for v in list(_POOL) + list(RAW_COLUMNS):
@@ -240,7 +245,10 @@ def generate(path: str, rows_per_sheet: int, n_sheets: int) -> int:
 
 
 def _jvm_peak_mb() -> float | None:
-    """VmHWM of the Spark JVM (our only child java process)."""
+    """VmHWM of OUR Spark JVM — the java process whose parent is this
+    python process (py4j launches the gateway as a direct child), so an
+    unrelated JVM on the box can never be reported."""
+    me = os.getpid()
     try:
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
@@ -250,11 +258,17 @@ def _jvm_peak_mb() -> float | None:
                     cmd = f.read()
                 if b"java" not in cmd.split(b"\x00")[0]:
                     continue
+                with open(f"/proc/{pid}/stat") as f:
+                    stat = f.read()
+                # ppid is the 2nd field after the ')' closing comm
+                # (comm itself may contain spaces)
+                if int(stat[stat.rindex(")") + 2:].split()[1]) != me:
+                    continue
                 with open(f"/proc/{pid}/status") as f:
                     for line in f:
                         if line.startswith("VmHWM"):
                             return round(int(line.split()[1]) / 1024, 1)
-            except OSError:
+            except (OSError, ValueError):
                 continue
     except OSError:
         pass
