@@ -425,3 +425,57 @@ def test_nan_key_does_not_poison_block_bounds(spark):
     assert got_rows == exp.count()
     assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
     assert exp.select("id", "rn").exceptAll(got.select("id", "rn")).count() == 0
+
+
+def test_zipf_revenue_rank_degenerates_then_recovers_via_block_on(spark, sf_small):
+    """The escape hatch, executed on a catalog-adjacent composition
+    (VERDICT r6 #6): rank customers by a Zipf-reshaped revenue — the
+    heavy tail puts >50% of rows in the bottom value-range block, so
+    ``on_skew="raise"`` refuses the degenerate plan; re-running with the
+    documented recovery (``block_on=log1p``, a monotone spread of the
+    key) silences the signal AND still matches Spark's own
+    single-partition window exactly. Timings at 2M rows in SCALING.md."""
+    import warnings as _w
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    # Zipf reshaping: rev_k = C / k^1.5 over the (arbitrary but stable)
+    # custkey order — the classic heavy tail where value-range blocks
+    # collapse (span is dominated by the top key) but log-space spreads
+    zipf = per_cust.select(
+        "o_custkey",
+        F.floor(
+            F.lit(1e12)
+            / F.pow(F.col("o_custkey").cast("double") + 1.0, F.lit(1.5))
+        ).alias("rev"),
+    )
+    spec = {"rn": [("rev", "desc"), ("o_custkey", "asc")]}
+
+    # degenerate: raw value-range blocks on the Zipf key must refuse
+    with pytest.raises(ValueError, match="degenerated"):
+        SW.with_global_row_numbers(zipf, spec, n_blocks=64, on_skew="raise")
+
+    # recovery: monotone log1p spread — no signal, same exact result
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = SW.with_global_row_numbers(
+            zipf, spec, n_blocks=64, on_skew="raise",
+            block_on={"rn": F.log1p(F.col("rev").cast("double"))},
+        )
+        n = got.count()
+        assert not any(issubclass(w.category, SW.BlockSkewWarning) for w in rec)
+    assert n == zipf.count()
+    exp = zipf.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        ),
+    )
+    assert got.select("o_custkey", "rn").exceptAll(
+        exp.select("o_custkey", "rn")
+    ).count() == 0
+    assert exp.select("o_custkey", "rn").exceptAll(
+        got.select("o_custkey", "rn")
+    ).count() == 0
