@@ -199,3 +199,54 @@ def test_multimodal_defaults_cover_audio_video(spark):
     frames = M.sample_frames(tagged.filter("content_id = 2"), n_frames=3).collect()
     assert [r["frame_ok"] for r in frames] == [True] * 3
     assert len({bytes(r["frame"]) for r in frames}) == 3
+
+
+def test_streaming_av_decode_end_to_end(spark, tmp_path):
+    """Streaming integration for the new modalities: WAV and SSVF files
+    dropped in a folder flow through readStream(binaryFile) -> metadata
+    -> the default codecs' extract_features -> memory sink, per-row E1
+    errors intact — audio/video compose with Structured Streaming
+    exactly like images (tests/test_imagecodec.py's e2e)."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.streaming import multimodal as M
+
+    M.register_default_av_codecs(overwrite=True)
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.wav").write_bytes(AC.encode_wav(8000, 1, _pcm(1600)))
+    (src / "b.ssvf").write_bytes(VC.encode_video(_png_frames(8, w=6, h=5)))
+    (src / "c.mp3").write_bytes(b"ID3\x04\x00" + b"\x00" * 50)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(str(src))
+        .select(
+            F.xxhash64("path").alias("content_id"),
+            F.when(F.col("path").endswith(".ssvf"), "video")
+            .otherwise("audio")
+            .alias("modality"),
+            F.octet_length("content").cast("long").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha"),
+            F.col("content"),
+        )
+    )
+    q = (
+        M.extract_features(stream)
+        .writeStream.format("memory")
+        .queryName("av_feats")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    rows = spark.sql("SELECT * FROM av_feats").collect()
+    assert len(rows) == 3
+    ok = {r["modality"]: r for r in rows if r["feature_ok"]}
+    assert ok["audio"]["duration_ms"] == 200  # 1600 frames @ 8 kHz
+    assert ok["video"]["duration_ms"] == 7 * 40
+    assert (ok["video"]["width"], ok["video"]["height"]) == (6, 5)
+    bad = [r for r in rows if not r["feature_ok"]]
+    assert len(bad) == 1 and "register a richer decoder" in bad[0]["feature_err"]
