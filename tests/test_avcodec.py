@@ -250,3 +250,55 @@ def test_streaming_av_decode_end_to_end(spark, tmp_path):
     assert (ok["video"]["width"], ok["video"]["height"]) == (6, 5)
     bad = [r for r in rows if not r["feature_ok"]]
     assert len(bad) == 1 and "register a richer decoder" in bad[0]["feature_err"]
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=192000),
+    st.integers(min_value=1, max_value=4),
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=300),
+)
+def test_wav_roundtrip_property(rate, channels, samples):
+    """encode_wav/decode_wav are exact inverses for ANY frame-aligned
+    PCM payload, any rate/channel count."""
+    samples = samples[: len(samples) - len(samples) % channels]
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    out_rate, out_ch, n_frames, out = AC.decode_wav(
+        AC.encode_wav(rate, channels, pcm)
+    )
+    assert (out_rate, out_ch) == (rate, channels)
+    assert n_frames == len(samples) // channels
+    assert out == pcm
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=31),
+            st.integers(min_value=1, max_value=9),
+            st.binary(min_size=0, max_size=64),
+        ),
+        max_size=6,
+    )
+)
+def test_ssvf_roundtrip_property(frame_specs):
+    """encode_video/decode_video round-trip ANY sequence of PNG frames
+    (arbitrary dims, arbitrary gray payload tiled to size), with strictly
+    increasing synthetic timestamps."""
+    frames = []
+    ts = 0
+    for w, h, seed in frame_specs:
+        need = w * h
+        px = ((seed or b"\x00") * (need // max(len(seed), 1) + 1))[:need]
+        frames.append((ts, IC.encode_png(w, h, 1, px)))
+        ts += 1 + (len(seed) % 37)
+    data = VC.encode_video(frames)
+    assert VC.decode_video(data) == frames
+    for (_, png_in), (_, png_out) in zip(frames, VC.decode_video(data)):
+        assert IC.decode_png(png_out) == IC.decode_png(png_in)
