@@ -31,6 +31,14 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+# module-level binding, NOT an import inside read()/__init__: the reader
+# class is instantiated ON THE EXECUTOR, where an import statement would
+# re-enter the import machinery with no repo on sys.path (NOTES.md fact
+# #4). As module-level globals of a by-value-registered module, these
+# function objects travel inside the pickled class instead.
+from shuttlestandalonedbcreator_spark.sources.biff import parse_xls_rows
+from shuttlestandalonedbcreator_spark.sources.excel import parse_xlsx_rows
+
 RAW_SCHEMA = "_source_file string, _sheet string, _row_index int, _cells array<string>"
 
 
@@ -59,12 +67,6 @@ class XlsxReader(DataSourceReader):
         return [_WorkbookPartition(p) for p in files]
 
     def read(self, partition: _WorkbookPartition):
-        # executor-side: these modules travel by value with this reader
-        # (registered in register_xlsx_source), so no repo on sys.path
-        # is needed on workers
-        from shuttlestandalonedbcreator_spark.sources.biff import parse_xls_rows
-        from shuttlestandalonedbcreator_spark.sources.excel import parse_xlsx_rows
-
         with open(partition.path, "rb") as fh:
             data = fh.read()
         parse = (
@@ -94,9 +96,13 @@ def register_xlsx_source(spark: SparkSession) -> None:
     so executor pythons need no repo checkout (NOTES.md fact #4)."""
     import shuttlestandalonedbcreator_spark.sources.biff as _biff
     import shuttlestandalonedbcreator_spark.sources.excel as _excel
+    import shuttlestandalonedbcreator_spark.sources.numfmt as _numfmt
     import shuttlestandalonedbcreator_spark.sources.xlsx_datasource as _self
     from pyspark.cloudpickle import register_pickle_by_value
 
-    for mod in (_biff, _excel, _self):
+    # numfmt too: excel.py references it at module level, so the pickled
+    # class graph reaches it — by reference (ModuleNotFoundError on a
+    # worker with no repo checkout) unless registered by value here
+    for mod in (_biff, _excel, _numfmt, _self):
         register_pickle_by_value(mod)
     spark.dataSource.register(XlsxDataSource)

@@ -183,7 +183,8 @@ def test_real_png_end_to_end_through_spark(spark):
         (1, "image", png1),
         (2, "image", png2),
         (3, "image", b"\xff\xd8\xff\xe0 not a png"),  # JPEG marker
-        (4, "audio", b"RIFF....WAVE"),                # no default codec
+        (4, "audio", b"RIFF....WAVE"),     # real WAV codec: truncated bytes
+        (5, "hologram", b"unknown"),       # genuinely no default codec
     ]
     df = spark.createDataFrame(rows, "id long, modality string, data binary")
     base = M.attach_binary_metadata(df, "data", "id", "modality")
@@ -192,7 +193,10 @@ def test_real_png_end_to_end_through_spark(spark):
     assert feats[1]["feature_ok"] and (feats[1]["width"], feats[1]["height"]) == (20, 10)
     assert feats[2]["feature_ok"] and (feats[2]["width"], feats[2]["height"]) == (5, 8)
     assert not feats[3]["feature_ok"] and "register a PIL" in feats[3]["feature_err"]
-    assert not feats[4]["feature_ok"] and "no decoder" in feats[4]["feature_err"]
+    # audio has a REAL default codec since round 7 — junk RIFF bytes fail
+    # per-row through audiocodec's loud contract, not "no decoder"
+    assert not feats[4]["feature_ok"] and "truncated" in feats[4]["feature_err"]
+    assert not feats[5]["feature_ok"] and "no decoder" in feats[5]["feature_err"]
 
     out = {r["content_id"]: r for r in M.resize_images(base, 8, 4).collect()}
     assert out[1]["resize_ok"] and out[2]["resize_ok"]
@@ -203,7 +207,9 @@ def test_real_png_end_to_end_through_spark(spark):
             src[0], src[1], src[2], _pixels(*src), 8, 4
         )
     assert not out[3]["resize_ok"] and "register a PIL" in out[3]["resize_err"]
+    # no audio resizer is registered by default (resampling needs a DSP lib)
     assert not out[4]["resize_ok"] and "no resizer" in out[4]["resize_err"]
+    assert not out[5]["resize_ok"] and "no resizer" in out[5]["resize_err"]
 
 
 def test_palette_index_out_of_range_raises():
