@@ -16,7 +16,12 @@ import pytest
 
 from shuttlestandalonedbcreator_spark import queries as Q
 
-PINNED = ("bpe_train_merges", "compression_ratio_gate", "embedding_ivf_topk")
+PINNED = (
+    "bpe_train_merges",
+    "compression_ratio_gate",
+    "embedding_ivf_topk",
+    "approx_aggregates",
+)
 
 
 def test_fingerprints_json_present_and_discriminating():
@@ -55,5 +60,9 @@ def test_foreign_data_yields_loud_empty_oracle(name):
     con.execute("CREATE VIEW documents AS SELECT 'x' AS text, 1 AS doc_id")
     con.execute(
         "CREATE VIEW embeddings AS SELECT [0.5]::FLOAT[] AS embedding, 1 AS vec_id"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT 1 AS l_orderkey, 1 AS l_partkey, "
+        "1 AS l_linenumber"
     )
     assert len(con.execute(Q.CATALOG[name].oracle).df()) == 0
