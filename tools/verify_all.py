@@ -17,6 +17,10 @@ run, in one command.
    random frames through the scalewin helpers vs Spark's own
    single-partition window — the operator surface the SQL fuzzer
    cannot reach.
+7. Multimodal codec fuzz (tools/av_fuzz.py): 4 fixed seeds of random
+   audio-fingerprint / video-keyframe parameterizations through the
+   REAL WAV/SSVF codec round-trip vs a DuckDB recompute — the other
+   Python-side pipeline family outside the SQL fuzzer's grammar.
 
 Exit code 0 = shippable.
 """
@@ -112,6 +116,24 @@ def main() -> int:
     print(f"scalewin fuzz (seeds 81000-81009): {last}")
     if r.returncode != 0:
         failures.append(f"scalewin fuzz divergence: {last}")
+
+    # 7: multimodal codec fuzz (audio/video pipelines vs DuckDB
+    # recompute — Python-side codec paths, unreachable from SQL fuzz).
+    # Fixed 4-seed block, ~40 s.
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "av_fuzz.py"),
+            "/root/testdata/sf0.001",
+            "4",
+            "82000",
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"av fuzz (seeds 82000-82003): {last}")
+    if r.returncode != 0:
+        failures.append(f"av fuzz divergence: {last}")
 
     print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
