@@ -484,3 +484,44 @@ def test_sheet_parallel_scan_matches_per_file_scan(spark, workbook_dir):
     # no matching sheets → empty frame with the same schema, no job blowup
     none = read_workbook_rows_sheet_parallel(spark, workbook_dir, sheet_prefix="Nope")
     assert none.count() == 0 and none.columns == per_file.columns
+
+
+def test_xlsx_python_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('xlsx'): one part workbook per task, header row,
+    overwrite via staged _temporary rename; reading the directory back
+    through the same DataSource recovers every row."""
+    from shuttlestandalonedbcreator_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+
+    import os
+
+    register_xlsx_source(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None), (3, "g<&>amma", 0.25)],
+        "id long, name string, score double",
+    )
+    df.repartition(2).write.format("xlsx").mode("append").save(out)
+
+    parts = [f for f in os.listdir(out) if f.endswith(".xlsx")]
+    assert 1 <= len(parts) <= 2 and all(f.startswith("part-") for f in parts)
+    assert not os.path.exists(os.path.join(out, "_temporary"))
+
+    back = spark.read.format("xlsx").load(out)
+    rows = back.collect()
+    headers = [tuple(r["_cells"]) for r in rows if r["_row_index"] == 0]
+    assert headers == [("id", "name", "score")] * len(parts)
+    data = sorted(
+        tuple(r["_cells"]) for r in rows if r["_row_index"] > 0
+    )
+    assert data == [
+        ("1", "alpha", "1.5"), ("2", "beta", ""), ("3", "g<&>amma", "0.25"),
+    ]
+
+    # overwrite replaces the old part files, not merges with them
+    df2 = spark.createDataFrame([(9, "only", 9.0)], "id long, name string, score double")
+    df2.coalesce(1).write.format("xlsx").mode("overwrite").save(out)
+    back2 = spark.read.format("xlsx").load(out)
+    data2 = sorted(tuple(r["_cells"]) for r in back2.collect() if r["_row_index"] > 0)
+    assert data2 == [("9", "only", "9.0")]
