@@ -1733,9 +1733,14 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes samples from the formula); the banded self-join is keyed
     on (band, value) exactly like minhash_lsh_candidates; the tiny hash
     table broadcast-joins back for verification."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import audiocodec as AC
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-row-group toy parquet arrives as ONE split — without the
+    # fan_out the whole synth+codec+energy+fold pipeline runs in one
+    # task (measured: the sf0.1 run is ~5x slower); the shuffled raw
+    # input is only vec_id+embedding (~0.5 MB at sf0.1)
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     # two variants per vector in ONE projection (union of two
     # transform()-projections of one frame trips the Catalyst
     # constraint-rewrite bug under localCheckpoint)
@@ -1971,10 +1976,13 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula); the frame-diff window is KEYED by vid_id (12 rows per
     key — never a global sort), the same per-key shape as
     sessionization."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
     from shuttlestandalonedbcreator_spark.streaming import videocodec as VC
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # same single-split fan_out as audio_fingerprint: parallelize the
+    # per-video synth + PNG/SSVF codec hops across cores
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     vids = emb.select(
         F.col("vec_id").alias("vid_id"),
         F.transform(

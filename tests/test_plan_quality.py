@@ -740,3 +740,30 @@ def test_no_unpartitioned_window_outside_bounded_allowlist(spark, sf_small):
         n for n in _BOUNDED_UNPARTITIONED_WINDOWS if not counts.get(n)
     }
     assert not stale, f"allowlist entries no longer plan one: {stale}"
+
+
+def test_av_codec_pipelines_fan_out(spark, sf_small):
+    """The single-row-group toy parquet arrives as ONE split; both a/v
+    entries must round-robin repartition BEFORE their mapInPandas codec
+    hops or the whole synth+codec+fingerprint pipeline serializes onto
+    one core (regression: round 7 shipped audio_fingerprint without the
+    fan_out — 9.6 s of its bench time was a single task)."""
+    # video: no checkpoint, so the executed plan shows the full lineage
+    plan = plan_of(spark, sf_small, "video_keyframes")
+    assert "MapInPandas" in plan
+    assert "RoundRobinPartitioning" in plan
+    # audio: the eager localCheckpoint hides the codec lineage from the
+    # final plan — assert on the checkpointed RDD's partition count
+    sc = spark.sparkContext
+    before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    CATALOG["audio_fingerprint"].spark(spark, sf_small)
+    new = [
+        info
+        for info in sc._jsc.sc().getRDDStorageInfo()
+        if info.id() not in before
+    ]
+    assert new, "audio_fingerprint no longer materializes a checkpoint"
+    assert all(info.numPartitions() > 1 for info in new), (
+        "checkpointed fingerprint table collapsed to one partition — "
+        "fan_out before the codec hop was lost"
+    )
