@@ -1719,8 +1719,10 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit PCM variants per embedding (base + a clamped +1000 copy),
     encode each to a REAL RIFF/WAVE file and decode it back with the
     stdlib codec (streaming/audiocodec.py) inside Arrow-batched
-    mapInPandas stages, then 16 frames x 8 bands of exact int64 energies
-    (sum of squared samples), 105 fingerprint bits, and 4 INTERLEAVED
+    mapInPandas stages — the decode stage also extracts 16 frames x 8
+    bands of exact int64 energies (vectorized numpy sum of squared
+    samples over the decoded PCM, the feature-extract half of the
+    multimodal hop) — then 105 fingerprint bits and 4 INTERLEAVED
     27/26-bit LSH bands (bit t -> band t mod 4): adjacent bits share
     energy terms and correlate, so bit-slice bands collide ~30x more
     than interleaved ones (measured at sf0.1: 220k vs 7.5k candidates).
@@ -1774,6 +1776,13 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"track_id": pdf["track_id"], "wav": wav})
 
     def dec(batches):
+        # the band energies are the feature-extraction half of the
+        # multimodal hop: E[q] (q = n*8+m; frame n of 64 samples, band m
+        # of 8) = exact int64 sum of squared samples, computed vectorized
+        # on the decoded PCM right here instead of an 8x128-element HOF
+        # back in the JVM — ships 128 longs per track through Arrow
+        # instead of 1024 samples, and drops the biggest codegen unit
+        # in the plan (int64 is exact: |s| <= 32768, 8 squares <= 2^33)
         import numpy as np
         import pandas as pd
 
@@ -1781,32 +1790,14 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for data in pdf["wav"]:
                 _rate, ch, n_frames, pcm = AC.decode_wav(bytes(data))
-                out.append(
-                    np.frombuffer(pcm, dtype="<i2")[: n_frames * ch]
-                    .astype("int32")
-                    .tolist()
+                s = np.frombuffer(pcm, dtype="<i2")[: n_frames * ch].astype(
+                    "int64"
                 )
-            yield pd.DataFrame({"track_id": pdf["track_id"], "s": out})
+                out.append((s * s).reshape(-1, 8).sum(axis=1))
+            yield pd.DataFrame({"track_id": pdf["track_id"], "e": out})
 
-    decoded = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
-        dec, "track_id long, s array<int>"
-    )
-
-    # E[q] for q = n*8+m: frame n (64 samples), band m (8 samples)
-    def sq(q, j):
-        samp = F.get(F.col("s"), (_image_idiv(q, 8) * 64 + (q % 8) * 8 + j).cast("int"))
-        return samp.cast("long") * samp.cast("long")
-
-    energies = decoded.select(
-        "track_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(127)),
-            lambda q: F.aggregate(
-                F.sequence(F.lit(0), F.lit(7)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc + sq(q, j),
-            ),
-        ).alias("e"),
+    energies = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
+        dec, "track_id long, e array<long>"
     )
 
     # bit t (t=0..104): n = t div 7 + 1, m = t mod 7 — the

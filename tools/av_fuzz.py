@@ -88,6 +88,9 @@ def audio_case(spark, con, sf_dir, rng):
             yield pd.DataFrame({"track_id": pdf["track_id"], "wav": wav})
 
     def dec(batches):
+        # mirror the entry: exact int64 band energies computed
+        # vectorized on the decoded PCM inside the Arrow hop
+        # (E[q] = sum of 8 contiguous squared samples)
         import numpy as np
         import pandas as pd
 
@@ -96,26 +99,12 @@ def audio_case(spark, con, sf_dir, rng):
             for data in pdf["wav"]:
                 got_rate, ch, n_frames, pcm = AC.decode_wav(bytes(data))
                 assert got_rate == rate and ch == 1 and n_frames == n
-                out.append(np.frombuffer(pcm, dtype="<i2").astype("int32").tolist())
-            yield pd.DataFrame({"track_id": pdf["track_id"], "s": out})
+                s = np.frombuffer(pcm, dtype="<i2").astype("int64")
+                out.append((s * s).reshape(-1, 8).sum(axis=1))
+            yield pd.DataFrame({"track_id": pdf["track_id"], "e": out})
 
-    decoded = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
-        dec, "track_id long, s array<int>"
-    )
-
-    def sq(q, j):
-        samp = F.get(F.col("s"), (_image_idiv(q, 8) * 64 + (q % 8) * 8 + j).cast("int"))
-        return samp.cast("long") * samp.cast("long")
-
-    energies = decoded.select(
-        "track_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(frames * 8 - 1)),
-            lambda q: F.aggregate(
-                F.sequence(F.lit(0), F.lit(7)), F.lit(0).cast("long"),
-                lambda acc, j: acc + sq(q, j),
-            ),
-        ).alias("e"),
+    energies = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
+        dec, "track_id long, e array<long>"
     )
 
     def bit(t):

@@ -1,0 +1,228 @@
+"""Audio-fingerprint scale rehearsal: replicate the embeddings table
+REP times (each replica with a distinct per-replica phase, so replicas
+fingerprint differently and the banded join's candidate count stays
+output-bounded instead of exploding quadratically on identical copies)
+and push the REAL pipeline — HOF PCM synthesis, WAV encode, WAV decode
++ vectorized int64 band energies inside the Arrow hop, JVM bit folds,
+banded-LSH self-join, exact Hamming verify — at 2*REP*|embeddings|
+tracks.
+
+The point is the 100x scale-up argument for the multimodal family
+(SCALING.md "Multimodal codec stages"): the fingerprint pass is a
+NARROW map whose wall time should scale ~linearly in track count at
+fixed cores (no driver bottleneck, no shuffle until the banded join),
+and the banded join's work should scale with candidate count, not
+track-pairs. This tool measures both so the claim is a number.
+
+Usage: python tools/av_scale_bench.py [sf_dir] [rep ...]
+  default sf_dir /root/testdata/sf0.1, reps 1 10 50.
+
+Prints one JSON line per rep:
+  {"rep": R, "tracks": N, "fp_sec": ..., "fp_tracks_per_sec": ...,
+   "join_sec": ..., "candidates": ..., "pairs": ..., "partitions": P}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_hashed(spark, sf_dir: str, rep: int):
+    """The audio_fingerprint pipeline generalized to REP replicas per
+    embedding; returns the (unmaterialized) fingerprint DataFrame."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+    from shuttlestandalonedbcreator_spark.queries import _image_idiv, _t
+    from shuttlestandalonedbcreator_spark.streaming import audiocodec as AC
+
+    def sample(emb, i, v, phase):
+        base = (
+            (
+                F.floor(F.get(emb, i % 64).cast("double") * F.lit(1000.0))
+                * (1 + _image_idiv(i, 64))
+                + i * phase
+            ) % 65536 + 65536
+        ) % 65536 - 32768
+        return (
+            F.when(v == 1, F.least(F.lit(32767), base + 1000)).otherwise(base)
+        ).cast("int")
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    # replica r gets phase 31 + 2*r (odd keeps the ramp aperiodic mod
+    # 65536) -> distinct spectra -> distinct fingerprints per replica
+    tracks = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "r",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+        )
+        .select(
+            ((F.col("vec_id") * rep + F.col("r")) * 2 + F.col("v")).alias(
+                "track_id"
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1023)),
+                lambda i: sample(
+                    F.col("embedding"), i, F.col("v"), 31 + 2 * F.col("r")
+                ),
+            ).alias("s"),
+        )
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[AC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            wav = [
+                AC.encode_wav(8000, 1, np.asarray(s, dtype="<i2").tobytes())
+                for s in pdf["s"]
+            ]
+            yield pd.DataFrame({"track_id": pdf["track_id"], "wav": wav})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for data in pdf["wav"]:
+                _rate, _ch, n_frames, pcm = AC.decode_wav(bytes(data))
+                s = np.frombuffer(pcm, dtype="<i2")[:n_frames].astype("int64")
+                out.append((s * s).reshape(-1, 8).sum(axis=1))
+            yield pd.DataFrame({"track_id": pdf["track_id"], "e": out})
+
+    energies = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
+        dec, "track_id long, e array<long>"
+    )
+
+    def bit(t):
+        q = ((_image_idiv(t, 7) + 1) * 8 + t % 7).cast("int")
+        return F.when(
+            (F.get(F.col("e"), q) - F.get(F.col("e"), q + 1))
+            - (F.get(F.col("e"), q - 8) - F.get(F.col("e"), q - 7))
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    def fold(seq):
+        return F.aggregate(
+            seq, F.lit(0).cast("long"), lambda acc, t: acc * 2 + bit(t)
+        )
+
+    return energies.select(
+        "track_id",
+        fold(F.sequence(F.lit(52), F.lit(0), F.lit(-1))).alias("hi"),
+        fold(F.sequence(F.lit(104), F.lit(53), F.lit(-1))).alias("lo"),
+        fold(F.sequence(F.lit(104), F.lit(0), F.lit(-4))).alias("b0"),
+        fold(F.sequence(F.lit(101), F.lit(1), F.lit(-4))).alias("b1"),
+        fold(F.sequence(F.lit(102), F.lit(2), F.lit(-4))).alias("b2"),
+        fold(F.sequence(F.lit(103), F.lit(3), F.lit(-4))).alias("b3"),
+    )
+
+
+def run_rep(spark, sf_dir: str, rep: int) -> dict:
+    from pyspark.sql import functions as F
+
+    hashed_plan = build_hashed(spark, sf_dir, rep)
+    t0 = time.time()
+    hashed = hashed_plan.localCheckpoint(eager=True)
+    n_tracks = hashed.count()
+    fp_sec = time.time() - t0
+
+    bands = hashed.select(
+        "track_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bv"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("track_id", "b.band", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("c"), ["band", "bv"])
+        .filter(F.col("a.track_id") < F.col("c.track_id"))
+        .select(
+            F.col("a.track_id").alias("id_a"), F.col("c.track_id").alias("id_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ha = hashed.select(
+        F.col("track_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = hashed.select(
+        F.col("track_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    t1 = time.time()
+    n_cand = cand.count()
+    n_pairs = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            <= 6
+        )
+        .count()
+    )
+    join_sec = time.time() - t1
+    row = {
+        "rep": rep,
+        "tracks": n_tracks,
+        "fp_sec": round(fp_sec, 2),
+        "fp_tracks_per_sec": round(n_tracks / fp_sec, 1),
+        "join_sec": round(join_sec, 2),
+        "candidates": n_cand,
+        "pairs": n_pairs,
+        "partitions": hashed.rdd.getNumPartitions(),
+    }
+    # free the checkpointed RDDs before the next (bigger) rep
+    hashed.unpersist()
+    cand.unpersist()
+    return row
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+
+    from shuttlestandalonedbcreator_spark.session import get_spark
+
+    spark = get_spark(app_name="av_scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the python workers + codegen once so rep timings compare
+    run_rep(spark, sf_dir, 1)
+    for rep in reps:
+        print(json.dumps(run_rep(spark, sf_dir, rep)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
