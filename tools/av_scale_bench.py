@@ -1,6 +1,6 @@
 """Audio-fingerprint scale rehearsal: replicate the embeddings table
-REP times (each replica with a distinct per-replica phase, so replicas
-fingerprint differently and the banded join's candidate count stays
+REP times (each replica with its own amplitude scale, so replica
+fingerprints decorrelate and the banded join's candidate count stays
 output-bounded instead of exploding quadratically on identical copies)
 and push the REAL pipeline — HOF PCM synthesis, WAV encode, WAV decode
 + vectorized int64 band energies inside the Arrow hop, JVM bit folds,
@@ -42,12 +42,20 @@ def build_hashed(spark, sf_dir: str, rep: int):
     from shuttlestandalonedbcreator_spark.queries import _image_idiv, _t
     from shuttlestandalonedbcreator_spark.streaming import audiocodec as AC
 
-    def sample(emb, i, v, phase):
+    def sample(emb, i, v, r):
+        # per-replica amplitude scale (1000 + 97r) decorrelates the
+        # replica fingerprints (a phase-only shift leaves the band
+        # energies — and so the sign bits — nearly unchanged, making
+        # every replica a near-dup of every other and the TRUE pair
+        # count quadratic in rep; see the "pathological dup rate" row)
         base = (
             (
-                F.floor(F.get(emb, i % 64).cast("double") * F.lit(1000.0))
+                F.floor(
+                    F.get(emb, i % 64).cast("double")
+                    * (F.lit(1000.0) + F.lit(97.0) * r)
+                )
                 * (1 + _image_idiv(i, 64))
-                + i * phase
+                + i * 31
             ) % 65536 + 65536
         ) % 65536 - 32768
         return (
@@ -55,8 +63,8 @@ def build_hashed(spark, sf_dir: str, rep: int):
         ).cast("int")
 
     emb = fan_out(_t(spark, sf_dir, "embeddings"))
-    # replica r gets phase 31 + 2*r (odd keeps the ramp aperiodic mod
-    # 65536) -> distinct spectra -> distinct fingerprints per replica
+    # replica r gets its own amplitude scale -> distinct spectra ->
+    # decorrelated fingerprints per replica (see sample())
     tracks = (
         emb.select(
             "vec_id",
@@ -75,9 +83,7 @@ def build_hashed(spark, sf_dir: str, rep: int):
             ),
             F.transform(
                 F.sequence(F.lit(0), F.lit(1023)),
-                lambda i: sample(
-                    F.col("embedding"), i, F.col("v"), 31 + 2 * F.col("r")
-                ),
+                lambda i: sample(F.col("embedding"), i, F.col("v"), F.col("r")),
             ).alias("s"),
         )
     )
