@@ -4,6 +4,8 @@ signal's coverage policy. These tests pin the three tiers (modified
 since last green row → never checked → oldest checked) and that the
 content hash actually reacts to code changes."""
 
+import pytest
+
 from shuttlestandalonedbcreator_spark import gate
 from shuttlestandalonedbcreator_spark.queries import CATALOG, QueryDef
 
@@ -123,3 +125,33 @@ def test_bench_headline_covers_full_catalog():
     assert set(bench.HEADLINE) == set(CATALOG)
     fam_members = [q for fam in bench.FAMILIES.values() for q in fam]
     assert sorted(fam_members) == sorted(bench.HEADLINE)
+
+
+@pytest.mark.xfail(
+    reason="known gate.py blind spot, fix scheduled with the r8 "
+    "gate_state regeneration: _local_import_parts' regex captures "
+    "'from pkg.streaming import multimodal' as module 'pkg.streaming' "
+    "(the package __init__), not 'pkg.streaming.multimodal', so edits "
+    "to the leaf module do not re-prioritize the entry. Fixing it "
+    "changes entry hashes wholesale — do it right after folding a "
+    "round's CORRECTNESS file and replay-regenerate the state.",
+    strict=False,
+)
+def test_local_from_import_captures_leaf_module():
+    import importlib
+
+    src = (
+        "def f():\n"
+        "    from shuttlestandalonedbcreator_spark.streaming import "
+        "multimodal\n"
+    )
+    parts = gate._local_import_parts(src)
+    leaf = gate._module_hash(
+        importlib.import_module(
+            "shuttlestandalonedbcreator_spark.streaming.multimodal"
+        )
+    )
+    assert leaf in parts, (
+        "leaf module file hash missing from the captured parts — the "
+        "regex stopped at the package"
+    )
