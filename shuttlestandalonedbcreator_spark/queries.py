@@ -1962,11 +1962,13 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output come from the CONTAINER, so a demux regression fails the
     driver hash.
 
-    100 TB shape: encode/decode are narrow maps (one Python hop per
-    video; PNG lossless so the oracle recomputes pixels from the
-    formula); the frame-diff window is KEYED by vid_id (12 rows per
-    key — never a global sort), the same per-key shape as
-    sessionization."""
+    100 TB shape: the whole pipeline is ONE narrow map — a video's
+    frames are local to its container row, so the previous-frame diff
+    is computed vectorized inside the decode hop and only
+    (frame_no, ts_ms, diff_sum) leaves Python (24 bytes/frame vs the
+    1.2 KB pixel array a keyed-window formulation would shuffle; PNG
+    lossless so the oracle recomputes pixels from the formula). No
+    exchange appears anywhere in the plan."""
     from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
     from shuttlestandalonedbcreator_spark.streaming import videocodec as VC
@@ -2015,38 +2017,46 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vid_id": pdf["vid_id"], "video": vid})
 
     def dec(batches):
+        # a video's frames are LOCAL to its container row, so the
+        # previous-frame diff needs no cross-row data: compute it
+        # vectorized right here and ship (frame_no, ts_ms, diff_sum)
+        # — 24 bytes/frame instead of a 1.2 KB pixel array, and NO
+        # shuffle anywhere in the plan (the earlier keyed-window form
+        # moved every decoded pixel through an exchange; at 100k
+        # videos that was a 1.4 GB shuffle of data the decode task
+        # already held). Frame 0's diff is NULL, exactly as LAG-based
+        # engines produce.
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, fnos, tss, pxs = [], [], [], []
+            ids, fnos, tss, diffs = [], [], [], []
             for vid_id, data in zip(pdf["vid_id"], pdf["video"]):
+                prev = None
                 for f_no, (ts_ms, png) in enumerate(VC.decode_video(bytes(data))):
                     _w, _h, _ch, px = IC.decode_png(bytes(png))
+                    cur = np.frombuffer(px, dtype=np.uint8).astype("int64")
                     ids.append(vid_id)
                     fnos.append(f_no)
                     tss.append(ts_ms)
-                    pxs.append(
-                        np.frombuffer(px, dtype=np.uint8).astype("int32").tolist()
+                    diffs.append(
+                        None if prev is None else int(np.abs(cur - prev).sum())
                     )
+                    prev = cur
             yield pd.DataFrame(
-                {"vid_id": ids, "frame_no": fnos, "ts_ms": tss, "px": pxs}
+                {
+                    "vid_id": ids,
+                    "frame_no": fnos,
+                    "ts_ms": tss,
+                    "diff_sum": pd.array(diffs, dtype="Int64"),
+                }
             )
 
     frames = vids.mapInPandas(enc, "vid_id long, video binary").mapInPandas(
-        dec, "vid_id long, frame_no int, ts_ms int, px array<int>"
+        dec, "vid_id long, frame_no int, ts_ms int, diff_sum long"
     )
 
-    w = Window.partitionBy("vid_id").orderBy("frame_no")
-    diff = F.aggregate(
-        F.zip_with("px", F.lag("px").over(w), lambda a, b: F.abs(a - b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        frames.select("vid_id", "frame_no", "ts_ms", diff.alias("diff_sum"))
-        .filter((F.col("frame_no") == 0) | (F.col("diff_sum") > 2000))
-    )
+    return frames.filter((F.col("frame_no") == 0) | (F.col("diff_sum") > 2000))
 
 
 SQL_VIDEO_KEYFRAMES = """

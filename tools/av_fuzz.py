@@ -229,7 +229,6 @@ WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= {ham}
 def video_case(spark, con, sf_dir, rng):
     """One random video-keyframe parameterization, both engines."""
     from pyspark.sql import functions as F
-    from pyspark.sql import Window
 
     from shuttlestandalonedbcreator_spark.queries import _image_idiv, _image_px, _t
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
@@ -282,33 +281,38 @@ def video_case(spark, con, sf_dir, rng):
             yield pd.DataFrame({"vid_id": pdf["vid_id"], "video": vid})
 
     def dec(batches):
+        # mirror the entry: previous-frame diff computed vectorized
+        # inside the decode hop (frames are local to the container row)
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, fnos, tss, pxs = [], [], [], []
+            ids, fnos, tss, diffs = [], [], [], []
             for vid_id, data in zip(pdf["vid_id"], pdf["video"]):
+                prev = None
                 for f_no, (ts_ms, png) in enumerate(VC.decode_video(bytes(data))):
                     got_w, got_h, _ch, px = IC.decode_png(bytes(png))
                     assert (got_w, got_h) == (w, h)
+                    cur = np.frombuffer(px, dtype=np.uint8).astype("int64")
                     ids.append(vid_id)
                     fnos.append(f_no)
                     tss.append(ts_ms)
-                    pxs.append(np.frombuffer(px, dtype=np.uint8).astype("int32").tolist())
-            yield pd.DataFrame({"vid_id": ids, "frame_no": fnos, "ts_ms": tss, "px": pxs})
+                    diffs.append(
+                        None if prev is None else int(np.abs(cur - prev).sum())
+                    )
+                    prev = cur
+            yield pd.DataFrame({
+                "vid_id": ids, "frame_no": fnos, "ts_ms": tss,
+                "diff_sum": pd.array(diffs, dtype="Int64"),
+            })
 
     frames = vids.mapInPandas(enc, "vid_id long, video binary").mapInPandas(
-        dec, "vid_id long, frame_no int, ts_ms int, px array<int>"
-    )
-    win = Window.partitionBy("vid_id").orderBy("frame_no")
-    diff = F.aggregate(
-        F.zip_with("px", F.lag("px").over(win), lambda a, b: F.abs(a - b).cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
+        dec, "vid_id long, frame_no int, ts_ms int, diff_sum long"
     )
     got = sorted(
         (r["vid_id"], r["frame_no"], r["ts_ms"],
          r["diff_sum"] if r["diff_sum"] is not None else -1)
-        for r in frames.select("vid_id", "frame_no", "ts_ms", diff.alias("diff_sum"))
+        for r in frames
         .filter((F.col("frame_no") == 0) | (F.col("diff_sum") > thr))
         .collect()
     )

@@ -215,18 +215,134 @@ def run_rep(spark, sf_dir: str, rep: int) -> dict:
     return row
 
 
+def run_video_rep(spark, sf_dir: str, rep: int) -> dict:
+    """The video_keyframes pipeline at REP replicas per embedding: 12
+    gray 12x12 frames per video, every frame PNG-encoded into a REAL
+    SSVF container and decoded back (the heaviest codec path — one
+    deflate per frame), then the keyed frame-diff keyframe filter.
+    Replicas decorrelate via a per-replica pixel offset (keyframe
+    COUNT is scale-invariant; the measurement target is codec
+    throughput, frames/s)."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+    from shuttlestandalonedbcreator_spark.queries import (
+        _image_idiv,
+        _image_px,
+        _t,
+    )
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+    from shuttlestandalonedbcreator_spark.streaming import videocodec as VC
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    vids = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"),
+    ).select(
+        (F.col("vec_id") * rep + F.col("r")).alias("vid_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda f: F.transform(
+                F.sequence(F.lit(0), F.lit(143)),
+                lambda i: F.least(
+                    F.lit(255),
+                    _image_px(
+                        F.col("embedding"),
+                        i * (3 + _image_idiv(f, 4)) + F.col("r"),
+                    )
+                    + (f % 4) * 3,
+                ).cast("int"),
+            ),
+        ).alias("frames"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+    register_pickle_by_value(_sys.modules[VC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vid = [
+                VC.encode_video(
+                    [
+                        (f_no * 40,
+                         IC.encode_png(12, 12, 1,
+                                       np.asarray(fr, dtype=np.uint8)
+                                       .tobytes()))
+                        for f_no, fr in enumerate(frames)
+                    ]
+                )
+                for frames in pdf["frames"]
+            ]
+            yield pd.DataFrame({"vid_id": pdf["vid_id"], "video": vid})
+
+    def dec(batches):
+        # fused shape (mirrors the entry): previous-frame diff inside
+        # the decode hop — no pixel shuffle anywhere in the plan
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fnos, diffs = [], [], []
+            for vid_id, data in zip(pdf["vid_id"], pdf["video"]):
+                prev = None
+                for f_no, (_ts, png) in enumerate(VC.decode_video(bytes(data))):
+                    _w, _h, _c, px = IC.decode_png(bytes(png))
+                    cur = np.frombuffer(px, dtype=np.uint8).astype("int64")
+                    ids.append(vid_id)
+                    fnos.append(f_no)
+                    diffs.append(
+                        None if prev is None else int(np.abs(cur - prev).sum())
+                    )
+                    prev = cur
+            yield pd.DataFrame({
+                "vid_id": ids, "frame_no": fnos,
+                "d": pd.array(diffs, dtype="Int64"),
+            })
+
+    frames = vids.mapInPandas(enc, "vid_id long, video binary").mapInPandas(
+        dec, "vid_id long, frame_no int, d long"
+    )
+    t0 = time.time()
+    n_key = (
+        frames.filter((F.col("frame_no") == 0) | (F.col("d") > 2000))
+        .count()
+    )
+    wall = time.time() - t0
+    n_vids = rep * _t(spark, sf_dir, "embeddings").count()
+    return {
+        "mode": "video",
+        "rep": rep,
+        "videos": n_vids,
+        "frames": n_vids * 12,
+        "wall_sec": round(wall, 2),
+        "frames_per_sec": round(n_vids * 12 / wall, 1),
+        "keyframes": n_key,
+    }
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    args = [a for a in sys.argv[1:] if a != "--video"]
+    video = "--video" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    reps = [int(a) for a in args[1:]] or [1, 10, 50]
 
     from shuttlestandalonedbcreator_spark.session import get_spark
 
     spark = get_spark(app_name="av_scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    run = run_video_rep if video else run_rep
     # warm the python workers + codegen once so rep timings compare
-    run_rep(spark, sf_dir, 1)
+    run(spark, sf_dir, 1)
     for rep in reps:
-        print(json.dumps(run_rep(spark, sf_dir, rep)))
+        print(json.dumps(run(spark, sf_dir, rep)))
     return 0
 
 
