@@ -82,19 +82,48 @@ def _dep_parts(fn) -> list[str]:
 def _local_import_parts(source: str) -> list[str]:
     """Function-LOCAL imports bind locals, not globals, so they are
     invisible to ``_dep_parts`` — catch them textually and hash the
-    referenced package module files."""
+    referenced package module files.
+
+    ``from pkg.sub import name`` must resolve each imported *name*: if
+    ``pkg.sub.name`` is itself a module, hash that leaf module's file,
+    not the package ``__init__`` (the r7 blind spot — edits to a leaf
+    module imported this way did not re-prioritize dependent entries)."""
     import importlib
     import re
 
-    parts: dict[str, str] = {}
-    for mod_name in re.findall(
-        rf"(?:from|import)\s+({re.escape(_PKG)}(?:\.\w+)+)", source
-    ):
+    def _load(mod_name: str):
         try:
-            mod = sys.modules.get(mod_name) or importlib.import_module(mod_name)
+            return sys.modules.get(mod_name) or importlib.import_module(mod_name)
         except ImportError:
-            continue
-        parts.setdefault("m:" + mod_name, _module_hash(mod))
+            return None
+
+    parts: dict[str, str] = {}
+
+    def _add(mod) -> None:
+        if mod is not None:
+            parts.setdefault("m:" + mod.__name__, _module_hash(mod))
+
+    pkg = re.escape(_PKG)
+    for base, names in re.findall(
+        rf"from\s+({pkg}(?:\.\w+)*)\s+import\s+(\([^)]*\)|[^\n]+)", source
+    ):
+        base_mod = _load(base)
+        _add(base_mod)
+        for clause in names.strip("()").split(","):
+            name = clause.split()[0] if clause.split() else ""
+            if not name:
+                continue
+            sub = getattr(base_mod, name, None)
+            if not isinstance(sub, types.ModuleType):
+                # not an attribute of an already-imported package: only
+                # an actual import attempt can tell module from function
+                sub = _load(base + "." + name)
+            if isinstance(sub, types.ModuleType):
+                _add(sub)
+    # ``import pkg.sub.mod`` — a dotted target after ``import`` can only
+    # be a plain-import statement (``from X import Y`` targets are bare).
+    for mod_name in re.findall(rf"import\s+({pkg}(?:\.\w+)+)", source):
+        _add(_load(mod_name))
     return [parts[k] for k in sorted(parts)]
 
 

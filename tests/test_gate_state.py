@@ -127,17 +127,10 @@ def test_bench_headline_covers_full_catalog():
     assert sorted(fam_members) == sorted(bench.HEADLINE)
 
 
-@pytest.mark.xfail(
-    reason="known gate.py blind spot, fix scheduled with the r8 "
-    "gate_state regeneration: _local_import_parts' regex captures "
-    "'from pkg.streaming import multimodal' as module 'pkg.streaming' "
-    "(the package __init__), not 'pkg.streaming.multimodal', so edits "
-    "to the leaf module do not re-prioritize the entry. Fixing it "
-    "changes entry hashes wholesale — do it right after folding a "
-    "round's CORRECTNESS file and replay-regenerate the state.",
-    strict=False,
-)
 def test_local_from_import_captures_leaf_module():
+    """r8 fix of the r7 blind spot: 'from pkg.streaming import
+    multimodal' must hash the LEAF module file, not just the package
+    __init__, so leaf-module edits re-prioritize dependent entries."""
     import importlib
 
     src = (
