@@ -155,7 +155,15 @@ def _stitch(d: DataFrame, blk: str, local_col: str, bulk_agg: Column,
     degeneration signal for free (``context``/``on_skew``) — observing
     skew costs zero extra jobs. Multi-spec callers pass ``sizes_rows``
     (rows keyed ``_b``/``_bulk``/``_cnt``, pre-collected for ALL specs
-    in one job) so K specs cost one job, not K."""
+    in one job) so K specs cost one job, not K.
+
+    Overflow contract: the driver-side cumulative offsets are exact
+    Python integers, so a running sum whose prefix exceeds int64 range
+    raises LOUDLY in ``createDataFrame`` (the ``_off long`` schema
+    rejects the out-of-range value) instead of wrapping silently — the
+    same inputs would overflow Spark's own ``SUM(long)`` global window
+    too; this decomposition surfaces it at the stitch rather than
+    producing a wrapped result."""
     if sizes_rows is None:
         aggs = [bulk_agg.alias("_bulk"), F.count(F.lit(1)).alias("_cnt")]
         if nonnull_count_agg is not None:

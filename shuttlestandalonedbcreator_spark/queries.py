@@ -1793,6 +1793,12 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = np.frombuffer(pcm, dtype="<i2")[: n_frames * ch].astype(
                     "int64"
                 )
+                if len(s) % 8:  # codec regression must fail descriptively,
+                    raise ValueError(  # not as a bare reshape crash
+                        f"decoded WAV sample count {len(s)} not a multiple "
+                        "of the 8-sample band width — audiocodec framing "
+                        "regression"
+                    )
                 out.append((s * s).reshape(-1, 8).sum(axis=1))
             yield pd.DataFrame({"track_id": pdf["track_id"], "e": out})
 
@@ -1968,7 +1974,10 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frame_no, ts_ms, diff_sum) leaves Python (24 bytes/frame vs the
     1.2 KB pixel array a keyed-window formulation would shuffle; PNG
     lossless so the oracle recomputes pixels from the formula). No
-    exchange appears anywhere in the plan."""
+    exchange of DECODED payloads appears in the plan — the only shuffle
+    is fan_out's round-robin of the raw vec_id+embedding input rows,
+    planned BEFORE the codec hops (same shape as audio_fingerprint;
+    test_av_codec_pipelines_fan_out pins it)."""
     from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
     from shuttlestandalonedbcreator_spark.streaming import videocodec as VC
@@ -2116,7 +2125,8 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed deterministic core of the approximate-aggregation
-    surface (the rows-only `approx_aggregates` keeps the raw estimates):
+    surface (`approx_aggregates` — itself hash-green since the round-7
+    HLL++-only reformulation — keeps the raw estimates):
     per group this emits the EXACT distinct counts (hash-checked against
     DuckDB) plus three contract booleans the oracle pins to TRUE —
 

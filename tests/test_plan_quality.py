@@ -748,6 +748,11 @@ def test_av_codec_pipelines_fan_out(spark, sf_small):
     hops or the whole synth+codec+fingerprint pipeline serializes onto
     one core (regression: round 7 shipped audio_fingerprint without the
     fan_out — 9.6 s of its bench time was a single task)."""
+    if spark.sparkContext.defaultParallelism < 2:
+        pytest.skip(
+            "fan_out is a no-op on a single-core master — no "
+            "RoundRobinPartitioning is planned and 1 partition is correct"
+        )
     # video: no checkpoint, so the executed plan shows the full lineage
     plan = plan_of(spark, sf_small, "video_keyframes")
     assert "MapInPandas" in plan
