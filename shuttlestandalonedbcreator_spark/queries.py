@@ -1377,19 +1377,25 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only those at the 255 clamp boundary), encode each to a REAL PNG and
     decode it back with the stdlib codec (streaming/imagecodec.py) inside
     Arrow-batched mapInPandas stages, nearest-neighbor resize to the 9x8
-    dHash grid, pack the 64 comparison bits into two 32-bit halves, then
-    band into 4x16-bit keys: candidate pairs meet ONLY inside a band
-    bucket (keyed shuffle — output-bounded, never all-pairs) and verify
-    with the exact Hamming distance.
+    dHash grid, pack the 64 comparison bits into two 32-bit halves (the
+    resize + bit-pack fused INSIDE the decode hop, r7 video lesson —
+    only 16 bytes/image leave Python, not the 72-int grid), then band
+    into 4x16-bit keys: candidate pairs meet ONLY inside a band bucket
+    (keyed shuffle — output-bounded, never all-pairs) and verify with
+    the exact Hamming distance.
 
     100 TB shape: the hash pass is a narrow map (one Python hop per
     image, PNG lossless so the oracle recomputes pixels from the
     formula); the banded self-join is keyed on (band, value) exactly
     like minhash_lsh_candidates; the tiny hash table broadcast-joins
     back for verification."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # same single-split fan_out as audio/video: the toy parquet arrives
+    # as ONE split, which would serialize the PNG codec hops onto one
+    # core — round-robin the raw vec_id+embedding rows first
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     # two variants per vector in ONE projection (a union of two
     # transform()-projections of the same frame trips a Catalyst
     # constraint-rewrite NoSuchElementException under localCheckpoint)
@@ -1426,44 +1432,34 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
 
     def dec(batches):
+        # the video-fuse lesson (r7) applied: fold the 64 dHash
+        # comparison bits into (hi, lo) right here, vectorized over the
+        # 9x8 grid — pure-integer ops, so bit-identical to the previous
+        # JVM-side HOF fold, and only 16 bytes/image cross Arrow instead
+        # of the 72-int resized grid
         import numpy as np
         import pandas as pd
 
+        w32 = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
-            out = []
+            his, los = [], []
             for data in pdf["png"]:
                 w, h, ch, px = IC.decode_png(bytes(data))
                 small = IC.resize_nearest(w, h, ch, px, 9, 8)
-                out.append(
-                    np.frombuffer(small, dtype=np.uint8).astype("int32").tolist()
-                )
-            yield pd.DataFrame({"img_id": pdf["img_id"], "px9": out})
-
-    px9 = imgs.mapInPandas(enc, "img_id long, png binary").mapInPandas(
-        dec, "img_id long, px9 array<int>"
-    )
-
-    # dHash: bit(r,c) = px9[r*9+c] > px9[r*9+c+1]; MSB-first fold
-    # (acc*2 + bit) packs bit p-offset without shift expressions
-    def half(offset):
-        def idx(p):
-            return (_image_idiv(p, 8) * 9 + p % 8).cast("int")
-
-        return F.aggregate(
-            F.sequence(F.lit(offset + 31), F.lit(offset), F.lit(-1)),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc * 2
-            + F.when(
-                F.get(F.col("px9"), idx(p)) > F.get(F.col("px9"), idx(p) + 1),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
+                g = np.frombuffer(small, dtype=np.uint8).reshape(8, 9)
+                # bit p (row p//8, col p%8): grid[r,c] > grid[r,c+1]
+                bits = (g[:, :8] > g[:, 1:]).reshape(-1).astype(np.int64)
+                his.append(int(bits[:32] @ w32))
+                los.append(int(bits[32:] @ w32))
+            yield pd.DataFrame({"img_id": pdf["img_id"], "hi": his, "lo": los})
 
     # checkpoint: bands, and both verify sides read ONE materialization
     # of the hash table instead of re-running the codec pipeline
-    hashed = px9.select(
-        "img_id", half(0).alias("hi"), half(32).alias("lo")
-    ).localCheckpoint(eager=True)
+    hashed = (
+        imgs.mapInPandas(enc, "img_id long, png binary")
+        .mapInPandas(dec, "img_id long, hi long, lo long")
+        .localCheckpoint(eager=True)
+    )
     bands = hashed.select(
         "img_id",
         F.explode(
@@ -1576,11 +1572,20 @@ def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded to PNG and decoded back by the stdlib codec
     (streaming/imagecodec.py) in Arrow-batched mapInPandas — width and
     height in the output come from the PNG HEADER, so a codec dimension
-    regression fails the driver hash. One keyed histogram shuffle; the
-    oracle recomputes everything from the pixel formula (PNG lossless)."""
+    regression fails the driver hash. The histogram is fused into the
+    decode hop (np.bincount, exact ints — r7 video lesson), so no
+    exchange of pixels or histogram rows remains — the only shuffle is
+    fan_out's round-robin of the raw input rows, planned BEFORE the
+    codec hops; the log-bearing entropy term is still evaluated
+    JVM-side over the 256-bin counts array so Java Math.log keeps the
+    per-term floor bit-identical to the oracle, which recomputes
+    everything from the pixel formula (PNG lossless)."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # fan_out: parallelize the codec hops off the single toy-parquet
+    # split (the only exchange in the plan — raw input rows, no pixels)
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
     w_e = (F.lit(8) + F.col("vec_id") % 24).cast("int")
     h_e = (F.lit(8) + (F.col("vec_id") * 7) % 24).cast("int")
     imgs = emb.select(
@@ -1612,39 +1617,49 @@ def q_image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
 
     def dec(batches):
+        # r7 video-fuse lesson: the per-image gray-level HISTOGRAM is
+        # computed right here (np.bincount — exact integer counts), so
+        # the explode + two keyed hash-aggregate shuffles disappear from
+        # the plan entirely; the log-bearing entropy term stays JVM-side
+        # (HOF over the 256-bin counts) so the double arithmetic keeps
+        # using Java Math.log, bit-identical to the pre-fuse form
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ws, hs, pxs = [], [], []
+            ws, hs, cnts = [], [], []
             for data in pdf["png"]:
                 w, h, ch, px = IC.decode_png(bytes(data))
                 ws.append(w)
                 hs.append(h)
-                pxs.append(
-                    np.frombuffer(px, dtype=np.uint8).astype("int32").tolist()
+                cnts.append(
+                    np.bincount(
+                        np.frombuffer(px, dtype=np.uint8), minlength=256
+                    ).astype("int64").tolist()
                 )
             yield pd.DataFrame(
-                {"img_id": pdf["img_id"], "width": ws, "height": hs, "px": pxs}
+                {"img_id": pdf["img_id"], "width": ws, "height": hs,
+                 "counts": cnts}
             )
 
     decoded = imgs.mapInPandas(enc, "img_id long, png binary").mapInPandas(
-        dec, "img_id long, width int, height int, px array<int>"
-    )
-    hist = (
-        decoded.select("img_id", "width", "height", F.explode("px").alias("val"))
-        .groupBy("img_id", "width", "height", "val")
-        .agg(F.count(F.lit(1)).alias("c"))
+        dec, "img_id long, width int, height int, counts array<long>"
     )
     n = (F.col("width") * F.col("height")).cast("double")
-    term = F.floor(
-        F.lit(-1000000.0) * F.col("c").cast("double")
-        * F.log(F.col("c").cast("double") / n) / n
+    occupied = F.filter("counts", lambda c: c > 0)
+    term = lambda c: F.floor(  # noqa: E731 — mirrors the SQL term shape
+        F.lit(-1000000.0) * c.cast("double")
+        * F.log(c.cast("double") / n) / n
     ).cast("long")
-    stats = hist.groupBy("img_id", "width", "height").agg(
-        F.count(F.lit(1)).cast("int").alias("n_levels"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("simpson_px"),
-        F.sum(term).cast("long").alias("entropy_mnat"),
+    stats = decoded.select(
+        "img_id", "width", "height",
+        F.size(occupied).cast("int").alias("n_levels"),
+        F.aggregate(
+            "counts", F.lit(0).cast("long"), lambda acc, c: acc + c * c
+        ).alias("simpson_px"),
+        F.aggregate(
+            occupied, F.lit(0).cast("long"), lambda acc, c: acc + term(c)
+        ).alias("entropy_mnat"),
     )
     return stats.select(
         "img_id", "width", "height", "n_levels", "simpson_px", "entropy_mnat",

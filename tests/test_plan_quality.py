@@ -753,10 +753,13 @@ def test_av_codec_pipelines_fan_out(spark, sf_small):
             "fan_out is a no-op on a single-core master — no "
             "RoundRobinPartitioning is planned and 1 partition is correct"
         )
-    # video: no checkpoint, so the executed plan shows the full lineage
-    plan = plan_of(spark, sf_small, "video_keyframes")
-    assert "MapInPandas" in plan
-    assert "RoundRobinPartitioning" in plan
+    # video + image quality gate: no checkpoint, so the executed plan
+    # shows the full lineage (image entries gained the same fan_out in
+    # r8 alongside their decode-hop fuses)
+    for name in ("video_keyframes", "image_quality_gate"):
+        plan = plan_of(spark, sf_small, name)
+        assert "MapInPandas" in plan, name
+        assert "RoundRobinPartitioning" in plan, name
     # audio: the eager localCheckpoint hides the codec lineage from the
     # final plan — assert on the checkpointed RDD's partition count
     sc = spark.sparkContext
