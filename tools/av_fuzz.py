@@ -1,13 +1,17 @@
-"""Differential fuzz for the audio/video multimodal pipelines
-(queries.py: audio_fingerprint / video_keyframes): seeded random
-PARAMETERIZATIONS of the same constructions — sample counts, gain/phase
-mixes, perturbations, Hamming thresholds, frame counts, scene lengths,
-drift sizes, frame dims — run through the REAL codec round-trip
-(WAV / SSVF+PNG inside Arrow-batched mapInPandas) on the Spark side and
-recomputed from the pixel/sample formula by DuckDB. The catalog entries
-pin ONE parameter point each; this tool attacks the family (the SQL
-fuzz grammar cannot reach a Python-side codec pipeline, same rationale
-as tools/scalewin_fuzz.py).
+"""Differential fuzz for the multimodal codec pipelines
+(queries.py: audio_fingerprint / video_keyframes / image_dhash_neardup
+/ image_quality_gate): seeded random PARAMETERIZATIONS of the same
+constructions — sample counts, gain/phase mixes, perturbations, Hamming
+thresholds, frame counts, scene lengths, drift sizes, frame/image dims,
+dHash grids, histogram size formulas — run through the REAL codec
+round-trip (WAV / SSVF+PNG inside Arrow-batched mapInPandas, with the
+r7/r8 fused decode-hop shapes: numpy band energies, frame diffs, dHash
+folds, bincount histograms) on the Spark side and recomputed from the
+pixel/sample formula by DuckDB. The catalog entries pin ONE parameter
+point each; this tool attacks the family (the SQL fuzz grammar cannot
+reach a Python-side codec pipeline, same rationale as
+tools/scalewin_fuzz.py). Seed→case mapping changed in r8 (4-way
+rng.choice) — historical seed numbers are not comparable across rounds.
 
 Usage: python tools/av_fuzz.py [sf_dir] [n_seeds] [seed_base]
 
@@ -345,6 +349,267 @@ WHERE f = 0 OR diff_sum > {thr}
     return got, exp, label
 
 
+def image_case(spark, con, sf_dir, rng):
+    """One random image-dHash parameterization — the r8 fused shape:
+    resize + bit-pack + band folds all inside the decode hop (numpy,
+    pure-integer), banded self-join + exact Hamming verify JVM-side,
+    DuckDB recomputing everything from the pixel formula."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.queries import _image_px, _t
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+
+    w, h = rng.choice([(16, 16), (12, 8), (9, 13), (24, 6)])
+    gw, gh = rng.choice([(9, 8), (5, 8), (9, 4), (4, 6)])
+    bits = (gw - 1) * gh
+    split = bits // 2 or 1
+    pert = rng.choice([3, 10, 40])
+    ham = rng.choice([1, 3, 8])
+
+    emb = _t(spark, sf_dir, "embeddings")
+    imgs = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    ).select(
+        (F.col("vec_id") * 2 + F.col("v")).alias("img_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(w * h - 1)),
+            lambda i: F.when(
+                F.col("v") == 1,
+                F.least(F.lit(255), _image_px(F.col("embedding"), i) + pert),
+            ).otherwise(_image_px(F.col("embedding"), i)).cast("int"),
+        ).alias("px"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            png = [IC.encode_png(w, h, 1, np.asarray(px, dtype=np.uint8).tobytes())
+                   for px in pdf["px"]]
+            yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
+
+    def dec(batches):
+        # mirror the fused entry: resize + dHash fold + band folds in
+        # the hop, only small ints leave Python
+        import numpy as np
+        import pandas as pd
+
+        wts = 1 << np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            out = {"img_id": pdf["img_id"], "hi": [], "lo": []}
+            bvs = [[] for _ in range(4)]
+            for data in pdf["png"]:
+                got_w, got_h, ch, px = IC.decode_png(bytes(data))
+                assert (got_w, got_h) == (w, h)
+                small = IC.resize_nearest(got_w, got_h, ch, px, gw, gh)
+                g = np.frombuffer(small, dtype=np.uint8).reshape(gh, gw)
+                b = (g[:, : gw - 1] > g[:, 1:]).reshape(-1).astype(np.int64)
+                out["hi"].append(int(b[:split] @ wts[:split]))
+                out["lo"].append(int(b[split:] @ wts[: bits - split]))
+                for k in range(4):
+                    sel = b[k::4]
+                    bvs[k].append(int(sel @ wts[: len(sel)]))
+            for k in range(4):
+                out[f"b{k}"] = bvs[k]
+            yield pd.DataFrame(out)
+
+    hashed = (
+        imgs.mapInPandas(enc, "img_id long, png binary")
+        .mapInPandas(
+            dec,
+            "img_id long, hi long, lo long, b0 long, b1 long, b2 long, b3 long",
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = hashed.select(
+        "img_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"), F.col(f"b{k}").alias("bv"))
+            for k in range(4)
+        ])).alias("b"),
+    ).select("img_id", "b.band", "b.bv")
+    cand = (
+        bands.alias("a").join(bands.alias("c"), ["band", "bv"])
+        .filter(F.col("a.img_id") < F.col("c.img_id"))
+        .select(F.col("a.img_id").alias("id_a"), F.col("c.img_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(F.col("img_id").alias("id_a"), F.col("hi").alias("hi_a"),
+                       F.col("lo").alias("lo_a"))
+    hb = hashed.select(F.col("img_id").alias("id_b"), F.col("hi").alias("hi_b"),
+                       F.col("lo").alias("lo_b"))
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in cand.join(ha, "id_a").join(hb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+             + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= ham)
+        .collect()
+    )
+
+    def bit_sql(p):
+        r, c = p // (gw - 1), p % (gw - 1)
+        src = lambda cc: f"p[{(r * h // gh) * w} + ({cc} * {w}) // {gw} + 1]"  # noqa: E731
+        return f"{src(c)} > {src(c + 1)}"
+
+    def fold_sql(ps):
+        terms = " + ".join(
+            f"CASE WHEN {bit_sql(p)} THEN CAST(1 AS BIGINT) << {j} ELSE 0 END"
+            for j, p in enumerate(ps)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    band_cols = ",\n".join(
+        f"{fold_sql(list(range(k, bits, 4)))} AS b{k}" for k in range(4)
+    )
+    sql = f"""
+WITH imgs AS (
+  SELECT vec_id * 2 + v AS img_id,
+         [CAST(CASE WHEN v = 1
+               THEN LEAST(255, ((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256 + 256) % 256) + {pert})
+               ELSE ((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256 + 256) % 256)
+               END AS INT)
+          for i in range(0, {w * h})] AS p
+  FROM embeddings, (SELECT UNNEST([0, 1]) AS v)
+),
+hashed AS (
+  SELECT img_id,
+         {fold_sql(list(range(0, split)))} AS hi,
+         {fold_sql(list(range(split, bits)))} AS lo,
+         {band_cols}
+  FROM imgs
+),
+bands AS (
+  SELECT img_id, u.band,
+         CASE u.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM hashed, (SELECT UNNEST(range(0, 4)) AS band) u
+),
+cand AS (
+  SELECT DISTINCT a.img_id AS id_a, c.img_id AS id_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv
+  WHERE a.img_id < c.img_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+FROM cand
+JOIN hashed ha ON ha.img_id = cand.id_a
+JOIN hashed hb ON hb.img_id = cand.id_b
+WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= {ham}
+"""
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    label = f"image {w}x{h}->{gw}x{gh} bits={bits} pert={pert} ham={ham}"
+    return got, exp, label
+
+
+def hist_case(spark, con, sf_dir, rng):
+    """One random image-histogram parameterization — the r8 fused
+    quality-gate shape: np.bincount inside the decode hop, exact-integer
+    stats (n_levels, simpson) folded JVM-side from the counts array.
+    The log-bearing entropy term is deliberately NOT fuzzed: it adds
+    only libm-boundary risk, no codec coverage — n_levels/simpson are
+    determined by the same histogram."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.queries import _image_px, _t
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+
+    wm = rng.choice([8, 17, 24])
+    hm = rng.choice([8, 13, 24])
+    km = rng.choice([3, 7, 11])
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w_e = (F.lit(8) + F.col("vec_id") % wm).cast("int")
+    h_e = (F.lit(8) + (F.col("vec_id") * km) % hm).cast("int")
+    imgs = emb.select(
+        F.col("vec_id").alias("img_id"), w_e.alias("w"), h_e.alias("h"),
+        F.transform(
+            F.sequence(F.lit(0), (w_e * h_e - 1).cast("int")),
+            lambda i: _image_px(F.col("embedding"), i),
+        ).alias("px"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            png = [IC.encode_png(int(w), int(h), 1,
+                                 np.asarray(px, dtype=np.uint8).tobytes())
+                   for w, h, px in zip(pdf["w"], pdf["h"], pdf["px"])]
+            yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ws, hs, cnts = [], [], []
+            for data in pdf["png"]:
+                w, h, ch, px = IC.decode_png(bytes(data))
+                ws.append(w)
+                hs.append(h)
+                cnts.append(np.bincount(np.frombuffer(px, dtype=np.uint8),
+                                        minlength=256).astype("int64").tolist())
+            yield pd.DataFrame({"img_id": pdf["img_id"], "width": ws,
+                                "height": hs, "counts": cnts})
+
+    decoded = imgs.mapInPandas(enc, "img_id long, png binary").mapInPandas(
+        dec, "img_id long, width int, height int, counts array<long>"
+    )
+    got = sorted(
+        (r["img_id"], r["width"], r["height"], r["n_levels"], r["simpson"])
+        for r in decoded.select(
+            "img_id", "width", "height",
+            F.size(F.filter("counts", lambda c: c > 0)).cast("int")
+            .alias("n_levels"),
+            F.aggregate("counts", F.lit(0).cast("long"),
+                        lambda acc, c: acc + c * c).alias("simpson"),
+        ).collect()
+    )
+
+    sql = f"""
+WITH imgs AS (
+  SELECT vec_id AS img_id,
+         CAST(8 + vec_id % {wm} AS INT) AS width,
+         CAST(8 + (vec_id * {km}) % {hm} AS INT) AS height,
+         [CAST(((CAST(FLOOR(CAST(embedding[i % 64 + 1] AS DOUBLE) * 1000.0) AS BIGINT) % 256) + 256) % 256 AS INT)
+          for i in range(0, (8 + vec_id % {wm}) * (8 + (vec_id * {km}) % {hm}))] AS px
+  FROM embeddings
+),
+hist AS (
+  SELECT img_id, width, height, u.val, COUNT(*) AS c
+  FROM imgs, UNNEST(px) AS u(val)
+  GROUP BY img_id, width, height, u.val
+)
+SELECT img_id, width, height,
+       CAST(COUNT(*) AS INT) AS n_levels,
+       CAST(SUM(c * c) AS BIGINT) AS simpson
+FROM hist
+GROUP BY img_id, width, height
+"""
+    exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    label = f"hist wm={wm} hm={hm} km={km}"
+    return got, exp, label
+
+
 def main() -> int:
     import duckdb
 
@@ -364,7 +629,7 @@ def main() -> int:
     t0 = time.time()
     for seed in range(base, base + n_seeds):
         rng = random.Random(seed)
-        case = audio_case if rng.random() < 0.5 else video_case
+        case = rng.choice([audio_case, video_case, image_case, hist_case])
         got, exp, label = case(spark, con, sf_dir, rng)
         if got != exp:
             failures += 1
