@@ -328,9 +328,150 @@ def run_video_rep(spark, sf_dir: str, rep: int) -> dict:
     }
 
 
+def run_image_rep(spark, sf_dir: str, rep: int) -> dict:
+    """The image_dhash_neardup pipeline at REP replicas per embedding
+    (2*REP*|embeddings| images): 16x16 gray synth → real PNG encode →
+    decode + resize + 64-bit dHash fold INSIDE the Arrow hop (the r8
+    fused shape — 16 bytes/image leave Python), banded self-join, exact
+    Hamming verify. Replicas decorrelate like the audio tool: a
+    per-replica MULTIPLICATIVE scale on the embedding quantization plus
+    a gain ramp (1 + i//64) and linear phase (i*31) that break the
+    64-element periodicity of the raw pixel formula — a constant
+    brightness offset would shift every pixel equally and leave the
+    comparison bits (hence the fingerprint) unchanged, and the
+    unbroken 64-cycle collapses dHash entropy (4-row repeats survive
+    the 9x8 resample), making candidate mass quadratic in corpus."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+    from shuttlestandalonedbcreator_spark.queries import _image_idiv, _t
+    from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
+
+    def pixel(emb, i, v, r):
+        base = (
+            (
+                F.floor(
+                    F.get(emb, i % 64).cast("double")
+                    * (F.lit(1000.0) + F.lit(97.0) * r)
+                )
+                * (1 + _image_idiv(i, 64))
+                + i * 31
+            ) % 256 + 256
+        ) % 256
+        return (
+            F.when(v == 1, F.least(F.lit(255), base + 3)).otherwise(base)
+        ).cast("int")
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings"))
+    # one generator per select (Spark allows a single explode each)
+    imgs = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("r"),
+    ).select(
+        "vec_id", "embedding", "r",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    ).select(
+        ((F.col("vec_id") * rep + F.col("r")) * 2 + F.col("v")).alias("img_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: pixel(F.col("embedding"), i, F.col("v"), F.col("r")),
+        ).alias("px"),
+    )
+
+    import sys as _sys
+
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    register_pickle_by_value(_sys.modules[IC.__name__])
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            png = [IC.encode_png(16, 16, 1,
+                                 np.asarray(px, dtype=np.uint8).tobytes())
+                   for px in pdf["px"]]
+            yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        w32 = 1 << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            his, los = [], []
+            for data in pdf["png"]:
+                w, h, ch, px = IC.decode_png(bytes(data))
+                small = IC.resize_nearest(w, h, ch, px, 9, 8)
+                g = np.frombuffer(small, dtype=np.uint8).reshape(8, 9)
+                bits = (g[:, :8] > g[:, 1:]).reshape(-1).astype(np.int64)
+                his.append(int(bits[:32] @ w32))
+                los.append(int(bits[32:] @ w32))
+            yield pd.DataFrame({"img_id": pdf["img_id"], "hi": his, "lo": los})
+
+    hashed_plan = imgs.mapInPandas(enc, "img_id long, png binary").mapInPandas(
+        dec, "img_id long, hi long, lo long"
+    )
+    t0 = time.time()
+    hashed = hashed_plan.localCheckpoint(eager=True)
+    n_imgs = hashed.count()
+    fp_sec = time.time() - t0
+
+    bands = hashed.select(
+        "img_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"), (F.col("hi") % 65536).alias("bv")),
+            F.struct(F.lit(1).alias("band"),
+                     (F.col("hi") / 65536).cast("long").alias("bv")),
+            F.struct(F.lit(2).alias("band"), (F.col("lo") % 65536).alias("bv")),
+            F.struct(F.lit(3).alias("band"),
+                     (F.col("lo") / 65536).cast("long").alias("bv")),
+        )).alias("b"),
+    ).select("img_id", "b.band", "b.bv")
+    cand = (
+        bands.alias("a").join(bands.alias("c"), ["band", "bv"])
+        .filter(F.col("a.img_id") < F.col("c.img_id"))
+        .select(F.col("a.img_id").alias("id_a"),
+                F.col("c.img_id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ha = hashed.select(F.col("img_id").alias("id_a"),
+                       F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    hb = hashed.select(F.col("img_id").alias("id_b"),
+                       F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    t1 = time.time()
+    n_cand = cand.count()
+    n_pairs = (
+        cand.join(ha, "id_a").join(hb, "id_b")
+        .filter(
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) <= 6
+        )
+        .count()
+    )
+    join_sec = time.time() - t1
+    row = {
+        "mode": "image",
+        "rep": rep,
+        "images": n_imgs,
+        "fp_sec": round(fp_sec, 2),
+        "fp_images_per_sec": round(n_imgs / fp_sec, 1),
+        "join_sec": round(join_sec, 2),
+        "candidates": n_cand,
+        "pairs": n_pairs,
+        "partitions": hashed.rdd.getNumPartitions(),
+    }
+    hashed.unpersist()
+    cand.unpersist()
+    return row
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--video"]
+    args = [a for a in sys.argv[1:] if a not in ("--video", "--image")]
     video = "--video" in sys.argv[1:]
+    image = "--image" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     reps = [int(a) for a in args[1:]] or [1, 10, 50]
 
@@ -338,7 +479,7 @@ def main() -> int:
 
     spark = get_spark(app_name="av_scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    run = run_video_rep if video else run_rep
+    run = run_video_rep if video else run_image_rep if image else run_rep
     # warm the python workers + codegen once so rep timings compare
     run(spark, sf_dir, 1)
     for rep in reps:
