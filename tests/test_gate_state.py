@@ -148,3 +148,37 @@ def test_local_from_import_captures_leaf_module():
         "leaf module file hash missing from the captured parts — the "
         "regex stopped at the package"
     )
+
+
+def test_local_import_other_forms_capture_leaf_modules():
+    """The remaining local-import shapes: aliased from-import,
+    multi-name from-import (incl. a function name mixed in),
+    parenthesized from-import, and plain dotted import."""
+    import importlib
+
+    pkg = "shuttlestandalonedbcreator_spark"
+    leaf = gate._module_hash(
+        importlib.import_module(f"{pkg}.streaming.multimodal")
+    )
+    codec = gate._module_hash(
+        importlib.import_module(f"{pkg}.streaming.imagecodec")
+    )
+    cases = {
+        "aliased": f"def f():\n    from {pkg}.streaming import "
+                   "multimodal as mm\n",
+        "multi": f"def f():\n    from {pkg}.streaming import "
+                 "imagecodec, multimodal\n",
+        "parens": f"def f():\n    from {pkg}.streaming import (\n"
+                  "        imagecodec,\n        multimodal,\n    )\n",
+        "plain": f"def f():\n    import {pkg}.streaming.multimodal\n",
+    }
+    for form, src in cases.items():
+        parts = gate._local_import_parts(src)
+        assert leaf in parts, f"{form}: leaf module not captured"
+        if "imagecodec" in src:
+            assert codec in parts, f"{form}: first listed module missed"
+    # a from-imported FUNCTION must not crash the scan and still
+    # records the defining module
+    src = (f"def f():\n    from {pkg}.streaming.multimodal import "
+           "extract_features\n")
+    assert leaf in gate._local_import_parts(src)
