@@ -100,10 +100,13 @@ def _local_import_parts(source: str) -> list[str]:
     parts: dict[str, str] = {}
 
     def _add(mod) -> None:
-        if mod is not None:
+        # same package guard as _dep_parts: a re-exported third-party
+        # module must not leak an environment-dependent file hash
+        if mod is not None and mod.__name__.startswith(_PKG):
             parts.setdefault("m:" + mod.__name__, _module_hash(mod))
 
     pkg = re.escape(_PKG)
+    source = source.replace("\\\n", " ")  # fold line continuations
     for base, names in re.findall(
         rf"from\s+({pkg}(?:\.\w+)*)\s+import\s+(\([^)]*\)|[^\n]+)", source
     ):
@@ -114,9 +117,12 @@ def _local_import_parts(source: str) -> list[str]:
             if not name:
                 continue
             sub = getattr(base_mod, name, None)
-            if not isinstance(sub, types.ModuleType):
+            if sub is None:
                 # not an attribute of an already-imported package: only
-                # an actual import attempt can tell module from function
+                # an actual import attempt can tell module from function.
+                # (An existing non-module attribute is the real binding —
+                # from-import binds the attribute over a same-named
+                # submodule — so no import attempt for those.)
                 sub = _load(base + "." + name)
             if isinstance(sub, types.ModuleType):
                 _add(sub)

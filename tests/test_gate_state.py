@@ -182,3 +182,25 @@ def test_local_import_other_forms_capture_leaf_modules():
     src = (f"def f():\n    from {pkg}.streaming.multimodal import "
            "extract_features\n")
     assert leaf in gate._local_import_parts(src)
+    # backslash line continuation folds before the regex scan
+    src = (f"def f():\n    from {pkg}.streaming import imagecodec, \\\n"
+           "        multimodal\n")
+    parts = gate._local_import_parts(src)
+    assert leaf in parts and codec in parts, "continuation names missed"
+    # a re-exported THIRD-PARTY module must not leak an environment-
+    # dependent file hash into entry hashes (same guard as _dep_parts)
+    import shuttlestandalonedbcreator_spark.streaming.multimodal as mm
+    import numpy
+    had = hasattr(mm, "_gate_test_np")
+    mm._gate_test_np = numpy
+    try:
+        src = (f"def f():\n    from {pkg}.streaming.multimodal import "
+               "_gate_test_np\n")
+        parts = gate._local_import_parts(src)
+        assert gate._module_hash(numpy) not in parts, (
+            "third-party module hash leaked into the entry hash"
+        )
+        assert leaf in parts  # the defining module still recorded
+    finally:
+        if not had:
+            del mm._gate_test_np

@@ -760,18 +760,20 @@ def test_av_codec_pipelines_fan_out(spark, sf_small):
         plan = plan_of(spark, sf_small, name)
         assert "MapInPandas" in plan, name
         assert "RoundRobinPartitioning" in plan, name
-    # audio: the eager localCheckpoint hides the codec lineage from the
-    # final plan — assert on the checkpointed RDD's partition count
+    # audio + image dHash: their eager localCheckpoint hides the codec
+    # lineage from the final plan — assert on the checkpointed RDD's
+    # partition count instead
     sc = spark.sparkContext
-    before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
-    CATALOG["audio_fingerprint"].spark(spark, sf_small)
-    new = [
-        info
-        for info in sc._jsc.sc().getRDDStorageInfo()
-        if info.id() not in before
-    ]
-    assert new, "audio_fingerprint no longer materializes a checkpoint"
-    assert all(info.numPartitions() > 1 for info in new), (
-        "checkpointed fingerprint table collapsed to one partition — "
-        "fan_out before the codec hop was lost"
-    )
+    for name in ("audio_fingerprint", "image_dhash_neardup"):
+        before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+        CATALOG[name].spark(spark, sf_small)
+        new = [
+            info
+            for info in sc._jsc.sc().getRDDStorageInfo()
+            if info.id() not in before
+        ]
+        assert new, f"{name} no longer materializes a checkpoint"
+        assert all(info.numPartitions() > 1 for info in new), (
+            f"{name}: checkpointed hash table collapsed to one partition "
+            "— fan_out before the codec hop was lost"
+        )
