@@ -13,6 +13,13 @@ SPARK_GRAFT_BENCH_RECORD=1 is set (set it only on an idle box).
 
 Results are materialized with a noop-format write (forces full execution
 of every operator incl. windows/joins; nothing ships to the driver).
+
+Every emitted JSON carries its own load context (load_1m_start /
+load_1m_end / steal_pct from /proc/stat) plus median_ratio_vs_pin — the
+median per-query ratio against the committed BENCH_DETAIL.json. On this
+box the hypervisor steals cores under full 32-thread saturation, so
+TOTALS from a loaded run overstate regressions (r8: +66%% total while
+the median ratio was 0.954); read the median first, then the weather.
 """
 
 from __future__ import annotations
@@ -661,10 +668,85 @@ def scale_probes(spark, sf_dir: str) -> dict[str, float]:
     return probes
 
 
+def _proc_stat_cpu() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat's aggregate cpu
+    line, or None off-Linux. Fields: user nice system idle iowait irq
+    softirq steal guest guest_nice."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def load_weather() -> dict[str, float | None]:
+    """Point-in-time load snapshot: 1-min loadavg + /proc/stat counters.
+    Recorded at bench start AND end — this box's hypervisor steals cores
+    exactly when a 32-thread bench saturates them (r8: three idle-start
+    re-record attempts finished under 1-min load 8.9/10.8, uniform
+    +0.3-0.5 s noise over unrelated queries), so every recorded number
+    must carry the load it ran under or a loaded driver run reads as a
+    structural regression."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"load_1m": load1, "_stat": _proc_stat_cpu()}
+
+
+def weather_fields(start: dict, end: dict) -> dict[str, float | None]:
+    """Flatten two load_weather() snapshots into the emitted JSON:
+    loadavg at both ends plus cumulative steal%% of all jiffies over the
+    run (the hypervisor-interference signal NOTES r8 diagnosed)."""
+    out: dict[str, float | None] = {
+        "load_1m_start": start.get("load_1m"),
+        "load_1m_end": end.get("load_1m"),
+        "steal_pct": None,
+    }
+    s0, s1 = start.get("_stat"), end.get("_stat")
+    if s0 and s1 and s1[1] > s0[1]:
+        out["steal_pct"] = round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+    return out
+
+
+def median_ratio_vs_pin(timings: dict[str, float],
+                        sf: float | None = None) -> float | None:
+    """Median per-query ratio vs the committed BENCH_DETAIL.json pin —
+    the robust round-over-round signal (r8: a loaded driver run read
+    +66%% in totals while the median ratio was 0.954; bursts hit a few
+    queries hard, the median ignores them). None when no pin exists,
+    the pin was recorded at a different SF, or too few queries overlap."""
+    import statistics
+
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(pin_path) as fh:
+            pin_doc = json.load(fh)
+        pin = pin_doc.get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return None
+    if sf is not None and pin_doc.get("sf") != sf:
+        return None  # cross-SF ratios measure the fixture, not the code
+    ratios = [
+        t / pin[q] for q, t in timings.items() if pin.get(q, 0) > 0
+    ]
+    if len(ratios) < 10:
+        return None
+    return round(statistics.median(ratios), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    weather_start = load_weather()
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -692,6 +774,11 @@ def main() -> None:
     probes = scale_probes(spark, sf_dir)
     probes.update(merge_probe(spark, sf_dir))
 
+    # weather + pin comparison BEFORE any detail write (when recording,
+    # the pin itself is about to be overwritten)
+    weather = weather_fields(weather_start, load_weather())
+    med_ratio = median_ratio_vs_pin(timings, sf)
+
     total = round(sum(timings.values()), 3)
     subtotals = {
         fam: round(sum(timings[q] for q in members if q in timings), 3)
@@ -717,6 +804,8 @@ def main() -> None:
                 "families": subtotals,
                 "scale_probes": probes,
                 "fixtures": fixtures,
+                "median_ratio_vs_pin": med_ratio,
+                **weather,
             },
             fh,
             indent=1,
@@ -733,6 +822,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "fixtures": fixtures,
+                "median_ratio_vs_pin": med_ratio,
+                **weather,
                 "detail": detail_name,
             }
         )

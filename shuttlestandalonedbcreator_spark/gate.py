@@ -106,6 +106,11 @@ def _local_import_parts(source: str) -> list[str]:
             parts.setdefault("m:" + mod.__name__, _module_hash(mod))
 
     pkg = re.escape(_PKG)
+    # strip comments BEFORE folding continuations (a backslash at the
+    # end of a comment is not a continuation): comment words after an
+    # import must not be scanned as candidate import names, e.g.
+    # ``from pkg.x import y  # see: a, b`` must not probe pkg.x.a/pkg.x.b
+    source = re.sub(r"#[^\n]*", "", source)
     source = source.replace("\\\n", " ")  # fold line continuations
     for base, names in re.findall(
         rf"from\s+({pkg}(?:\.\w+)*)\s+import\s+(\([^)]*\)|[^\n]+)", source
@@ -128,8 +133,13 @@ def _local_import_parts(source: str) -> list[str]:
                 _add(sub)
     # ``import pkg.sub.mod`` — a dotted target after ``import`` can only
     # be a plain-import statement (``from X import Y`` targets are bare).
-    for mod_name in re.findall(rf"import\s+({pkg}(?:\.\w+)+)", source):
-        _add(_load(mod_name))
+    # Split the target list on commas so multi-target plain imports
+    # (``import os, pkg.sub.mod``) are not missed.
+    for stmt in re.findall(r"import\s+([^\n;]+)", source):
+        for target in stmt.split(","):
+            m = re.match(rf"\s*({pkg}(?:\.\w+)+)", target)
+            if m:
+                _add(_load(m.group(1)))
     return [parts[k] for k in sorted(parts)]
 
 

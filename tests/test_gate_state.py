@@ -191,7 +191,8 @@ def test_local_import_other_forms_capture_leaf_modules():
     # dependent file hash into entry hashes (same guard as _dep_parts)
     import shuttlestandalonedbcreator_spark.streaming.multimodal as mm
     import numpy
-    had = hasattr(mm, "_gate_test_np")
+    _absent = object()
+    orig = getattr(mm, "_gate_test_np", _absent)
     mm._gate_test_np = numpy
     try:
         src = (f"def f():\n    from {pkg}.streaming.multimodal import "
@@ -202,5 +203,104 @@ def test_local_import_other_forms_capture_leaf_modules():
         )
         assert leaf in parts  # the defining module still recorded
     finally:
-        if not had:
+        # restore the original attribute if it pre-existed, rather than
+        # leaving it overwritten with numpy
+        if orig is _absent:
             del mm._gate_test_np
+        else:
+            mm._gate_test_np = orig
+
+
+def test_local_import_ignores_comment_text():
+    """Comment words after an import line are not candidate import
+    names: 'from pkg.streaming import multimodal  # see: imagecodec'
+    must NOT hash imagecodec, and a comment ending in a backslash must
+    not swallow the import on the next line (comments are stripped
+    BEFORE continuations fold)."""
+    import importlib
+
+    pkg = "shuttlestandalonedbcreator_spark"
+    leaf = gate._module_hash(
+        importlib.import_module(f"{pkg}.streaming.multimodal")
+    )
+    codec = gate._module_hash(
+        importlib.import_module(f"{pkg}.streaming.imagecodec")
+    )
+    src = (f"def f():\n    from {pkg}.streaming import multimodal"
+           "  # see: imagecodec, biff\n")
+    parts = gate._local_import_parts(src)
+    assert leaf in parts
+    assert codec not in parts, "comment word hashed as an import name"
+    # backslash at the end of a COMMENT is not a line continuation
+    src = (f"def f():\n    x = 1  # note \\\n"
+           f"    import {pkg}.streaming.multimodal\n")
+    assert leaf in gate._local_import_parts(src), (
+        "comment trailing-backslash swallowed the next line's import"
+    )
+
+
+def test_local_import_multi_target_plain_import():
+    """'import os, pkg.streaming.multimodal' (multi-target plain
+    import) must capture the package module even when it is not the
+    first target."""
+    import importlib
+
+    pkg = "shuttlestandalonedbcreator_spark"
+    leaf = gate._module_hash(
+        importlib.import_module(f"{pkg}.streaming.multimodal")
+    )
+    codec = gate._module_hash(
+        importlib.import_module(f"{pkg}.streaming.imagecodec")
+    )
+    src = (f"def f():\n    import os, {pkg}.streaming.multimodal\n")
+    assert leaf in gate._local_import_parts(src)
+    # aliased targets and two package targets in one statement
+    src = (f"def f():\n    import {pkg}.streaming.imagecodec as ic, "
+           f"{pkg}.streaming.multimodal\n")
+    parts = gate._local_import_parts(src)
+    assert leaf in parts and codec in parts
+
+
+def test_bench_weather_and_pin_ratio_helpers():
+    """bench.py records the load it ran under (VERDICT r8 #3): loadavg
+    at start AND end, cumulative /proc/stat steal%, and the median
+    per-query ratio vs the committed pin — the robust signal when the
+    box is loaded (r8: totals read +66% while the median was 0.954)."""
+    import os
+
+    import bench
+
+    # weather snapshot pair flattens to the three emitted fields
+    s0 = {"load_1m": 0.5, "_stat": (100, 10_000)}
+    s1 = {"load_1m": 8.0, "_stat": (160, 11_000)}
+    w = bench.weather_fields(s0, s1)
+    assert w["load_1m_start"] == 0.5 and w["load_1m_end"] == 8.0
+    assert w["steal_pct"] == 6.0  # 60 steal jiffies of 1000 total
+    # degenerate snapshots (no /proc/stat, zero elapsed) stay None
+    assert bench.weather_fields({"_stat": None}, {"_stat": None})[
+        "steal_pct"] is None
+    assert bench.weather_fields(
+        {"_stat": (1, 5)}, {"_stat": (1, 5)})["steal_pct"] is None
+    # live snapshot works on this platform
+    live = bench.load_weather()
+    assert live["load_1m"] is None or live["load_1m"] >= 0.0
+    assert live["_stat"] is None or live["_stat"][1] > 0
+
+    # median ratio vs the committed pin: identity -> 1.0, 2x -> 2.0
+    import json
+
+    pin = json.load(open(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    ))["queries"]
+    assert bench.median_ratio_vs_pin(dict(pin)) == 1.0
+    assert bench.median_ratio_vs_pin({k: v * 2 for k, v in pin.items()}) == 2.0
+    # <10 overlapping queries -> None (not a meaningful median)
+    assert bench.median_ratio_vs_pin(
+        {k: pin[k] for k in list(pin)[:5]}) is None
+    # a run at a different SF than the pin must NOT emit a ratio
+    # (cross-SF ratios measure the fixture, not the code)
+    pin_sf = json.load(open(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    ))["sf"]
+    assert bench.median_ratio_vs_pin(dict(pin), pin_sf) == 1.0
+    assert bench.median_ratio_vs_pin(dict(pin), pin_sf / 10) is None

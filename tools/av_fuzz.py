@@ -402,7 +402,14 @@ def image_case(spark, con, sf_dir, rng):
         import numpy as np
         import pandas as pd
 
-        wts = 1 << np.arange(64, dtype=np.int64)
+        # size the weight array to the widest fold actually used —
+        # 1 << 63 overflows int64 (becomes INT64_MIN) and would silently
+        # diverge from the DuckDB CASE/shift fold if a >=64-bit fold
+        # were ever added to the grid choices
+        max_fold = max(split, bits - split,
+                       *(len(range(k, bits, 4)) for k in range(4)))
+        assert max_fold < 64, f"fold width {max_fold} >= 64 overflows int64"
+        wts = 1 << np.arange(max_fold, dtype=np.int64)
         for pdf in batches:
             out = {"img_id": pdf["img_id"], "hi": [], "lo": []}
             bvs = [[] for _ in range(4)]
