@@ -227,6 +227,13 @@ def main() -> int:
 
     spark = get_spark(app_name="text_scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # at rehearsal scale every join side here is either huge (grams,
+    # sets, df table) or derived from one — none is a broadcastable
+    # dimension at 100 TB, and on this box the 64 MB session threshold
+    # made AQE build a broadcast while the checkpointed corpus filled
+    # the 8 g driver's storage pool (rep-50 OOM at the broadcast build).
+    # Sort-merge everywhere IS the at-scale plan; measure that.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     # warm the python workers + codegen once so rep timings compare
     run_rep(spark, sf_dir, 1)
     for rep in reps:
