@@ -21,6 +21,9 @@ run, in one command.
    audio-fingerprint / video-keyframe parameterizations through the
    REAL WAV/SSVF codec round-trip vs a DuckDB recompute — the other
    Python-side pipeline family outside the SQL fuzzer's grammar.
+8. Text near-dup fuzz (tools/text_fuzz.py): 4 fixed seeds of random
+   jaccard/containment/prefix-filter parameterizations through the
+   real dedup operators vs DuckDB all-pairs oracles.
 
 Exit code 0 = shippable.
 """
@@ -134,6 +137,24 @@ def main() -> int:
     print(f"av fuzz (seeds 82000-82003): {last}")
     if r.returncode != 0:
         failures.append(f"av fuzz divergence: {last}")
+
+    # 8: text near-dup fuzz (jaccard/containment/prefix-filter operators
+    # at random ngram width / threshold / corpus perturbation vs DuckDB
+    # all-pairs oracles). Fixed 4-seed block, ~30 s.
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "text_fuzz.py"),
+            "/root/testdata/sf0.001",
+            "4",
+            "83000",
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"text fuzz (seeds 83000-83003): {last}")
+    if r.returncode != 0:
+        failures.append(f"text fuzz divergence: {last}")
 
     print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
