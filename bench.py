@@ -679,7 +679,10 @@ def _proc_stat_cpu() -> tuple[int, int] | None:
             return None
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # sum only user..steal (fields 0-7): guest/guest_nice are
+        # already accounted inside user/nice and would double-count,
+        # biasing steal_pct toward "clean" on VM-hosting boxes
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 
@@ -732,8 +735,10 @@ def median_ratio_vs_pin(timings: dict[str, float],
         pin = pin_doc.get("queries", {})
     except (OSError, json.JSONDecodeError):
         return None
-    if sf is not None and pin_doc.get("sf") != sf:
-        return None  # cross-SF ratios measure the fixture, not the code
+    if sf is None or pin_doc.get("sf") != sf:
+        # cross-SF (or unknown-SF) ratios measure the fixture, not the
+        # code — refuse rather than mislead
+        return None
     ratios = [
         t / pin[q] for q, t in timings.items() if pin.get(q, 0) > 0
     ]

@@ -109,8 +109,12 @@ def _local_import_parts(source: str) -> list[str]:
     # strip comments BEFORE folding continuations (a backslash at the
     # end of a comment is not a continuation): comment words after an
     # import must not be scanned as candidate import names, e.g.
-    # ``from pkg.x import y  # see: a, b`` must not probe pkg.x.a/pkg.x.b
-    source = re.sub(r"#[^\n]*", "", source)
+    # ``from pkg.x import y  # see: a, b`` must not probe pkg.x.a/pkg.x.b.
+    # Conservative: only strip when no quote character precedes the '#'
+    # on the line — a '#' inside a string literal must not delete the
+    # rest of the line (an import after it would silently drop from the
+    # hash, the staleness class this scan exists to prevent).
+    source = re.sub(r"(?m)^([^'\"#\n]*)#[^\n]*$", r"\1", source)
     source = source.replace("\\\n", " ")  # fold line continuations
     for base, names in re.findall(
         rf"from\s+({pkg}(?:\.\w+)*)\s+import\s+(\([^)]*\)|[^\n]+)", source

@@ -237,6 +237,13 @@ def test_local_import_ignores_comment_text():
     assert leaf in gate._local_import_parts(src), (
         "comment trailing-backslash swallowed the next line's import"
     )
+    # a '#' inside a string literal must NOT strip the rest of the line
+    # (an import after it would silently drop from the hash)
+    src = (f'def f():\n    x = "a#b"; '
+           f"import {pkg}.streaming.multimodal\n")
+    assert leaf in gate._local_import_parts(src), (
+        "in-string '#' deleted a same-line import from the scan"
+    )
 
 
 def test_local_import_multi_target_plain_import():
@@ -289,18 +296,18 @@ def test_bench_weather_and_pin_ratio_helpers():
     # median ratio vs the committed pin: identity -> 1.0, 2x -> 2.0
     import json
 
-    pin = json.load(open(
+    pin_doc = json.load(open(
         os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
-    ))["queries"]
-    assert bench.median_ratio_vs_pin(dict(pin)) == 1.0
-    assert bench.median_ratio_vs_pin({k: v * 2 for k, v in pin.items()}) == 2.0
+    ))
+    pin, pin_sf = pin_doc["queries"], pin_doc["sf"]
+    assert bench.median_ratio_vs_pin(dict(pin), pin_sf) == 1.0
+    assert bench.median_ratio_vs_pin(
+        {k: v * 2 for k, v in pin.items()}, pin_sf) == 2.0
     # <10 overlapping queries -> None (not a meaningful median)
     assert bench.median_ratio_vs_pin(
-        {k: pin[k] for k in list(pin)[:5]}) is None
-    # a run at a different SF than the pin must NOT emit a ratio
-    # (cross-SF ratios measure the fixture, not the code)
-    pin_sf = json.load(open(
-        os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
-    ))["sf"]
-    assert bench.median_ratio_vs_pin(dict(pin), pin_sf) == 1.0
+        {k: pin[k] for k in list(pin)[:5]}, pin_sf) is None
+    # a run at a different — or unknown — SF than the pin must NOT emit
+    # a ratio (cross-SF ratios measure the fixture, not the code)
     assert bench.median_ratio_vs_pin(dict(pin), pin_sf / 10) is None
+    assert bench.median_ratio_vs_pin(dict(pin), None) is None
+    assert bench.median_ratio_vs_pin(dict(pin)) is None

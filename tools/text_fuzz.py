@@ -302,8 +302,9 @@ def main() -> int:
         got, exp, label = case(spark, con, sf_dir, rng)
         if got != exp:
             failures += 1
-            only_spark = [r for r in got if r not in set(exp)][:3]
-            only_duck = [r for r in exp if r not in set(got)][:3]
+            exp_set, got_set = set(exp), set(got)
+            only_spark = [r for r in got if r not in exp_set][:3]
+            only_duck = [r for r in exp if r not in got_set][:3]
             print(
                 f"DIVERGE seed={seed} {label}: spark={len(got)} "
                 f"duck={len(exp)} +spark={only_spark} +duck={only_duck}"

@@ -76,8 +76,12 @@ def build_corpus(spark, sf_dir: str, rep: int):
     return reps.select(
         ((F.col("doc_id") * rep + F.col("r")) * 2 + F.col("v")).alias("doc_id"),
         F.array_join(
-            F.when(F.col("v") == 1, F.slice("w", 1, F.size("w") - 2))
-            .otherwise(F.col("w")),
+            # greatest(..., 0): a 0/1-word doc must yield an empty v=1
+            # variant, not a negative slice length (runtime error)
+            F.when(
+                F.col("v") == 1,
+                F.slice("w", 1, F.greatest(F.size("w") - 2, F.lit(0))),
+            ).otherwise(F.col("w")),
             " ",
         ).alias("text"),
     )
