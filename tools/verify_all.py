@@ -24,6 +24,9 @@ run, in one command.
 8. Text near-dup fuzz (tools/text_fuzz.py): 4 fixed seeds of random
    jaccard/containment/prefix-filter parameterizations through the
    real dedup operators vs DuckDB all-pairs oracles.
+9. Streaming-vs-batch fuzz (tools/stream_fuzz.py): 3 fixed seeds of
+   random windowed/stateful parameterizations under random micro-batch
+   arrival orders — final stream state must equal the batch plan.
 
 Exit code 0 = shippable.
 """
@@ -155,6 +158,23 @@ def main() -> int:
     print(f"text fuzz (seeds 83000-83003): {last}")
     if r.returncode != 0:
         failures.append(f"text fuzz divergence: {last}")
+
+    # 9: streaming-vs-batch fuzz (windowed/stateful operators under
+    # random micro-batch arrival orders). Fixed 3-seed block, ~20 s.
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "stream_fuzz.py"),
+            "/root/testdata/sf0.001",
+            "3",
+            "84000",
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"stream fuzz (seeds 84000-84002): {last}")
+    if r.returncode != 0:
+        failures.append(f"stream fuzz divergence: {last}")
 
     print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
