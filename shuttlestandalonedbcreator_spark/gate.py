@@ -114,6 +114,12 @@ def _local_import_parts(source: str) -> list[str]:
     # on the line — a '#' inside a string literal must not delete the
     # rest of the line (an import after it would silently drop from the
     # hash, the staleness class this scan exists to prevent).
+    # Accepted residual of that conservatism: on a line that has a string
+    # literal BEFORE the '#' (``x = "s"  # import pkg.mod``) the comment
+    # survives the strip and its text is still scanned, which can add a
+    # spurious package-module hash to the entry hash. Extra deps only
+    # force re-verification, never staleness, so this errs in the safe
+    # direction; a tokenize-based strip would remove it if it ever costs.
     source = re.sub(r"(?m)^([^'\"#\n]*)#[^\n]*$", r"\1", source)
     source = source.replace("\\\n", " ")  # fold line continuations
     for base, names in re.findall(
@@ -138,8 +144,13 @@ def _local_import_parts(source: str) -> list[str]:
     # ``import pkg.sub.mod`` — a dotted target after ``import`` can only
     # be a plain-import statement (``from X import Y`` targets are bare).
     # Split the target list on commas so multi-target plain imports
-    # (``import os, pkg.sub.mod``) are not missed.
-    for stmt in re.findall(r"import\s+([^\n;]+)", source):
+    # (``import os, pkg.sub.mod``) are not missed. Anchored to statement
+    # position (line start or after ';') so ``import pkg...`` text inside
+    # string literals / docstrings of the scanned source is not treated
+    # as an import (which would import_module it for side effects and add
+    # a spurious dep hash).
+    for stmt in re.findall(r"(?m)(?:^[ \t]*|;[ \t]*)import\s+([^\n;]+)",
+                           source):
         for target in stmt.split(","):
             m = re.match(rf"\s*({pkg}(?:\.\w+)+)", target)
             if m:

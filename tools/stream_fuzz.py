@@ -7,10 +7,12 @@ The invariant under test: with a watermark wider than the data's time
 span, the final streaming state must equal the batch result REGARDLESS
 of how rows are split into micro-batches or in what time order they
 arrive. Each seed draws:
-- an operator case — tumbling counts (random window size), sliding
-  rates (random window/slide), session aggregates (random gap), or
-  dropDuplicatesWithinWatermark (random key subset, count-compare since
-  which duplicate survives is explicitly unspecified);
+- an operator case, chosen deterministically by seed % 4 so any block
+  of 4 consecutive seeds covers all four families — tumbling counts
+  (random window size), sliding rates (random window/slide), session
+  aggregates (random gap), or dropDuplicatesWithinWatermark (random key
+  subset, count-compare since which duplicate survives is explicitly
+  unspecified);
 - an input subset (event_id modulus);
 - an arrival order: bucket count B in {2,3,5} and a bucket key
   (event_id -> time-interleaved batches, user_id -> key-clustered,
@@ -81,10 +83,17 @@ def _run(stream_df, name: str, mode: str = "complete"):
         .trigger(availableNow=True)
         .start()
     )
-    terminated = q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    assert terminated, "stream did not finish within 300s"
+    # stop the query before raising on timeout/exception: a still-running
+    # orphan would have its source directory rmtree'd out from under it
+    # by the caller's cleanup and pollute the rest of the sweep
+    try:
+        terminated = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        assert terminated, "stream did not finish within 300s"
+    except BaseException:
+        q.stop()
+        raise
 
 
 def tumbling_case(spark, ev, stream, rng):
@@ -180,9 +189,11 @@ def main() -> int:
         root = tempfile.mkdtemp(prefix="stream_fuzz_")
         try:
             stream, arr = _arrivals(spark, ev, rng, root)
-            case = rng.choice(
-                [tumbling_case, sliding_case, session_case, dedup_case]
-            )
+            # case family is seed-deterministic (seed % 4), NOT an RNG
+            # draw: any 4 consecutive seeds — e.g. the release gate's
+            # fixed block — round-robin all four operator families
+            case = [tumbling_case, sliding_case, session_case,
+                    dedup_case][seed % 4]
             got, exp, label = case(spark, ev, stream, rng)
             label = f"{label} {arr} mod={mod}/{rem}"
             if got != exp:

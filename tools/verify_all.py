@@ -160,19 +160,22 @@ def main() -> int:
         failures.append(f"text fuzz divergence: {last}")
 
     # 9: streaming-vs-batch fuzz (windowed/stateful operators under
-    # random micro-batch arrival orders). Fixed 3-seed block, ~20 s.
+    # random micro-batch arrival orders). Fixed 4-seed block — the
+    # fuzzer picks the case family by seed % 4, so 4 consecutive seeds
+    # round-robin all four families (tumbling/sliding/session/dedup).
+    # ~30 s.
     r = subprocess.run(
         [
             sys.executable,
             os.path.join(REPO, "tools", "stream_fuzz.py"),
             "/root/testdata/sf0.001",
-            "3",
+            "4",
             "84000",
         ],
         capture_output=True, text=True, timeout=1800,
     )
     last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
-    print(f"stream fuzz (seeds 84000-84002): {last}")
+    print(f"stream fuzz (seeds 84000-84003): {last}")
     if r.returncode != 0:
         failures.append(f"stream fuzz divergence: {last}")
 
