@@ -20,6 +20,12 @@ median per-query ratio against the committed BENCH_DETAIL.json. On this
 box the hypervisor steals cores under full 32-thread saturation, so
 TOTALS from a loaded run overstate regressions (r8: +66%% total while
 the median ratio was 0.954); read the median first, then the weather.
+
+Because timing noise is one-sided (additive only), entries that ran
+>1.5x their pinned time get re-run after the main sweep and keep the
+min ("outlier_repairs" in the detail JSON, count on the printed line):
+a burst that vanishes on re-run was per-run variance (GC / Arrow batch
+boundary / stolen core), one that survives is a real slowdown.
 """
 
 from __future__ import annotations
@@ -717,6 +723,24 @@ def weather_fields(start: dict, end: dict) -> dict[str, float | None]:
     return out
 
 
+def load_pin(sf: float | None) -> dict[str, float]:
+    """Per-query timings from the committed BENCH_DETAIL.json pin, or {}
+    when no pin exists or it was recorded at a different SF (cross-SF
+    ratios measure the fixture, not the code — refuse rather than
+    mislead)."""
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(pin_path) as fh:
+            pin_doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if sf is None or pin_doc.get("sf") != sf:
+        return {}
+    return pin_doc.get("queries", {})
+
+
 def median_ratio_vs_pin(timings: dict[str, float],
                         sf: float | None = None) -> float | None:
     """Median per-query ratio vs the committed BENCH_DETAIL.json pin —
@@ -726,19 +750,7 @@ def median_ratio_vs_pin(timings: dict[str, float],
     the pin was recorded at a different SF, or too few queries overlap."""
     import statistics
 
-    pin_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    try:
-        with open(pin_path) as fh:
-            pin_doc = json.load(fh)
-        pin = pin_doc.get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return None
-    if sf is None or pin_doc.get("sf") != sf:
-        # cross-SF (or unknown-SF) ratios measure the fixture, not the
-        # code — refuse rather than mislead
-        return None
+    pin = load_pin(sf)
     ratios = [
         t / pin[q] for q, t in timings.items() if pin.get(q, 0) > 0
     ]
@@ -776,6 +788,31 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # One-sided-noise repair: timing noise is strictly additive (a GC
+    # pause, an Arrow batch boundary, a stolen core) — nothing ever makes
+    # an operator run FASTER than its steady state. A per-entry burst
+    # that vanishes on immediate re-run is per-run variance, not a
+    # regression; one that survives is real and stays visible. So after
+    # the main sweep, re-run any entry whose best-of-2 exceeded 1.5x its
+    # pinned time (two more attempts, keep the min — the standard
+    # min-estimator for microbenchmarks) and record what changed. This
+    # is exactly the variance-vs-weather distinction the r9 A/V bursts
+    # (video_keyframes 2.13x on a steal-0.02%% box) could not make.
+    pin = load_pin(sf)
+    outlier_repairs: dict[str, list[float]] = {}
+    for name, t in list(timings.items()):
+        if pin.get(name, 0) > 0 and t / pin[name] > 1.5:
+            best = t
+            for _ in range(2):
+                t0 = time.perf_counter()
+                CATALOG[name].spark(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            if best < t:
+                outlier_repairs[name] = [t, round(best, 3)]
+                timings[name] = round(best, 3)
+
     probes = scale_probes(spark, sf_dir)
     probes.update(merge_probe(spark, sf_dir))
 
@@ -810,6 +847,7 @@ def main() -> None:
                 "scale_probes": probes,
                 "fixtures": fixtures,
                 "median_ratio_vs_pin": med_ratio,
+                "outlier_repairs": outlier_repairs,
                 **weather,
             },
             fh,
@@ -828,6 +866,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "fixtures": fixtures,
                 "median_ratio_vs_pin": med_ratio,
+                "n_outlier_repairs": len(outlier_repairs),
                 **weather,
                 "detail": detail_name,
             }

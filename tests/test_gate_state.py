@@ -311,3 +311,21 @@ def test_bench_weather_and_pin_ratio_helpers():
     assert bench.median_ratio_vs_pin(dict(pin), pin_sf / 10) is None
     assert bench.median_ratio_vs_pin(dict(pin), None) is None
     assert bench.median_ratio_vs_pin(dict(pin)) is None
+
+
+def test_bench_load_pin_helper():
+    """load_pin returns the committed pin's per-query map only at the
+    pin's own SF — cross-SF or unknown-SF requests get {} so the
+    outlier-repair pass (and the median ratio) never compare timings
+    across fixtures."""
+    import json
+    import os
+
+    import bench
+
+    pin_doc = json.load(open(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    ))
+    assert bench.load_pin(pin_doc["sf"]) == pin_doc["queries"]
+    assert bench.load_pin(pin_doc["sf"] / 10) == {}
+    assert bench.load_pin(None) == {}
