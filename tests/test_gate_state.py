@@ -329,3 +329,18 @@ def test_bench_load_pin_helper():
     assert bench.load_pin(pin_doc["sf"]) == pin_doc["queries"]
     assert bench.load_pin(pin_doc["sf"] / 10) == {}
     assert bench.load_pin(None) == {}
+
+
+def test_bench_fresh_process_min_failure_contract():
+    """fresh_process_min returns None (never raises, never a bogus
+    number) when the subprocess cannot produce a timing — the caller
+    then keeps the in-bench timing, the conservative direction. A
+    1-second timeout kills the fresh JVM long before first result."""
+    import bench
+
+    assert bench.fresh_process_min(
+        "status_summary", "/root/testdata/sf0.001", timeout=1) is None
+    # the snippet must format into valid python for any entry name
+    code = bench._FRESH_SNIPPET.format(
+        repo="/r", name="a'b", sf_dir="/s")
+    compile(code, "<snippet>", "exec")
