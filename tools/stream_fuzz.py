@@ -25,8 +25,40 @@ Watermark races with NARROW watermarks are deliberately out of scope
 bounded-state contract); the full-span watermark makes every draw
 deterministic.
 
-Usage: python tools/stream_fuzz.py [sf_dir] [n_seeds] [seed_base]
-  defaults: /root/testdata/sf0.001, 10 seeds, base 140000.
+A second mode (``--late``) makes the OTHER contract deterministic — the
+narrow-watermark late-drop that the full-span sweep deliberately
+excludes. Determinism is by construction, not by luck:
+- the event subset is split into an ON-TIME file (which contains the
+  global max timestamp) and a LATE file whose rows are all strictly
+  below the watermark cutoff W = t_max - delay;
+- the files arrive as THREE mtime-ordered micro-batches
+  (maxFilesPerTrigger=1): on-time, then a one-row SPACER (a duplicate
+  of a max-ts row), then the late file. The spacer batch is required
+  by Spark's two-watermark semantics (SPARK-40925): a stateful
+  operator filters late input with the PREVIOUS batch's watermark and
+  evicts with the current one, so the late batch must start two
+  batches after the max-ts data for its late-events watermark to be
+  exactly W. The spacer is provably invisible in the output: every
+  window containing t_max ends above W (never emitted), and for dedup
+  its key was inserted in batch 0 with expiry t_max + delay > W;
+- W is chosen OFF the window-end grid (pick_watermark_cutoff), so
+  Spark's `<=` vs `<` watermark-predicate convention cannot matter.
+The checks per seed: append-mode emitted rows == the batch plan over
+the on-time rows filtered to window_end < W, AND the stream's
+numRowsDroppedByWatermark equals the late row count for dedup / lies
+in [distinct late groups, late pairs] for the agg families (the
+metric counts rows reaching the STATEFUL operator, i.e. post
+partial-aggregation, so the exact value depends on input-split
+packing; the bounds do not).
+Sub-family by seed % 3: tumbling agg / sliding agg / dedup-within-
+watermark (session windows are excluded: late rows above the drop
+cutoff can MERGE into on-time sessions, so no closed-form batch
+expectation exists — test_stateful.py owns that contract at fixed
+points).
+
+Usage: python tools/stream_fuzz.py [sf_dir] [n_seeds] [seed_base] [--late]
+  defaults: /root/testdata/sf0.001, 10 seeds, base 140000
+  (base 85000 recommended for --late gate blocks).
 Exit 1 on any divergence.
 """
 
@@ -94,6 +126,7 @@ def _run(stream_df, name: str, mode: str = "complete"):
     except BaseException:
         q.stop()
         raise
+    return q
 
 
 def tumbling_case(spark, ev, stream, rng):
@@ -165,15 +198,221 @@ def dedup_case(spark, ev, stream, rng):
     return got, exp, f"dedup keys={keys}"
 
 
+def pick_watermark_cutoff(
+    tmin_ms: int, tmax_ms: int, frac: float,
+    grid_ms: int | None = None, grid_offset_ms: int = 0,
+) -> int:
+    """Choose the watermark cutoff W strictly inside (tmin, tmax) such
+    that no window end (values ≡ grid_offset mod grid) equals W exactly.
+
+    Spark's stateful operators build their drop/evict predicates with an
+    inclusive or exclusive comparison against the watermark depending on
+    operator and version; keeping W off the window-end grid makes both
+    conventions agree, so the expected emitted/dropped sets are unique.
+    Pure — pinned by tests/test_streaming.py.
+    """
+    w = tmin_ms + int(frac * (tmax_ms - tmin_ms))
+    if grid_ms:
+        while (w - grid_offset_ms) % grid_ms == 0:
+            w -= 1
+    return w
+
+
+def _dropped_by_watermark(q) -> int:
+    """Total numRowsDroppedByWatermark across every progress event of a
+    finished streaming query (the drop happens in the late micro-batch,
+    not necessarily the last progress entry)."""
+    import json as _json
+
+    total = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        for op in d.get("stateOperators", []):
+            total += int(op.get("numRowsDroppedByWatermark", 0))
+    return total
+
+
+def _ordered_stream(spark, dfs, root: str):
+    """Write each DataFrame as exactly one parquet file whose mtimes
+    force arrival in list order under maxFilesPerTrigger=1."""
+    import glob as _glob
+
+    src = os.path.join(root, "stream")
+    os.makedirs(src)
+    now = time.time()
+    for i, df in enumerate(dfs):
+        stage = os.path.join(root, f"_stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (now - 600 + i * 100, now - 600 + i * 100))
+    return (
+        spark.readStream.schema(dfs[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+_WINDOW_SIZES_MS = {
+    "7 minutes": 7 * 60_000,
+    "30 minutes": 30 * 60_000,
+    "1 hour": 3_600_000,
+    "3 hours": 3 * 3_600_000,
+    "10 minutes": 10 * 60_000,
+    "15 minutes": 15 * 60_000,
+    "45 minutes": 45 * 60_000,
+    "2 hours": 2 * 3_600_000,
+}
+
+
+def late_drop_seed(spark, events, seed: int):
+    """One deterministic late-drop draw; returns (ok, label) and prints
+    the divergence detail itself on failure."""
+    from pyspark.sql import functions as F
+
+    from shuttlestandalonedbcreator_spark.streaming import windows as W
+
+    rng = random.Random(seed)
+    mod = rng.choice([1, 1, 2, 3])
+    rem = rng.randrange(mod) if mod > 1 else 0
+    ev = events.filter(F.col("event_id") % mod == rem)
+    tmin, tmax = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    frac = rng.uniform(0.30, 0.70)
+    fam = seed % 3
+    ms = F.unix_millis(F.col("ts"))
+    sample_pct = int(rng.uniform(20, 90))
+    in_sample = F.pmod(F.abs(F.hash(F.col("event_id"))), F.lit(100)) < sample_pct
+
+    if fam == 0:  # tumbling aggregation
+        size = rng.choice(["7 minutes", "30 minutes", "1 hour", "3 hours"])
+        size_ms = _WINDOW_SIZES_MS[size]
+        w_cut = pick_watermark_cutoff(tmin, tmax, frac, size_ms, 0)
+        # every late row's (single) window must END below W:
+        # window_end(ts) = (ts//S + 1)*S <= (W//S)*S < W  <=>  ts < (W//S)*S
+        late_pred = (ms < (w_cut // size_ms) * size_ms) & in_sample
+        label = f"late-tumbling size={size}"
+    elif fam == 1:  # sliding aggregation
+        size, slide = rng.choice(
+            [("1 hour", "15 minutes"), ("45 minutes", "10 minutes"),
+             ("2 hours", "30 minutes")]
+        )
+        size_ms, slide_ms = _WINDOW_SIZES_MS[size], _WINDOW_SIZES_MS[slide]
+        # sliding window ends sit on {k*slide + size}: keep W off that grid
+        w_cut = pick_watermark_cutoff(
+            tmin, tmax, frac, slide_ms, size_ms % slide_ms
+        )
+        # a row's LATEST enclosing window ends <= ts + size, so ts < W - size
+        # guarantees every exploded (row, window) pair ends below W
+        late_pred = (ms < w_cut - size_ms) & in_sample
+        label = f"late-sliding size={size} slide={slide}"
+    else:  # dropDuplicatesWithinWatermark
+        keys = rng.choice(
+            [["event_id"], ["user_id", "event_type"], ["event_type"],
+             ["user_id"]]
+        )
+        w_cut = pick_watermark_cutoff(tmin, tmax, frac)
+        # dedup's event-time attribute is ts itself; a 60 s margin keeps
+        # every late row strictly below W under either <=/< convention
+        late_pred = (ms < w_cut - 60_000) & in_sample
+        label = f"late-dedup keys={keys}"
+
+    delay_ms = tmax - w_cut
+    wm = f"{delay_ms} milliseconds"
+    late = ev.filter(late_pred)
+    ontime = ev.filter(~late_pred)  # exact complement; keeps the t_max row
+    late_n = late.count()
+    if late_n == 0:
+        print(f"ok seed={seed} {label}: degenerate (no late rows), skipped")
+        return True, label
+    label += f" mod={mod}/{rem} pct={sample_pct} late={late_n} delay={delay_ms}ms"
+    # one-row spacer batch: duplicates a max-ts on-time row, whose
+    # windows all end above W (and whose dedup state never expires
+    # before W), so it advances the late-events watermark to exactly W
+    # for the third batch without being able to appear in the output
+    spacer = ev.filter(ms == tmax).limit(1)
+
+    root = tempfile.mkdtemp(prefix="stream_latefuzz_")
+    name = f"fz_late_{seed}_{rng.randrange(10**9)}"
+    try:
+        stream = _ordered_stream(spark, [ontime, spacer, late], root)
+        if fam == 0:
+            q = _run(
+                W.tumbling_counts(stream, window_size=size, watermark=wm),
+                name, mode="append",
+            )
+            cols = ["window_start", "window_end", "n_events", "total_value"]
+            got = _canon(spark.table(name), cols)
+            exp_df = W.tumbling_counts(ontime, window_size=size).filter(
+                F.unix_millis(F.col("window_end")) < w_cut
+            )
+            exp = _canon(exp_df, cols)
+            drop_lo = late.select(
+                F.window(F.col("ts"), size)
+            ).distinct().count()
+            drop_hi = late_n
+        elif fam == 1:
+            q = _run(
+                W.sliding_rates(stream, window_size=size, slide=slide,
+                                watermark=wm),
+                name, mode="append",
+            )
+            cols = ["window_start", "event_type", "n_events"]
+            got = _canon(spark.table(name), cols)
+            exp_df = W.sliding_rates(
+                ontime, window_size=size, slide=slide
+            ).filter(F.unix_millis(F.col("window_start")) + size_ms < w_cut)
+            exp = _canon(exp_df, cols)
+            # the stateful agg sees partially-aggregated (window,
+            # event_type) groups; every exploded pair of a late row ends
+            # below W, so between distinct-groups and all-pairs rows are
+            # dropped depending on input-split packing
+            drop_lo = late.select(
+                F.window(F.col("ts"), size, slide), "event_type"
+            ).distinct().count()
+            drop_hi = late.select(F.window(F.col("ts"), size, slide)).count()
+        else:
+            q = _run(
+                W.streaming_dedup(stream, keys=keys, watermark=wm),
+                name, mode="append",
+            )
+            got = [spark.table(name).count()]
+            exp = [ontime.dropDuplicates(keys).count()]
+            # dedup has no partial aggregation: every late ROW reaches
+            # the stateful operator and is dropped there
+            drop_lo = drop_hi = late_n
+        dropped_got = _dropped_by_watermark(q)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    ok = got == exp and drop_lo <= dropped_got <= drop_hi
+    if not ok:
+        only_s = [r for r in got if r not in exp][:3]
+        only_b = [r for r in exp if r not in got][:3]
+        print(
+            f"DIVERGE seed={seed} {label}: stream={len(got)} batch={len(exp)} "
+            f"dropped={dropped_got} expected_dropped=[{drop_lo},{drop_hi}] "
+            f"+stream={only_s} +batch={only_b}"
+        )
+    else:
+        print(f"ok seed={seed} {label}: {len(got)} rows, "
+              f"dropped={dropped_got} in [{drop_lo},{drop_hi}]")
+    return ok, label
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
     from shuttlestandalonedbcreator_spark.session import get_spark
     from shuttlestandalonedbcreator_spark.sources.registry import load_table
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    base = int(sys.argv[3]) if len(sys.argv) > 3 else 140000
+    late_mode = "--late" in sys.argv
+    argv = [a for a in sys.argv if a != "--late"]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
+    n_seeds = int(argv[2]) if len(argv) > 2 else 10
+    base = int(argv[3]) if len(argv) > 3 else (85000 if late_mode else 140000)
 
     spark = get_spark(app_name="stream_fuzz")
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +420,16 @@ def main() -> int:
 
     failures = 0
     t0 = time.time()
+    if late_mode:
+        for seed in range(base, base + n_seeds):
+            ok, _ = late_drop_seed(spark, events, seed)
+            if not ok:
+                failures += 1
+        print(
+            f"swept {n_seeds} late-drop seeds @ {sf_dir}: "
+            f"{failures} divergences"
+        )
+        return 1 if failures else 0
     for seed in range(base, base + n_seeds):
         rng = random.Random(seed)
         mod = rng.choice([1, 1, 2, 3])

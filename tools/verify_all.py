@@ -24,9 +24,13 @@ run, in one command.
 8. Text near-dup fuzz (tools/text_fuzz.py): 4 fixed seeds of random
    jaccard/containment/prefix-filter parameterizations through the
    real dedup operators vs DuckDB all-pairs oracles.
-9. Streaming-vs-batch fuzz (tools/stream_fuzz.py): 3 fixed seeds of
-   random windowed/stateful parameterizations under random micro-batch
-   arrival orders — final stream state must equal the batch plan.
+9. Streaming-vs-batch fuzz (tools/stream_fuzz.py): a fixed 4-seed
+   block of random windowed/stateful parameterizations under random
+   micro-batch arrival orders (full-span watermark: final stream state
+   must equal the batch plan), plus a fixed 3-seed deterministic
+   late-drop block (narrow watermark, constructed arrival so the drop
+   set is unique: emitted rows must equal the batch plan over on-time
+   rows and numRowsDroppedByWatermark must match the construction).
 
 Exit code 0 = shippable.
 """
@@ -178,6 +182,25 @@ def main() -> int:
     print(f"stream fuzz (seeds 84000-84003): {last}")
     if r.returncode != 0:
         failures.append(f"stream fuzz divergence: {last}")
+
+    # 9b: deterministic late-drop block (narrow watermark, the axis the
+    # full-span sweep above deliberately excludes). Fixed 3-seed block —
+    # seed % 3 round-robins tumbling/sliding/dedup sub-families. ~40 s.
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "stream_fuzz.py"),
+            "/root/testdata/sf0.001",
+            "3",
+            "85000",
+            "--late",
+        ],
+        capture_output=True, text=True, timeout=1800,
+    )
+    last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"late-drop fuzz (seeds 85000-85002): {last}")
+    if r.returncode != 0:
+        failures.append(f"late-drop fuzz divergence: {last}")
 
     print("SHIPPABLE" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
