@@ -74,7 +74,22 @@ def session_aggregates(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Gap-based session windows per user (stateful session_window — the
-    native streaming realization of the batch sessionization query)."""
+    native streaming realization of the batch sessionization query).
+
+    Consumer gotcha (measured, Spark 4.1): do NOT put a plan-side
+    ``.filter`` on ``session_start``/``session_end`` directly over this
+    output in BATCH mode. Catalyst pushes such a predicate below the
+    ``MergingSessions`` node as a per-row ``ts + gap`` scan filter,
+    which changes the merge itself: a row whose solo window crosses the
+    cut is removed before it can merge into an earlier session, leaving
+    a phantom shorter session in the result (found by
+    tools/stream_fuzz.py --late at sf0.1: plan-filtered 52403 vs
+    post-merge 52402 sessions, one 2-event session split). Materialize
+    first (collect/checkpoint) or filter on a post-aggregation derived
+    frame boundary if you need an end-time cut; the streaming path is
+    unaffected (the watermark cut happens inside the stateful operator,
+    after merging).
+    """
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(

@@ -350,8 +350,8 @@ def test_stream_fuzz_late_drop_helpers():
     """The deterministic late-drop mode (VERDICT r9 #4) rests on two
     pure facts pinned here: the watermark cutoff is chosen OFF the
     window-end grid (so Spark's <=/< predicate conventions agree on the
-    drop and eviction sets), and the fixed gate block 85000-85002
-    round-robins all three sub-families via seed % 3."""
+    drop and eviction sets), and the fixed gate block 85000-85003
+    round-robins all four sub-families via seed % 4."""
     from tools.stream_fuzz import _dropped_by_watermark, pick_watermark_cutoff
 
     # off-grid: no window end (multiples of grid, offset 0) equals W
@@ -369,8 +369,9 @@ def test_stream_fuzz_late_drop_helpers():
     # no grid: pure linear interpolation passthrough
     assert pick_watermark_cutoff(100, 1100, 0.25) == 350
 
-    # gate block 85000-85002 covers tumbling(0)/sliding(1)/dedup(2)
-    assert sorted(s % 3 for s in range(85000, 85003)) == [0, 1, 2]
+    # gate block 85000-85003 covers tumbling(0)/sliding(1)/dedup(2)/
+    # session(3)
+    assert sorted(s % 4 for s in range(85000, 85004)) == [0, 1, 2, 3]
 
     # drop metric sums across every progress entry and every operator
     class _P:

@@ -50,11 +50,15 @@ in [distinct late groups, late pairs] for the agg families (the
 metric counts rows reaching the STATEFUL operator, i.e. post
 partial-aggregation, so the exact value depends on input-split
 packing; the bounds do not).
-Sub-family by seed % 3: tumbling agg / sliding agg / dedup-within-
-watermark (session windows are excluded: late rows above the drop
-cutoff can MERGE into on-time sessions, so no closed-form batch
-expectation exists — test_stateful.py owns that contract at fixed
-points).
+Sub-family by seed % 4: tumbling agg / sliding agg / dedup-within-
+watermark / session agg. Session windows are includable precisely
+because the late-events drop happens BEFORE session merging: every
+late row satisfies ts + gap < W so it is dropped at the stateful
+operator's input and can never merge into (or bridge) an on-time
+session; the spacer's session necessarily ends above W (>= t_max +
+gap) and is withheld, so the batch expectation over on-time rows
+filtered to session_end < W is closed-form. W is additionally nudged
+off the data-dependent session-end set {on-time ts + gap}.
 
 Usage: python tools/stream_fuzz.py [sf_dir] [n_seeds] [seed_base] [--late]
   defaults: /root/testdata/sf0.001, 10 seeds, base 140000
@@ -281,7 +285,7 @@ def late_drop_seed(spark, events, seed: int):
         F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
     ).first()
     frac = rng.uniform(0.30, 0.70)
-    fam = seed % 3
+    fam = seed % 4
     ms = F.unix_millis(F.col("ts"))
     sample_pct = int(rng.uniform(20, 90))
     in_sample = F.pmod(F.abs(F.hash(F.col("event_id"))), F.lit(100)) < sample_pct
@@ -308,7 +312,7 @@ def late_drop_seed(spark, events, seed: int):
         # guarantees every exploded (row, window) pair ends below W
         late_pred = (ms < w_cut - size_ms) & in_sample
         label = f"late-sliding size={size} slide={slide}"
-    else:  # dropDuplicatesWithinWatermark
+    elif fam == 2:  # dropDuplicatesWithinWatermark
         keys = rng.choice(
             [["event_id"], ["user_id", "event_type"], ["event_type"],
              ["user_id"]]
@@ -318,6 +322,21 @@ def late_drop_seed(spark, events, seed: int):
         # every late row strictly below W under either <=/< convention
         late_pred = (ms < w_cut - 60_000) & in_sample
         label = f"late-dedup keys={keys}"
+    else:  # session aggregation
+        gap = rng.choice(["5 minutes", "17 minutes", "30 minutes", "2 hours"])
+        gap_ms = {"5 minutes": 5 * 60_000, "17 minutes": 17 * 60_000,
+                  "30 minutes": 30 * 60_000, "2 hours": 2 * 3_600_000}[gap]
+        w_cut = pick_watermark_cutoff(tmin, tmax, frac)
+        # session ends are data-dependent ({row ts + gap} before merge,
+        # {last session ts + gap} after): nudge W off the ms-aligned
+        # candidates so no emitted/withheld decision sits on an equality
+        while ev.filter(ms + gap_ms == w_cut).count() > 0:
+            w_cut -= 1
+        # a late row's pre-merge session window ends at ts + gap; the
+        # 60 s margin keeps it strictly below W, so it is dropped BEFORE
+        # merging and can never extend or bridge an on-time session
+        late_pred = (ms + gap_ms < w_cut - 60_000) & in_sample
+        label = f"late-session gap={gap}"
 
     delay_ms = tmax - w_cut
     wm = f"{delay_ms} milliseconds"
@@ -373,7 +392,7 @@ def late_drop_seed(spark, events, seed: int):
                 F.window(F.col("ts"), size, slide), "event_type"
             ).distinct().count()
             drop_hi = late.select(F.window(F.col("ts"), size, slide)).count()
-        else:
+        elif fam == 2:
             q = _run(
                 W.streaming_dedup(stream, keys=keys, watermark=wm),
                 name, mode="append",
@@ -383,6 +402,35 @@ def late_drop_seed(spark, events, seed: int):
             # dedup has no partial aggregation: every late ROW reaches
             # the stateful operator and is dropped there
             drop_lo = drop_hi = late_n
+        else:
+            q = _run(
+                W.session_aggregates(stream, gap=gap, watermark=wm),
+                name, mode="append",
+            )
+            cols = ["user_id", "session_start", "session_end", "n_events",
+                    "session_value"]
+            got = _canon(spark.table(name), cols)
+            # the end < W cut MUST happen python-side, after collect():
+            # a plan-side .filter(session_end < W) gets pushed by
+            # Catalyst below MergingSessions as a per-row ts + gap < W
+            # scan predicate, which changes session merging itself (a
+            # row whose solo window crosses W is removed BEFORE it can
+            # merge into an earlier session, leaving a phantom shorter
+            # session) — this fuzzer caught exactly that at sf0.1
+            # seed 182003; see streaming/windows.py:session_aggregates
+            rows = W.session_aggregates(ontime, gap=gap).select(
+                *cols, F.unix_millis("session_end").alias("_end_ms")
+            ).collect()
+            exp = sorted(
+                tuple(r[c] for c in cols)
+                for r in rows
+                if r["_end_ms"] < w_cut
+            )
+            # partial (per-partition) session merging may pre-combine
+            # late rows before the stateful operator drops them: between
+            # fully-merged late sessions and raw late rows are dropped
+            drop_lo = W.session_aggregates(late, gap=gap).count()
+            drop_hi = late_n
         dropped_got = _dropped_by_watermark(q)
     finally:
         shutil.rmtree(root, ignore_errors=True)

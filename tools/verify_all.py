@@ -27,10 +27,11 @@ run, in one command.
 9. Streaming-vs-batch fuzz (tools/stream_fuzz.py): a fixed 4-seed
    block of random windowed/stateful parameterizations under random
    micro-batch arrival orders (full-span watermark: final stream state
-   must equal the batch plan), plus a fixed 3-seed deterministic
+   must equal the batch plan), plus a fixed 4-seed deterministic
    late-drop block (narrow watermark, constructed arrival so the drop
    set is unique: emitted rows must equal the batch plan over on-time
-   rows and numRowsDroppedByWatermark must match the construction).
+   rows and numRowsDroppedByWatermark must match the construction;
+   seed % 4 covers tumbling/sliding/dedup/session).
 
 Exit code 0 = shippable.
 """
@@ -184,21 +185,21 @@ def main() -> int:
         failures.append(f"stream fuzz divergence: {last}")
 
     # 9b: deterministic late-drop block (narrow watermark, the axis the
-    # full-span sweep above deliberately excludes). Fixed 3-seed block —
-    # seed % 3 round-robins tumbling/sliding/dedup sub-families. ~40 s.
+    # full-span sweep above deliberately excludes). Fixed 4-seed block —
+    # seed % 4 round-robins tumbling/sliding/dedup/session. ~60 s.
     r = subprocess.run(
         [
             sys.executable,
             os.path.join(REPO, "tools", "stream_fuzz.py"),
             "/root/testdata/sf0.001",
-            "3",
+            "4",
             "85000",
             "--late",
         ],
         capture_output=True, text=True, timeout=1800,
     )
     last = (r.stdout.strip().splitlines() or ["<no output>"])[-1]
-    print(f"late-drop fuzz (seeds 85000-85002): {last}")
+    print(f"late-drop fuzz (seeds 85000-85003): {last}")
     if r.returncode != 0:
         failures.append(f"late-drop fuzz divergence: {last}")
 
