@@ -53,6 +53,7 @@ HEADLINE = (
     "window_running_sum",
     "window_lag_delta",
     "sessionization",
+    "finalized_sessions",
     "asof_join",
     "rollup_counts",
     "pivot_counts",
@@ -302,6 +303,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     ),
     "analytic": (
         "window_running_sum", "window_lag_delta", "sessionization",
+        "finalized_sessions",
         "asof_join", "asof_forward_tolerance", "rollup_counts",
         "pivot_counts", "count_distinct", "range_join_buckets",
         "cube_counts", "histogram_price", "column_profile", "grouping_sets",

@@ -622,6 +622,62 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+def q_finalized_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions already finalized as of a fixed cutoff T — the native
+    `F.session_window` aggregation (streaming/windows.py) with the
+    end-time cut applied SAFELY post-merge via
+    `finalized_sessions(end_before=T)`.
+
+    The naive plan-side `.filter(session_end < T)` is UNSOUND here:
+    Catalyst pushes it below MergingSessions as a per-row ts + gap < T
+    scan predicate, which changes the merge itself and fabricates
+    phantom short sessions (measured: one extra session at sf0.1 —
+    SCALING.md, "Session-window filter-pushdown hazard"). The helper
+    blocks the pushdown with a nondeterministic value-preserving
+    identity on the compared column, so this entry's oracle parity is
+    direct evidence the cut runs on POST-merge sessions.
+
+    Session contract is session_window's: merge while the gap to the
+    previous event is strictly < 30 min; session_end = last ts + gap
+    (differs from the lag-based `sessionization` entry, whose sessions
+    split on gap > 30 min and end at the last event). Plan: one shuffle
+    on user_id, sort-merge sessions per key, then the post-merge
+    filter — same scale shape as any keyed aggregation."""
+    from shuttlestandalonedbcreator_spark.streaming.windows import (
+        finalized_sessions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return finalized_sessions(
+        ev, gap="30 minutes", end_before="2024-01-20 00:00:00"
+    )
+
+
+SQL_FINALIZED_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, session_value
+FROM agg WHERE session_end < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 extension: as-of (backward) join — for each purchase, the user's
     latest click at-or-before it."""
@@ -13039,6 +13095,7 @@ CATALOG: dict[str, QueryDef] = {
     "window_running_sum": QueryDef(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
     "tumbling_window": QueryDef(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "sessionization": QueryDef(q_sessionization, SQL_SESSIONIZATION),
+    "finalized_sessions": QueryDef(q_finalized_sessions, SQL_FINALIZED_SESSIONS),
     "asof_join": QueryDef(q_asof_join, SQL_ASOF_JOIN),
     "rollup_counts": QueryDef(q_rollup_counts, SQL_ROLLUP_COUNTS),
     "pivot_counts": QueryDef(q_pivot_counts, SQL_PIVOT_COUNTS),

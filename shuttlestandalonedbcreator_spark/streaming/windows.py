@@ -84,11 +84,10 @@ def session_aggregates(
     cut is removed before it can merge into an earlier session, leaving
     a phantom shorter session in the result (found by
     tools/stream_fuzz.py --late at sf0.1: plan-filtered 52403 vs
-    post-merge 52402 sessions, one 2-event session split). Materialize
-    first (collect/checkpoint) or filter on a post-aggregation derived
-    frame boundary if you need an end-time cut; the streaming path is
-    unaffected (the watermark cut happens inside the stateful operator,
-    after merging).
+    post-merge 52402 sessions, one 2-event session split). Use
+    :func:`finalized_sessions` for a safe end-time cut; the streaming
+    path is unaffected (the watermark cut happens inside the stateful
+    operator, after merging).
     """
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
@@ -107,6 +106,40 @@ def session_aggregates(
             "session_value",
         )
     )
+
+
+def finalized_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    end_before=None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session aggregates with a SAFE end-time cut (batch and stream).
+
+    ``end_before`` (a timestamp-coercible value or Column) keeps only
+    sessions whose ``session_end`` is strictly earlier — the natural
+    "sessions already finalized as of T" question. Applying that filter
+    naively over :func:`session_aggregates` in batch mode is unsound
+    (see its docstring: Catalyst pushes the predicate below
+    MergingSessions, which changes the merge). This helper makes the
+    predicate itself non-pushable by routing the compared column
+    through a nondeterministic identity — ``shuffle(array(col))[0]``,
+    a one-element shuffle, value-preserving by construction —
+    because PushDownPredicate only moves deterministic predicates.
+    (A plain unused nondeterministic barrier column does NOT work:
+    column pruning deletes it before pushdown runs — measured.) The
+    cut therefore runs on post-merge sessions, at zero materialization
+    cost (no cache/checkpoint) and without disturbing the
+    aggregation's own plan. Scale shape is identical to
+    session_aggregates: one shuffle on user_id, merge-sort sessions
+    per key.
+    """
+    out = session_aggregates(events, gap=gap, watermark=watermark, ts_col=ts_col)
+    if end_before is None:
+        return out
+    end_nd = F.shuffle(F.array(F.col("session_end")))[0]
+    return out.filter(end_nd < F.lit(end_before).cast("timestamp"))
 
 
 def streaming_dedup(

@@ -179,6 +179,47 @@ def test_session_stream_matches_batch(spark, event_stream):
     assert _canon(got, cols) == _canon(want, cols)
 
 
+def test_finalized_sessions_safe_end_cut(spark):
+    """The batch end-time cut over session windows must run AFTER
+    session merging. A naive .filter(session_end < T) gets pushed by
+    Catalyst below MergingSessions as a per-row ts + gap < T scan
+    predicate, which removes the 10:25 row below BEFORE it can extend
+    user 1's session past T — fabricating a finalized [10:00, 10:30)
+    session that the unfiltered aggregation never produces.
+    finalized_sessions blocks the pushdown (nondeterministic
+    shuffle(array(end))[0] identity) so the cut sees merged sessions."""
+    import datetime as dt
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: 10:00 and 10:25 merge into [10:00, 10:55) >= T
+            (1, ts(10, 0), 10.0),
+            (1, ts(10, 25), 20.0),
+            # user 2: solo [8:00, 8:30) < T — genuinely finalized
+            (2, ts(8, 0), 5.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    cut = ts(10, 35)
+    got = W.finalized_sessions(ev, gap="30 minutes", end_before=cut)
+    rows = got.select("user_id", "n_events", "session_value").collect()
+    assert [(r[0], r[1], r[2]) for r in rows] == [(2, 1, 5.0)]
+    # the full aggregation agrees: user 1's merged session ends at
+    # 10:55, past the cut, so ONLY user 2's session is finalized
+    full = W.session_aggregates(ev, gap="30 minutes").select(
+        "user_id", "session_end"
+    ).collect()
+    assert {(r[0], r[1]) for r in full} == {(1, ts(10, 55)), (2, ts(8, 30))}
+    # plan shape: the cut stays ABOVE the aggregate (not pushed to scan)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Filter") < plan.index("Aggregate")
+    # end_before=None is a plain passthrough
+    assert W.finalized_sessions(ev, gap="30 minutes").count() == 2
+
+
 def test_streaming_dedup(spark, event_stream):
     ev, stream = event_stream
     dup_stream = W.streaming_dedup(stream, keys=["user_id", "event_type"], watermark="365 days")
