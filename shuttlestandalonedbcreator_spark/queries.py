@@ -7584,6 +7584,44 @@ FROM scored
 """
 
 
+def _basket_items(li: DataFrame) -> DataFrame:
+    """Per-order DISTINCT part sets as sorted arrays: (l_orderkey, _ps).
+
+    r10 shared core for the co-purchase graph family (copurchase_lift,
+    pagerank_fixed, kcore_decomposition, graph_degree_distribution).
+    One l_orderkey exchange builds the basket arrays; pair expansion
+    then runs INSIDE each array (same posting-list HOF pattern as
+    _ngram_pair_intersections) — replacing the old
+    items.distinct() + self-join on l_orderkey, which shuffled the
+    item table three times (distinct, join left, join right) and paid
+    two sort-merge sorts, with ONE shuffle (guide §2.4). Fan-out per
+    basket is still bounded by basket size² (TPC-H baskets ≤ 7; a
+    domain-bounded cap at any SF), identical to the join's bound."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_ps")
+    )
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """(p1, p2, c12) co-basket counts, p1 < p2, from _basket_items
+    output — ascending-slice expansion guarantees p1 < p2 exactly as
+    the old `a.l_partkey < b.l_partkey` self-join predicate did."""
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "transform(slice(_ps, i + 2, size(_ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.p1", "_p.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+
 def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: for part pairs co-ordered in the
     same basket, support / confidence / lift — the co-occurrence shape
@@ -7595,25 +7633,15 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lift = c12*N / (c1*c2)), shipped unrounded. Top-20 by lift with
     (p1, p2) tiebreaks; min co-count 2 prunes the singleton tail."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= 2)
-    )
-    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n_baskets = items.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
-    )
+    # r10: basket arrays instead of the items self-join (one exchange —
+    # _basket_items/_basket_pairs); the frame feeds pairs, per-part
+    # counts AND the basket total, so it checkpoints once (guide §2.4)
+    baskets = _basket_items(li).localCheckpoint(eager=True)
+    pairs = _basket_pairs(baskets).filter(F.col("c12") >= 2)
+    ic = baskets.select(F.explode("_ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     scored = (
         pairs.join(ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1")
         .join(ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
@@ -8580,16 +8608,28 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stage sees a pre-shrunk corpus — the ordering every real
     pipeline uses). Emits the funnel: raw → exact survivors → near-dup
     survivors. Keep rules are deterministic: min doc_id per content
-    hash; near-dup pairs drop the higher id."""
+    hash; near-dup pairs drop the higher id.
+
+    r10 optimization (guide §2.4/§5): survivors is referenced twice
+    (the near-dup pass and its own count) and Spark re-derives an
+    un-materialized subtree per reference, so it is checkpointed once.
+    The old anti-join count is pure arithmetic — every dropped id IS a
+    survivor id by construction (pairs come from survivors), so
+    n_neardup = n_exact − |distinct dropped|; the third survivors
+    recomputation and the anti-join shuffle are gone."""
     docs = _t(spark, sf_dir, "documents")
     survivors = (
         docs.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .join(docs.select("doc_id", "text"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     pairs = D.ngram_jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.5)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = survivors.join(dropped, "doc_id", "left_anti")
+    n_dropped = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
     return (
         docs.agg(F.count(F.lit(1)).alias("n_raw"))
         .crossJoin(
@@ -8597,10 +8637,11 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 survivors.agg(F.count(F.lit(1)).alias("n_exact")), "one_row"
             )
         )
-        .crossJoin(
-            bounded_broadcast(
-                kept.agg(F.count(F.lit(1)).alias("n_neardup")), "one_row"
-            )
+        .crossJoin(bounded_broadcast(n_dropped, "one_row"))
+        .select(
+            "n_raw",
+            "n_exact",
+            (F.col("n_exact") - F.col("_nd")).alias("n_neardup"),
         )
     )
 
@@ -9350,17 +9391,11 @@ def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components, rounds fixed at 3. Edge volume is bounded by
     per-basket size², never corpus² (copurchase_lift's bound)."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # r10: basket-array pair expansion replaces the items self-join
+    # (3 exchanges + 2 sorts → 1 exchange; guide §2.4, same bound)
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+        _basket_pairs(_basket_items(li))
+        .filter(F.col("c12") >= 2)
         .select("p1", "p2")
     )
     # checkpoint the edge list FIRST: deg, the ed join, and the rank
@@ -10028,17 +10063,11 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (basket-bounded), one degree count, one histogram count —
     nothing global."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # r10: basket-array pair expansion replaces the items self-join
+    # (3 exchanges + 2 sorts → 1 exchange; guide §2.4, same bound)
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+        _basket_pairs(_basket_items(li))
+        .filter(F.col("c12") >= 2)
         .select("p1", "p2")
     )
     sym = und.select(F.col("p1").alias("node")).unionByName(
@@ -11067,22 +11096,30 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the straight all-pairs join, so the pruning is PROVEN lossless at
     every SF, not assumed. The distinct shingle frame is eagerly
     checkpointed — four consumers (sizes, df table, prefix ranking,
-    verify sets) would each re-run the shingle pipeline otherwise."""
+    verify sets) would each re-run the shingle pipeline otherwise.
+
+    r10 optimization (guide §2.3/§2.4 + §4.1): shingles are 64-bit
+    xxhash64 keys computed straight from the token columns
+    (word_ngram_hashes — no gram strings, no md5; the hash never reaches
+    the output, and prefix filtering is lossless under ANY consistent
+    shingle total order, so (df, hh) stays a valid order with the new
+    hash family). The per-doc gram ARRAY is the checkpointed base: doc
+    sizes ride along as size(_arr) instead of a groupBy, the verify sets
+    are the arrays themselves instead of a collect_list re-aggregation,
+    and the old explode+distinct exchange disappears (the arrays are
+    distinct by construction). Docs below PFJ_MIN_GRAMS are dropped
+    before everything — they can never appear in the output, and
+    pruning them up front shrinks every downstream frame."""
     docs = _t(spark, sf_dir, "documents")
-    grams = (
+    base = (
         docs.select(
-            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
+            "doc_id", D.word_ngram_hashes(F.col("text"), 3).alias("_arr")
         )
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hh"),
-        )
-        .distinct()
+        .withColumn("n", F.size("_arr").cast("long"))
+        .filter(F.col("n") >= PFJ_MIN_GRAMS)
     )
-    grams = grams.localCheckpoint(eager=True)
-    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    base = base.localCheckpoint(eager=True)
+    grams = base.select("doc_id", "n", F.explode("_arr").alias("hh"))
     df_tbl = grams.groupBy("hh").agg(F.count(F.lit(1)).alias("df"))
     wrk = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("hh").asc()
@@ -11091,10 +11128,8 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", F.row_number().over(wrk)
     )
     pre = (
-        ranked.join(sz, "doc_id")
-        .filter(F.col("n") >= PFJ_MIN_GRAMS)
         # prefix length = n - ceil(0.6*n) + 1; ceil(3n/5) = (3n+4) div 5
-        .filter(
+        ranked.filter(
             F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
         )
         .select("doc_id", "hh")
@@ -11125,18 +11160,14 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    sets = grams.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("hh")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    sa = sets.select(
+    sa = base.select(
         F.col("doc_id").alias("id_a"),
-        F.col("s").alias("sa"),
+        F.col("_arr").alias("sa"),
         F.col("n").alias("na"),
     )
-    sb = sets.select(
+    sb = base.select(
         F.col("doc_id").alias("id_b"),
-        F.col("s").alias("sb"),
+        F.col("_arr").alias("sb"),
         F.col("n").alias("nb"),
     )
     v = (
@@ -11244,22 +11275,13 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long"),
     )
-    grams = (
-        docs.select(
-            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
-        )
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hh"),
-        )
-        .distinct()
-    )
-    sets = grams.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("hh")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    # exact side (r10, guide §2.3/§4.1): per-doc shingle sets as
+    # xxhash64 arrays computed in one narrow pass — the hash never
+    # reaches the output (only |A∩B| does), so no md5, no explode +
+    # distinct + collect_list re-aggregation, zero exchanges here
+    sets = docs.select(
+        "doc_id", D.word_ngram_hashes(F.col("text"), 3).alias("s")
+    ).withColumn("n", F.size("s").cast("long"))
     sa = sets.select(
         F.col("doc_id").alias("id_a"),
         F.col("s").alias("sa"),
@@ -11660,19 +11682,11 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured as a 60 GB oracle spill before materialization).
     Returns each surviving node with its induced-core degree."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # r10: basket-array pair expansion replaces the items self-join
+    # (3 exchanges + 2 sorts → 1 exchange; guide §2.4, same bound)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+        _basket_pairs(_basket_items(li))
+        .filter(F.col("c12") >= 2)
         .select("p1", "p2")
     )
     edges = edges.localCheckpoint(eager=True)
@@ -12102,52 +12116,18 @@ def q_lsh_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures the ESTIMATOR per pair, this measures the DETECTOR.
 
     Both sides are exact-integer set algebra; the full-outer join of
-    truth vs candidates classifies every pair exactly once. The shingle
-    frame is checkpointed — it feeds the posting-list truth side while
-    the signature side re-shingles internally (minhash_signature owns
-    its own scan), keeping each pipeline linear."""
+    truth vs candidates classifies every pair exactly once. The truth
+    side is the shared inverted-index core (_ngram_pair_intersections:
+    xxhash64 token-column shingles, sizes carried through the posting
+    lists — r10, guide §2.3/§4.1; the old md5-string gram pipeline with
+    its distinct + size-join exchanges is gone). The signature side
+    re-shingles internally with the md5 family the oracle replays
+    hash-for-hash (minhash_signature owns its own scan), keeping each
+    pipeline linear."""
     docs = _t(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
-            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
-        )
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hh"),
-        )
-        .distinct()
-    )
-    grams = grams.localCheckpoint(eager=True)
-    sz = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    plists = (
-        grams.join(sz, "doc_id")
-        .groupBy("hh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    shared = (
-        plists.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x.doc_id AS id_a, x.n AS na, "
-                    "y.doc_id AS id_b, y.n AS nb))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.na", "p.id_b", "p.nb")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
-    )
+    shared = D._ngram_pair_intersections(docs, "doc_id", "text", 3)
     true_pairs = shared.filter(
-        F.lit(3) * F.col("inter") >= F.col("na") + F.col("nb")
+        F.lit(3) * F.col("_inter") >= F.col("_sza") + F.col("_szb")
     ).select("id_a", "id_b")
     sig = D.minhash_signature(docs, "doc_id", "text", n=3, num_hashes=32)
     banded = D._banded(sig, num_hashes=32, bands=8)
