@@ -12489,42 +12489,38 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) — the redundancy-growth curve behind "is more of this source
     still adding information?" decisions; a source whose marginal docs
     score near zero is saturated. Global identity: Σ n_novel = distinct
-    grams in the corpus (each gram is novel exactly once). One gram-
-    keyed min aggregate + a join back on the same key (exchange reuse),
-    then a doc-keyed count — two shuffles, linear at any scale. The
-    novelty ratio is a single division of exact ints, shipped
-    unrounded."""
+    grams in the corpus (each gram is novel exactly once).
+
+    r10 restructure (guide §2.3/§2.4/§4.1): shingles are xxhash64
+    arrays (word_ngram_hashes — internal keys only), so n_grams is
+    size(_arr) in the narrow pass, and n_novel per doc is just the
+    `first` table GROUPED BY first_doc — the old corpus-wide
+    grams⋈first join (plus the explode+distinct exchange feeding it)
+    collapses into one vocabulary-sized aggregate. Two map-side-partial
+    aggregates total; the only corpus-wide shuffle keys on the gram
+    hash. The novelty ratio is a single division of exact ints,
+    shipped unrounded."""
     docs = _t(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
-            "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("g")
-        )
+    base = docs.select(
+        "doc_id", D.word_ngram_hashes(F.col("text"), 3).alias("_arr")
+    ).filter(F.size("_arr") >= 1)
+    grams = base.select("doc_id", F.explode("_arr").alias("hh"))
+    first = grams.groupBy("hh").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        base.select("doc_id", F.size("_arr").cast("long").alias("n_grams"))
+        .join(novel.withColumnRenamed("first_doc", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hh"),
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
         )
-        .distinct()
-    )
-    first = grams.groupBy("hh").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first, "hh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_grams",
-        "n_novel",
-        (
-            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
-        ).alias("novelty"),
     )
 
 
