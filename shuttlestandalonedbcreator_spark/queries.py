@@ -11573,29 +11573,32 @@ def _power_iteration_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, t: acc + t,
             ).alias("dot"),
         )
-        y = dotted.agg(
-            *[
-                F.sum(F.get("xq", j) * F.col("dot")).alias(f"y{j}")
-                for j in range(PI_DIM)
-            ]
+        # r10: y as a posexplode + 64-group aggregate instead of a 64-
+        # column-wide agg — the wide form's expression tree dominated the
+        # entry (codegen + eval: 3.3 s vs 1.05 s steady-state, first run
+        # 9.2 s vs 2.4 s; results bit-equal). The exchange this adds is
+        # 64 partial rows per map task — nothing at any scale (guide
+        # §1.2 per-task work, §2.3 map-side partial aggregation).
+        y = (
+            dotted.select("dot", F.posexplode("xq").alias("j", "x"))
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("dot")).alias("y"))
         )
-        # floor at 1 so a degenerate all-zero corpus renormalizes to the
-        # zero vector instead of an ANSI divide-by-zero
-        y = y.withColumn(
-            "m",
-            F.greatest(
-                *[F.abs(F.col(f"y{j}")) for j in range(PI_DIM)], F.lit(1)
-            ),
-        )
-        v = y.select(
-            F.array(
-                *[
-                    (
-                        F.expr(f"((y{j} + m) * 1000) div m") - F.lit(1000)
-                    ).cast("long")
-                    for j in range(PI_DIM)
-                ]
-            ).alias("v")
+        # renormalize on the reassembled 64-element array; m (the max
+        # |y|, floored at 1 so a degenerate all-zero corpus renormalizes
+        # to the zero vector instead of an ANSI divide-by-zero) is
+        # let-bound through a 1-element array so the HOF body does not
+        # re-fold it per element (no CSE across lambda boundaries)
+        v = (
+            y.agg(F.array_sort(F.collect_list(F.struct("j", "y"))).alias("ys"))
+            .select(F.expr("transform(ys, s -> s.y)").alias("ya"))
+            .select(
+                F.expr(
+                    "element_at(transform("
+                    "array(greatest(array_max(transform(ya, y -> abs(y))), 1L)),"
+                    "m -> transform(ya, y -> CAST(((y + m) * 1000) div m - 1000 AS BIGINT))), 1) AS v"
+                )
+            )
         )
         v = v.localCheckpoint(eager=True)
     return v
