@@ -83,17 +83,36 @@ def brute_force_topk(
     The query side is broadcast (small dimension table); scoring is a
     narrow map over the base vectors; ranking is a window per query id —
     shuffle keyed on query_id, k rows per query out.
+
+    r10: both norms are precomputed ONCE per row below the join (corpus
+    norm in the streamed-side projection, query norm in the broadcast
+    build) instead of re-folding per PAIR inside `cosine` — 2 of the 3
+    64-element folds leave the quadratic scoring loop (guide §1.2).
+    Bit-identical: `norm` is deterministic, and the score expression is
+    the same dot/(na*nb) tree evaluated on the same doubles.
     """
     q = bounded_broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qv"),
+            norm(F.col(query_vec_col)).alias("_nq"),
         ),
         "query_set",
     )
-    scored = vectors.crossJoin(q).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("score"),
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_nv"),
+        )
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_nv") * F.col("_nq")), 6
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -129,21 +148,28 @@ def hard_negative_topk(
             F.col(id_col).alias("anchor_id"),
             F.col(vec_col).alias("_av"),
             F.col(label_col).alias("_al"),
+            norm(F.col(vec_col)).alias("_na"),
         ),
         "query_set",
     )
+    # corpus/anchor norms precomputed once per ROW below the join (r10,
+    # guide §1.2) — bit-identical to the per-pair `cosine` fold, see
+    # brute_force_topk
     scored = (
         vectors.select(
             F.col(id_col).alias("negative_id"),
             F.col(vec_col).alias("_cv"),
             F.col(label_col).alias("_cl"),
+            norm(F.col(vec_col)).alias("_nc"),
         )
         .crossJoin(a)
         .filter(F.col("_cl") != F.col("_al"))
         .select(
             "anchor_id",
             "negative_id",
-            F.round(cosine(F.col("_cv"), F.col("_av")), 6).alias("score"),
+            F.round(
+                dot(F.col("_cv"), F.col("_av")) / (F.col("_nc") * F.col("_na")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -197,7 +223,13 @@ def ivf_topk(
         )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="_feat", predictionCol="_cell")
     model = km.fit(base.select("_feat"))
-    assigned = model.transform(base).select("_id", "_v", "_cell")
+    # corpus norm precomputed once per row (r10, guide §1.2) — the probe
+    # join fans each vector out to every probing query, and the per-pair
+    # `cosine` re-folded it per fan-out copy; bit-identical, see
+    # brute_force_topk
+    assigned = model.transform(base).select(
+        "_id", "_v", "_cell", norm(F.col("_v")).alias("_nv")
+    )
 
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     spark = vectors.sparkSession
@@ -205,12 +237,15 @@ def ivf_topk(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+        norm(F.col(query_vec_col)).alias("_nq"),
     )
     # rank cells per query by centroid distance; keep n_probe
     qc = q.crossJoin(bounded_broadcast(cent_df, "query_set")).select(
         "query_id",
         "_qv",
+        "_nq",
         "cell",
         F.aggregate(
             F.zip_with(
@@ -226,7 +261,9 @@ def ivf_topk(
     cand = probes.join(assigned, probes["cell"] == assigned["_cell"]).select(
         "query_id",
         F.col("_id").alias("neighbor_id"),
-        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+        F.round(
+            dot(F.col("_v"), F.col("_qv")) / (F.col("_nv") * F.col("_nq")), 6
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -255,23 +292,75 @@ def cosine_neardup_pairs(
     use ``exact=False``: sign-LSH bucketing (same family as ``lsh_topk``)
     generates candidates only inside signature buckets, then verifies with
     the true cosine — output-bounded, join keyed on the bucket.
+
+    r10: the exact pass runs on the vectorized Arrow path (the
+    `matmul_topk` kernel, guide §4.2): the full normalized matrix ships
+    in the task closure — the SAME distribution strategy as the
+    BroadcastNestedLoopJoin it replaces (the b-side was broadcast there
+    too) — and each Arrow batch of the streamed side scores against it
+    with one BLAS matmul instead of a 64-element HOF fold per pair.
+    Spark's NaN-is-largest comparison semantics are replicated for
+    degenerate zero-norm vectors (NaN cosine passes the threshold there,
+    so it must pass here).
     """
-    unit = vectors.select(
+    if exact:
+        import numpy as np
+
+        import shuttlestandalonedbcreator_spark.operators.similarity as _self_module
+        from pyspark.cloudpickle import register_pickle_by_value
+        from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+        register_pickle_by_value(_self_module)
+
+        rows = vectors.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        ).collect()
+        rows = [r for r in rows if r["_v"] is not None]
+        if not rows:
+            return vectors.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        b_ids = np.array([r["_id"] for r in rows])
+        bm = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+
+        def pair_partition(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["_id"].to_numpy()
+                c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                c /= np.linalg.norm(c, axis=1, keepdims=True)
+                scores = np.round(c @ bm.T, 6)  # (batch, n_corpus)
+                # id_a < id_b, rounded cosine >= t — with NaN kept, matching
+                # Spark SQL's NaN-greatest ordering on the HOF path
+                keep = (ids[:, None] < b_ids[None, :]) & (
+                    (scores >= threshold) | np.isnan(scores)
+                )
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[ai],
+                        "id_b": b_ids[bj],
+                        "cosine": scores[ai, bj],
+                    }
+                )
+
+        src = fan_out(
+            vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        ).filter(F.col("_v").isNotNull())
+        return src.mapInPandas(
+            pair_partition, schema="id_a long, id_b long, cosine double"
+        )
+
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    unit = fan_out(vectors).select(
         F.col(id_col).alias("_id"),
         unit_vector(F.col(vec_col)).alias("_u"),
     )
-    if exact:
-        # left side fans out so the quadratic pair pass parallelizes even
-        # from a single input split; right side broadcasts when small
-        from shuttlestandalonedbcreator_spark.operators.util import fan_out
-
-        a, b = fan_out(unit).alias("a"), unit.alias("b")
-        pairs = a.join(b, F.col("a._id") < F.col("b._id")).select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(dot(F.col("a._u"), F.col("b._u")), 6).alias("cosine"),
-        )
-        return pairs.filter(F.col("cosine") >= threshold)
 
     # scale path: candidates meet only inside an LSH signature bucket.
     # the bucket is computed under a let-bound _u (1-element array
@@ -297,17 +386,30 @@ def cosine_neardup_pairs(
         "_u",
         F.element_at(F.transform(F.array(F.col("_u")), bucket_of), 1).alias("_bucket"),
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
+    # r10: pairs meet via ONE bucket-keyed exchange into posting lists
+    # (the `_ngram_pair_intersections` pattern, guide §2.4) instead of a
+    # two-sided self-join that computed the normalization + 8-fold
+    # signature twice per row and shuffled both sides. The in-bucket dot
+    # is the same zip_with/aggregate double fold — bit-identical scores.
+    grouped = (
+        tagged.groupBy("_bucket")
+        .agg(F.collect_list(F.struct("_id", "_u")).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_m, x -> "
+                    "transform(filter(_m, y -> x._id < y._id), y -> "
+                    "struct(x._id AS id_a, y._id AS id_b, "
+                    "round(aggregate(zip_with(x._u, y._u, "
+                    "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) AS cosine))))"
+                )
+            ).alias("_c")
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(dot(F.col("a._u"), F.col("b._u")), 6).alias("cosine"),
-        )
+        .select("_c.id_a", "_c.id_b", "_c.cosine")
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -346,6 +448,12 @@ def lsh_topk(
     hyperplanes); candidates are pairs sharing the full signature bucket.
     Join is keyed on the bucket — output-bounded, no quadratic pass; recall
     is tunable with fewer planes / multiple tables. Deterministic seeds.
+
+    r10: the per-row norm is precomputed once in `tagged` instead of
+    re-folding per PAIR inside `cosine` — bit-identical, see
+    brute_force_topk. (A posting-list rewrite of the bucket join was
+    measured SLOWER here — both-directions expansion per bucket — and
+    was not kept.)
     """
     comps = _sign_planes(planes, dim)
     sig_bits = []
@@ -359,7 +467,10 @@ def lsh_topk(
         sig_bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
 
     tagged = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.concat(*sig_bits).alias("_bucket")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_nv"),
+        F.concat(*sig_bits).alias("_bucket"),
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = a.join(
@@ -368,7 +479,9 @@ def lsh_topk(
     ).select(
         F.col("a._id").alias("query_id"),
         F.col("b._id").alias("neighbor_id"),
-        F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+        F.round(
+            dot(F.col("a._v"), F.col("b._v")) / (F.col("a._nv") * F.col("b._nv")), 6
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -1217,6 +1217,11 @@ def q_embedding_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", "embedding",
         k=k, n_centroids=16, n_probe=4,
     )
+    # r10: the IVF subtree feeds BOTH the per-query contract aggregate and
+    # the recall join below; un-materialized, Spark re-ran the whole
+    # probe+score+window pipeline once per reference (guide §5.1) — one
+    # 50-row localCheckpoint halves the entry
+    ivf = ivf.localCheckpoint(eager=True)
     exact = V.brute_force_topk(
         emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=k
     ).select("query_id", F.col("neighbor_id").alias("_exact_n"))
@@ -1431,20 +1436,20 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants per embedding (base + a clamped +3-brightness copy — dHash
     compares adjacent pixels, so the shift preserves most bits and flips
     only those at the 255 clamp boundary), encode each to a REAL PNG and
-    decode it back with the stdlib codec (streaming/imagecodec.py) inside
-    Arrow-batched mapInPandas stages, nearest-neighbor resize to the 9x8
-    dHash grid, pack the 64 comparison bits into two 32-bit halves (the
-    resize + bit-pack fused INSIDE the decode hop, r7 video lesson —
-    only 16 bytes/image leave Python, not the 72-int grid), then band
-    into 4x16-bit keys: candidate pairs meet ONLY inside a band bucket
-    (keyed shuffle — output-bounded, never all-pairs) and verify with
-    the exact Hamming distance.
+    decode it back with the stdlib codec (streaming/imagecodec.py) in
+    ONE fused Arrow-batched mapInPandas hop (r10 — encode, decode,
+    nearest-neighbor resize to the 9x8 dHash grid and the 64-bit pack
+    into two 32-bit halves all happen inside the hop; only 16
+    bytes/image leave Python), then band into 4x16-bit keys: candidate
+    pairs meet ONLY inside a band bucket (ONE keyed shuffle into
+    posting lists — output-bounded, never all-pairs) and verify with
+    the exact Hamming distance inside the expansion.
 
     100 TB shape: the hash pass is a narrow map (one Python hop per
     image, PNG lossless so the oracle recomputes pixels from the
-    formula); the banded self-join is keyed on (band, value) exactly
-    like minhash_lsh_candidates; the tiny hash table broadcast-joins
-    back for verification."""
+    formula); the posting lists are keyed on (band, value) exactly
+    like minhash_lsh_candidates and carry the packed hash, so
+    verification needs no join back."""
     from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import imagecodec as IC
 
@@ -1476,31 +1481,25 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_pickle_by_value(_sys.modules[IC.__name__])
 
-    def enc(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            png = [
-                IC.encode_png(16, 16, 1, np.asarray(px, dtype=np.uint8).tobytes())
-                for px in pdf["px"]
-            ]
-            yield pd.DataFrame({"img_id": pdf["img_id"], "png": png})
-
-    def dec(batches):
-        # the video-fuse lesson (r7) applied: fold the 64 dHash
-        # comparison bits into (hi, lo) right here, vectorized over the
-        # 9x8 grid — pure-integer ops, so bit-identical to the previous
-        # JVM-side HOF fold, and only 16 bytes/image cross Arrow instead
-        # of the 72-int resized grid
+    def codec(batches):
+        # r10 FUSED codec hop (guide §4.1): encode→decode→resize→bit-pack
+        # in ONE Python hop — the PNG bytes never cross Arrow and one
+        # JVM↔Python round trip is gone; the real PNG round-trip itself
+        # is unchanged (encode_png then decode_png per image). The bit
+        # pack stays vectorized over the 9x8 grid (pure-integer ops,
+        # bit-identical to the JVM HOF fold it replaced in r7); only
+        # 16 bytes/image leave Python.
         import numpy as np
         import pandas as pd
 
         w32 = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
             his, los = [], []
-            for data in pdf["png"]:
-                w, h, ch, px = IC.decode_png(bytes(data))
+            for px_in in pdf["px"]:
+                png = IC.encode_png(
+                    16, 16, 1, np.asarray(px_in, dtype=np.uint8).tobytes()
+                )
+                w, h, ch, px = IC.decode_png(png)
                 small = IC.resize_nearest(w, h, ch, px, 9, 8)
                 g = np.frombuffer(small, dtype=np.uint8).reshape(8, 9)
                 # bit p (row p//8, col p%8): grid[r,c] > grid[r,c+1]
@@ -1509,15 +1508,19 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 los.append(int(bits[32:] @ w32))
             yield pd.DataFrame({"img_id": pdf["img_id"], "hi": his, "lo": los})
 
-    # checkpoint: bands, and both verify sides read ONE materialization
-    # of the hash table instead of re-running the codec pipeline
-    hashed = (
-        imgs.mapInPandas(enc, "img_id long, png binary")
-        .mapInPandas(dec, "img_id long, hi long, lo long")
-        .localCheckpoint(eager=True)
-    )
+    hashed = imgs.mapInPandas(codec, "img_id long, hi long, lo long")
+    # r10: candidates + verification in ONE band-keyed exchange (the
+    # posting-list pattern of _ngram_pair_intersections, guide §2.4),
+    # with the exact Hamming check applied INSIDE the expansion — the
+    # two-sided band self-join, its pair `.distinct()`, the two verify
+    # joins back to the hash table, and the localCheckpoint that fed
+    # them are all gone; only true near-dup pairs reach the dedup
+    # exchange (guide §2.3). hi/lo ride the posting lists, so the pairs
+    # that survive carry everything verification needs.
     bands = hashed.select(
         "img_id",
+        "hi",
+        "lo",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), (F.col("hi") % 65536).alias("bv")),
@@ -1526,42 +1529,29 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.lit(3).alias("band"), _image_idiv(F.col("lo"), 65536).alias("bv")),
             )
         ).alias("b"),
-    ).select("img_id", "b.band", "b.bv")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("c"), ["band", "bv"])
-        .filter(F.col("a.img_id") < F.col("c.img_id"))
-        .select(F.col("a.img_id").alias("id_a"), F.col("c.img_id").alias("id_b"))
-        .distinct()
+    ).select("img_id", "hi", "lo", "b.band", "b.bv")
+    grouped = (
+        bands.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct("img_id", "hi", "lo"))).alias("_m"))
+        .filter(F.size("_m") >= 2)
     )
-    ha = hashed.select(
-        F.col("img_id").alias("id_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-    )
-    hb = hashed.select(
-        F.col("img_id").alias("id_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-    )
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-            ).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 6)
-        .select(
-            "id_a", "id_b", "hamming",
-            (
-                _image_idiv(F.col("id_a"), 2) == _image_idiv(F.col("id_b"), 2)
-            ).alias("same_source"),
-        )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_m, (x, i) -> "
+                "filter(transform(slice(_m, i + 2, size(_m)), "
+                "y -> struct(x.img_id AS id_a, y.img_id AS id_b, "
+                "CAST(bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo) AS INT)"
+                " AS hamming)), "
+                "p -> p.hamming <= 6)))"
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b", "_p.hamming")
+    return pairs.distinct().select(
+        "id_a", "id_b", "hamming",
+        (
+            _image_idiv(F.col("id_a"), 2) == _image_idiv(F.col("id_b"), 2)
+        ).alias("same_source"),
     )
 
 
@@ -1789,23 +1779,23 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline (all real multimodal plumbing): synthesize two 1024-sample
     16-bit PCM variants per embedding (base + a clamped +1000 copy),
     encode each to a REAL RIFF/WAVE file and decode it back with the
-    stdlib codec (streaming/audiocodec.py) inside Arrow-batched
-    mapInPandas stages — the decode stage also extracts 16 frames x 8
-    bands of exact int64 energies (vectorized numpy sum of squared
-    samples over the decoded PCM, the feature-extract half of the
-    multimodal hop) — then 105 fingerprint bits and 4 INTERLEAVED
-    27/26-bit LSH bands (bit t -> band t mod 4): adjacent bits share
-    energy terms and correlate, so bit-slice bands collide ~30x more
-    than interleaved ones (measured at sf0.1: 220k vs 7.5k candidates).
-    Candidate pairs meet ONLY inside a band bucket (keyed shuffle —
+    stdlib codec (streaming/audiocodec.py) in ONE fused Arrow-batched
+    mapInPandas hop (r10 — the hop also extracts 16 frames x 8 bands of
+    exact int64 energies, vectorized numpy sum of squared samples over
+    the decoded PCM; only 128 longs/track leave Python) — then 105
+    fingerprint bits and 4 INTERLEAVED 27/26-bit LSH bands (bit t ->
+    band t mod 4): adjacent bits share energy terms and correlate, so
+    bit-slice bands collide ~30x more than interleaved ones (measured
+    at sf0.1: 220k vs 7.5k candidates). Candidate pairs meet ONLY
+    inside a band bucket (ONE keyed shuffle into posting lists —
     output-bounded, never all-pairs) and verify with the exact Hamming
-    distance over the packed 53+52-bit halves.
+    distance over the packed 53+52-bit halves inside the expansion.
 
     100 TB shape: the fingerprint pass is a narrow map (one Python hop
     per track through the WAV codec; PCM is lossless so the oracle
-    recomputes samples from the formula); the banded self-join is keyed
-    on (band, value) exactly like minhash_lsh_candidates; the tiny hash
-    table broadcast-joins back for verification."""
+    recomputes samples from the formula); the posting lists are keyed
+    on (band, value) exactly like minhash_lsh_candidates and carry the
+    packed fingerprint, so verification needs no join back."""
     from shuttlestandalonedbcreator_spark.operators.util import fan_out
     from shuttlestandalonedbcreator_spark.streaming import audiocodec as AC
 
@@ -1835,31 +1825,24 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_pickle_by_value(_sys.modules[AC.__name__])
 
-    def enc(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            wav = [
-                AC.encode_wav(8000, 1, np.asarray(s, dtype="<i2").tobytes())
-                for s in pdf["s"]
-            ]
-            yield pd.DataFrame({"track_id": pdf["track_id"], "wav": wav})
-
-    def dec(batches):
-        # the band energies are the feature-extraction half of the
+    def codec(batches):
+        # r10 FUSED codec hop (guide §4.1): encode→decode→band-energies
+        # in ONE Python hop — the WAV bytes never cross Arrow and one
+        # JVM↔Python round trip is gone; the real RIFF/WAVE round-trip
+        # itself is unchanged (encode_wav then decode_wav per track).
+        # The band energies are the feature-extraction half of the
         # multimodal hop: E[q] (q = n*8+m; frame n of 64 samples, band m
         # of 8) = exact int64 sum of squared samples, computed vectorized
-        # on the decoded PCM right here instead of an 8x128-element HOF
-        # back in the JVM — ships 128 longs per track through Arrow
-        # instead of 1024 samples, and drops the biggest codegen unit
-        # in the plan (int64 is exact: |s| <= 32768, 8 squares <= 2^33)
+        # on the decoded PCM — ships 128 longs per track through Arrow
+        # instead of 1024 samples (int64 is exact: |s| <= 32768,
+        # 8 squares <= 2^33)
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = []
-            for data in pdf["wav"]:
+            for s_in in pdf["s"]:
+                data = AC.encode_wav(8000, 1, np.asarray(s_in, dtype="<i2").tobytes())
                 _rate, ch, n_frames, pcm = AC.decode_wav(bytes(data))
                 s = np.frombuffer(pcm, dtype="<i2")[: n_frames * ch].astype(
                     "int64"
@@ -1873,9 +1856,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((s * s).reshape(-1, 8).sum(axis=1))
             yield pd.DataFrame({"track_id": pdf["track_id"], "e": out})
 
-    energies = tracks.mapInPandas(enc, "track_id long, wav binary").mapInPandas(
-        dec, "track_id long, e array<long>"
-    )
+    energies = tracks.mapInPandas(codec, "track_id long, e array<long>")
 
     # bit t (t=0..104): n = t div 7 + 1, m = t mod 7 — the
     # Haitsma-Kalker sign of (E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])
@@ -1901,9 +1882,17 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.sequence(F.lit(101), F.lit(1), F.lit(-4))).alias("b1"),
         fold(F.sequence(F.lit(102), F.lit(2), F.lit(-4))).alias("b2"),
         fold(F.sequence(F.lit(103), F.lit(3), F.lit(-4))).alias("b3"),
-    ).localCheckpoint(eager=True)
+    )
+    # r10: candidates + verification in ONE band-keyed exchange (the
+    # posting-list pattern of _ngram_pair_intersections, guide §2.4),
+    # with the exact Hamming check applied INSIDE the expansion — the
+    # two-sided band self-join, its pair `.distinct()`, the two verify
+    # joins, and the localCheckpoint that fed them are all gone; only
+    # true near-dup pairs reach the dedup exchange (guide §2.3).
     bands = hashed.select(
         "track_id",
+        "hi",
+        "lo",
         F.explode(
             F.array(
                 *[
@@ -1912,42 +1901,31 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("track_id", "b.band", "b.bv")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("c"), ["band", "bv"])
-        .filter(F.col("a.track_id") < F.col("c.track_id"))
-        .select(F.col("a.track_id").alias("id_a"), F.col("c.track_id").alias("id_b"))
-        .distinct()
-    )
-    ha = hashed.select(
-        F.col("track_id").alias("id_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-    )
-    hb = hashed.select(
-        F.col("track_id").alias("id_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-    )
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-            ).cast("int").alias("hamming"),
+    ).select("track_id", "hi", "lo", "b.band", "b.bv")
+    grouped = (
+        bands.groupBy("band", "bv")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("track_id", "hi", "lo"))).alias("_m")
         )
-        .filter(F.col("hamming") <= 6)
-        .select(
-            "id_a", "id_b", "hamming",
-            (
-                _image_idiv(F.col("id_a"), 2) == _image_idiv(F.col("id_b"), 2)
-            ).alias("same_source"),
-        )
+        .filter(F.size("_m") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_m, (x, i) -> "
+                "filter(transform(slice(_m, i + 2, size(_m)), "
+                "y -> struct(x.track_id AS id_a, y.track_id AS id_b, "
+                "CAST(bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo) AS INT)"
+                " AS hamming)), "
+                "p -> p.hamming <= 6)))"
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b", "_p.hamming")
+    return pairs.distinct().select(
+        "id_a", "id_b", "hamming",
+        (
+            _image_idiv(F.col("id_a"), 2) == _image_idiv(F.col("id_b"), 2)
+        ).alias("same_source"),
     )
 
 
@@ -2230,8 +2208,12 @@ def q_approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("_whole_est"),
         F.percentile_approx(price, F.lit(0.5), F.lit(1000)).alias("_approx_med"),
-        F.percentile(price, F.lit(0.25)).alias("_p25"),
-        F.percentile(price, F.lit(0.75)).alias("_p75"),
+        # ONE array-percentile instead of two scalar aggs (r10, guide
+        # §1.2): each scalar `percentile` buffers every price in its own
+        # OpenHashMap; the array form computes both quantiles from ONE
+        # buffer with the same per-percentage interpolation — identical
+        # values
+        F.percentile(price, F.array(F.lit(0.25), F.lit(0.75))).alias("_pq"),
     ).join(distincts, "l_returnflag")
     merged = (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -2257,7 +2239,7 @@ def q_approx_aggregates_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.03
             ).alias("sketch_merge_ok"),
             F.col("_approx_med")
-            .between(F.col("_p25"), F.col("_p75"))
+            .between(F.get("_pq", 0), F.get("_pq", 1))
             .alias("median_band_ok"),
         )
     )
@@ -4742,7 +4724,12 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit md5 prefix so the DuckDB oracle reproduces them bit-exactly.
     Docs shorter than one window keep min(all grams) as their single
     fingerprint (winnowing's own rule for short inputs)."""
-    docs = _t(spark, sf_dir, "documents")
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: the single-split toy parquet serialized the whole md5-gram +
+    # winnow pipeline onto one core (guide §2.2 stragglers) — round-robin
+    # the raw rows first like every other per-row-heavy text entry
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     k, w = 4, 5
     expr = f"""
       element_at(transform(array(
@@ -11110,7 +11097,11 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct by construction). Docs below PFJ_MIN_GRAMS are dropped
     before everything — they can never appear in the output, and
     pruning them up front shrinks every downstream frame."""
-    docs = _t(spark, sf_dir, "documents")
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # fan_out first (r10, guide §2.2): the single-split toy parquet would
+    # otherwise run the whole shingle-hash pass on one core
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     base = (
         docs.select(
             "doc_id", D.word_ngram_hashes(F.col("text"), 3).alias("_arr")
@@ -11132,28 +11123,25 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(
             F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
         )
-        .select("doc_id", "hh")
+        .select("doc_id", "n", "hh")
     )
     plists = pre.groupBy("hh").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("ids")
+        F.array_sort(F.collect_set(F.struct("doc_id", "n"))).alias("ids")
     )
+    # r10: size-compatibility prune INSIDE the expansion, before the pair
+    # exchange (guide §2.3, same move as the ngram jaccard floor).
+    # Lossless and integer-exact: the verify filter 5·inter ≥ 3·(na+nb−inter)
+    # is increasing in inter and inter ≤ min(na,nb), so its maximum is
+    # 5·min − 3·max — a pair failing 5·min ≥ 3·max can never verify.
     pairs = (
         plists.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + F.lit(2),
-                                F.size(F.col("ids")) - i - 1,
-                            ),
-                            lambda y: F.struct(
-                                x.alias("id_a"), y.alias("id_b")
-                            ),
-                        ),
-                    )
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "filter(transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+                    "x.n AS nx, y.n AS ny)), "
+                    "p -> 5 * least(p.nx, p.ny) >= 3 * greatest(p.nx, p.ny))))"
                 )
             ).alias("p")
         )

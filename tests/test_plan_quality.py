@@ -334,8 +334,8 @@ def test_forecast_revenue_all_filters_pushed(spark, sf_small):
 #                             broadcast query side)
 #   nearest_centroid_assign — 8-row fixed-codebook cross fold (bounded
 #                             broadcast, argmin pass)
-#   embedding_cosine_neardup— exact pair generation (the oracle baseline;
-#                             the LSH entry is the scale path)
+#   (embedding_cosine_neardup's exact pair pass moved to the BLAS
+#   mapInPandas kernel in r10 — no BNLJ planned any more, so no entry)
 #   gapfill_hourly/locf     — generated time spine × type dimension (tiny)
 #   tfidf_top_terms         — broadcast 1-row corpus-size aggregate
 #   vocab_build             — broadcast 1-row corpus-total aggregate
@@ -401,7 +401,6 @@ _NESTED_LOOP_ALLOWED = {
     "embedding_ivf_topk",
     "embedding_ivf_contract",
     "nearest_centroid_assign",
-    "embedding_cosine_neardup",
     "gapfill_hourly",
     "gapfill_locf",
     "tfidf_top_terms",
@@ -753,27 +752,17 @@ def test_av_codec_pipelines_fan_out(spark, sf_small):
             "fan_out is a no-op on a single-core master — no "
             "RoundRobinPartitioning is planned and 1 partition is correct"
         )
-    # video + image quality gate: no checkpoint, so the executed plan
-    # shows the full lineage (image entries gained the same fan_out in
-    # r8 alongside their decode-hop fuses)
-    for name in ("video_keyframes", "image_quality_gate"):
+    # all four codec entries show full lineage since r10 (the dHash /
+    # fingerprint localCheckpoints were removed when verification moved
+    # into the banded posting-list expansion), so one plan-text assert
+    # covers them: the codec hop plans as MapInPandas and a round-robin
+    # repartition sits in its lineage
+    for name in (
+        "video_keyframes",
+        "image_quality_gate",
+        "audio_fingerprint",
+        "image_dhash_neardup",
+    ):
         plan = plan_of(spark, sf_small, name)
         assert "MapInPandas" in plan, name
         assert "RoundRobinPartitioning" in plan, name
-    # audio + image dHash: their eager localCheckpoint hides the codec
-    # lineage from the final plan — assert on the checkpointed RDD's
-    # partition count instead
-    sc = spark.sparkContext
-    for name in ("audio_fingerprint", "image_dhash_neardup"):
-        before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
-        CATALOG[name].spark(spark, sf_small)
-        new = [
-            info
-            for info in sc._jsc.sc().getRDDStorageInfo()
-            if info.id() not in before
-        ]
-        assert new, f"{name} no longer materializes a checkpoint"
-        assert all(info.numPartitions() > 1 for info in new), (
-            f"{name}: checkpointed hash table collapsed to one partition "
-            "— fan_out before the codec hop was lost"
-        )
