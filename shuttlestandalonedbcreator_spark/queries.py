@@ -1266,7 +1266,10 @@ FROM embeddings WHERE vec_id < 5
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + BPE-ish subword estimate + content fingerprint."""
+    """Token counting + BPE-ish subword estimate + content fingerprint.
+
+    r10: a fan_out here was A/B-measured SLOWER (the text exchange
+    outweighs the per-row work) — left in the original shape."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -3021,6 +3024,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties: (score desc, token asc)."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    # r10: fan_out and a tf localCheckpoint were both A/B-measured SLOWER
+    # here (two consumer branches re-run the fan_out exchange; the
+    # materialization exceeds the re-run) — left in the original shape
     toks = docs.select(
         F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("token")
     )
@@ -4651,10 +4657,17 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-frequency agg, and a semi join back keyed on the gram (inverted
     index family — the hot-gram table is bounded by corpus vocabulary,
     never by corpus size); left join restores zero-boilerplate docs."""
-    docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(D.word_ngrams(F.col("text"), 3)).alias("gram")
-    )
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10 (guide §2.2 + §5.1): ONE fanned-out tokenizer pass builds the
+    # per-doc distinct-gram arrays, materialized once — the old shape ran
+    # word_ngrams on the single input split THREE times (grams feeding
+    # hot, grams feeding boiler, and the separate n_grams projection)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    with_arr = docs.select(
+        "doc_id", D.word_ngrams(F.col("text"), 3).alias("_arr")
+    ).localCheckpoint(eager=True)
+    grams = with_arr.select("doc_id", F.explode("_arr").alias("gram"))
     hot = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_nd"))
@@ -4666,8 +4679,8 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("_nb"))
     )
-    base = docs.select(
-        "doc_id", F.size(D.word_ngrams(F.col("text"), 3)).cast("long").alias("n_grams")
+    base = with_arr.select(
+        "doc_id", F.size("_arr").cast("long").alias("n_grams")
     )
     return base.join(boiler, "doc_id", "left").select(
         "doc_id",
@@ -5416,6 +5429,12 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-token surprisal is rounded to integer micro-nats
     BEFORE the per-doc sum, so accumulation is exact integer math on
     both engines (a double sum would be order-dependent)."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: both fan_out and a tf localCheckpoint were A/B-measured
+    # SLOWER here — tf feeds two branches, so the fan_out exchange re-ran
+    # per branch and the materialization cost exceeded the re-run of the
+    # small token stream; left in the original shape
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -6289,6 +6308,8 @@ def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-row path stays JVM codegen, zero joins per token).
     Output fingerprints the ORDERED id sequence (md5) plus token/OOV
     counts — array-free so the cross-engine compare is exact."""
+    # r10: a fan_out (both passes) was A/B-measured SLOWER here — two
+    # extra text exchanges vs two cheap tokenizer passes; original shape
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("token"))
     vocab_rows = (
@@ -7113,9 +7134,25 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive/generated text). Pure per-row HOF math — tokenize once,
     count distinct types and hapaxes inside the array — zero shuffles,
     zero joins; ratios are single divisions of exact ints."""
-    docs = _t(spark, sf_dir, "documents")
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: fan_out the single-split per-row pass (guide §2.2)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     # let-bind the token array (HOF CSE rule): evaluate tokens() once
     toks = D.tokens(F.col("text"))
+    # r10 (guide §1.2): hapax count via sort + adjacency instead of the
+    # old types×tokens nested filter (quadratic per row). A hapax is a
+    # run of length 1 in the sorted array, so
+    # n_hapax = n_types − |distinct values with an adjacent equal pair|
+    # — exact integer counting, identical result.
+    n_hapax = F.size(F.array_distinct(F.col("_t.w"))).cast("long") - F.expr(
+        "size(element_at(transform(array(array_sort(_t.w)), s -> "
+        "array_distinct(filter(zip_with("
+        "slice(s, 1, greatest(size(s) - 1, 0)), "
+        "slice(s, 2, greatest(size(s) - 1, 0)), "
+        "(a, b) -> IF(a = b, a, CAST(NULL AS STRING))), "
+        "x -> x IS NOT NULL))), 1))"
+    ).cast("long")
     out = docs.select(
         "doc_id",
         F.explode(F.array(F.struct(toks.alias("w")))).alias("_t"),
@@ -7123,12 +7160,7 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.col("_t.w")).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(F.col("_t.w"))).cast("long").alias("n_types"),
-        F.size(
-            F.filter(
-                F.array_distinct(F.col("_t.w")),
-                lambda t: F.size(F.filter(F.col("_t.w"), lambda x: x == t)) == 1,
-            )
-        ).cast("long").alias("n_hapax"),
+        n_hapax.alias("n_hapax"),
     )
     return out.select(
         "doc_id",
@@ -8357,7 +8389,11 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with <2 tokens have no bigrams and drop out (documented).
     Ships avg_nll, not exp(avg) — libm exp is not cross-engine
     reproducible, e^x is the consumer's one-liner."""
-    docs = _t(spark, sf_dir, "documents")
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: fan_out — the single-split toy parquet ran the tokenizer on
+    # one core (guide §2.2)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     # let-bind the tokenization: three references (two slices + size)
     # would re-run the regex split per reference otherwise
     bg_list = F.get(
@@ -8375,6 +8411,11 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
     tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # r10: tf feeds the model counts AND the scored join — the executed
+    # before-plan shows THREE parquet scans (the tokenize+explode+agg
+    # subtree re-ran per branch); one materialization serves all
+    # consumers (guide §5.1)
+    tf = tf.localCheckpoint(eager=True)
     cnt_bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c_bg"))
     cnt_w1 = cnt_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     vsize = cnt_w1.agg(F.count(F.lit(1)).alias("_V"))
@@ -8727,6 +8768,8 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never cross-joined."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    # r10: a fan_out here was A/B-measured SLOWER (extra text exchange
+    # ahead of the weights checkpoint) — left in the original shape
     toks = docs.select(
         F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("token")
     )
@@ -8800,8 +8843,11 @@ def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens. The oracle is the straight exact formulation; the outputs
     must be identical because the pre-pass is a pure superset filter."""
     from shuttlestandalonedbcreator_spark.operators import heavy_hitters as HH
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
 
-    docs = _t(spark, sf_dir, "documents")
+    # r10: fan_out — the MG pre-pass is per-partition, so the single-split
+    # scan ran the tokenizer AND the whole summary on one core (guide §2.2)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("token"))
     return HH.frequent_items_exact(toks, "token", k=32)
 
@@ -9112,6 +9158,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; the two 1-row totals ride as broadcast scalars;
     the unigram side joins twice (w1, w2) on its own key. min_count=5
     keeps the output collocations, not noise."""
+    # r10: fan_out was A/B-measured SLOWER here (two extra text
+    # exchanges outweigh the single-core tokenize at this weight) and
+    # not applied
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("tok"))
     cnt_w = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_w"))
@@ -9609,6 +9658,9 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; D rides as a broadcast 1-row aggregate; top-50
     by Fano with token tiebreak, df ≥ 20 floors the noise."""
     docs = _t(spark, sf_dir, "documents")
+    # r10: a fan_out here was A/B-measured SLOWER (the extra text
+    # exchange outweighs the single-core tokenize at this weight) — left
+    # in the original shape
     toks = docs.select(
         "doc_id", F.explode(D.tokens(F.col("text"))).alias("tok")
     )
@@ -10285,6 +10337,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents")
     terms = ["data", "model", "system"]
+    # r10: fan_out and a toks localCheckpoint were both A/B-measured
+    # SLOWER here (three consumer branches re-run the fan_out exchange;
+    # the materialization exceeds three cheap tokenizer re-runs) — left
+    # in the original shape
     toks = docs.select("doc_id", D.tokens(F.col("text")).alias("w"))
     dl = toks.select("doc_id", F.size("w").cast("long").alias("_dl"))
     stats = dl.agg(
@@ -10689,7 +10745,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (doc_id, bucket); the bucket model is B rows (tiny, joined back
     by bucket key); the 1-row totals cross join is the allowlisted
     scalar-aggregate shape. Top-k via row_number with doc_id tiebreak."""
-    docs = _t(spark, sf_dir, "documents")
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: fan_out — tokenize + per-token md5 ran on the single input
+    # split (guide §2.2)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "lang",
@@ -10711,6 +10771,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = toks.groupBy("doc_id", "lang", "b").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # r10: per_doc feeds the bucket model (→ totals) AND the scored join —
+    # materialize once (guide §5.1)
+    per_doc = per_doc.localCheckpoint(eager=True)
     bucket = per_doc.groupBy("b").agg(
         F.sum(
             F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
@@ -11366,7 +11429,12 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; the per-doc score re-joins the counts; the tercile window
     shuffles once on lang. Docs with <2 tokens have no bigrams and drop
     out, as in bigram_perplexity."""
-    docs = _t(spark, sf_dir, "documents")
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: fan_out the single-split tokenizer pass (guide §2.2); the lang
+    # join below reads its own pruned scan and needs no fan_out
+    docs_raw = _t(spark, sf_dir, "documents")
+    docs = fan_out(docs_raw)
     bg_list = F.get(
         F.transform(
             F.array(D.tokens(F.col("text"))),
@@ -11382,6 +11450,9 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
     tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # r10: one materialization of tf serves the model counts and the
+    # scored join (guide §5.1 — same move as bigram_perplexity)
+    tf = tf.localCheckpoint(eager=True)
     cnt_bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c_bg"))
     cnt_w1 = cnt_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     vsize = cnt_w1.agg(F.count(F.lit(1)).alias("_V"))
@@ -11404,7 +11475,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("n_bigrams"),
         F.sum(F.col("tf") * F.col("_nll")).alias("_s"),
     )
-    enriched = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    enriched = per_doc.join(docs_raw.select("doc_id", "lang"), "doc_id")
     ratio = F.col("_s").cast("double") / F.col("n_bigrams").cast("double")
     wb = Window.partitionBy("lang").orderBy(ratio.asc(), F.col("doc_id").asc())
     return enriched.withColumn("nt", F.ntile(3).over(wb)).select(
@@ -12025,7 +12096,12 @@ def q_hashing_tf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: O(tokens) explode + two keyed aggregates — no vocabulary
     state, the whole point of the hashing trick."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
+    # r10: fan_out — tokenize + per-token md5 ran on the single input
+    # split (guide §2.2); the zero-vector left-join base below is a cheap
+    # separate scan
+    toks = fan_out(docs).select(
         "doc_id",
         F.explode(D.tokens(F.col("text"))).alias("tok"),
     ).select(
