@@ -2666,9 +2666,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup removal (drop the higher id of each jaccard>=0.8 pair).
     Flags are computed per row (narrow); the near-dup id set joins
     hint-free (it scales with the corpus' duplicate mass — AQE broadcasts
-    it only while genuinely small); the output is one funnel-counter row."""
+    it only while genuinely small); the output is one funnel-counter row.
+
+    r10 (guide §2.2): fan_out before the tokenize+score pass — the
+    single-split toy parquet serialized it onto one core (isolated A/B:
+    0.74 → 0.41 s for the scored branch); no-op at scale. The pair core
+    fans out internally."""
+    from shuttlestandalonedbcreator_spark.operators.util import fan_out
+
     docs = _t(spark, sf_dir, "documents")
-    with_toks = docs.select(
+    with_toks = fan_out(docs).select(
         "doc_id", "text", T.word_tokens(F.col("text")).alias("_toks")
     )
     scored = with_toks.select(
@@ -7398,9 +7405,10 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # r10 (guide §2.4): endpoint degree via ONE explode pass over the
+    # checkpointed edges instead of union-of-two-selects (scans once)
     deg = (
-        edges.select(F.col("id_a").alias("v"))
-        .unionByName(edges.select(F.col("id_b").alias("v")))
+        edges.select(F.explode(F.array("id_a", "id_b")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -7745,9 +7753,17 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "_sid")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
+    # r10 (guide §2.4): start/end deltas via ONE explode pass — the union
+    # referenced the un-materialized sessions subtree (window + groupBy)
+    # twice, and carry references it a third time below
     deltas = sessions.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta")
-    ).unionByName(sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("_d")
+    ).select("_d.ts", "_d.delta")
     deltas = deltas.withColumn("day", F.to_date("ts"))
     carry = (
         sessions.filter(F.to_date("s") < F.to_date("e"))
@@ -8812,11 +8828,21 @@ def q_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.sum(F.col("a.wq") * F.col("b.wq")).alias("dot"))
     )
-    sym = dots.unionByName(
-        dots.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "dot"
-        )
-    )
+    # r10 (guide §2.4): symmetrize by exploding a 2-struct array — the
+    # union referenced the un-materialized dots subtree twice, running
+    # the posting-list self-join + pair aggregate 2x
+    sym = dots.select(
+        F.explode(
+            F.array(
+                F.struct("id_a", "id_b", "dot"),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    "dot",
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.id_a", "_p.id_b", "_p.dot")
     cos = (
         sym.join(norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsq", "nsq_a"), "id_a")
         .join(norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsq", "nsq_b"), "id_b")
@@ -9436,10 +9462,21 @@ def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint the edge list FIRST: deg, the ed join, and the rank
     # seed all reference it, and Spark re-derives an un-materialized
-    # subtree per reference — without this the basket pair join runs 3x
+    # subtree per reference — without this the basket pair join runs 3x.
+    # r10 (guide §2.4): symmetrize by exploding a 2-struct array instead
+    # of union-of-two-selects — the union referenced the un-materialized
+    # basket-pair subtree twice, running the whole pair build 2x inside
+    # this checkpoint job
     edges = (
-        und.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                    F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -10109,9 +10146,10 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c12") >= 2)
         .select("p1", "p2")
     )
-    sym = und.select(F.col("p1").alias("node")).unionByName(
-        und.select(F.col("p2").alias("node"))
-    )
+    # r10 (guide §2.4): endpoints via ONE explode pass — the union
+    # referenced the un-materialized pair subtree twice, running the
+    # whole basket-pair build 2x
+    sym = und.select(F.explode(F.array("p1", "p2")).alias("node"))
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -11186,16 +11224,27 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(
             F.col("rk") <= F.col("n") - F.expr("(3 * n + 4) div 5") + F.lit(1)
         )
-        .select("doc_id", "n", "hh")
+        .select("doc_id", "n", "hh", "rk")
     )
     plists = pre.groupBy("hh").agg(
-        F.array_sort(F.collect_set(F.struct("doc_id", "n"))).alias("ids")
+        F.array_sort(F.collect_set(F.struct("doc_id", "n", "rk"))).alias("ids")
     )
-    # r10: size-compatibility prune INSIDE the expansion, before the pair
-    # exchange (guide §2.3, same move as the ngram jaccard floor).
-    # Lossless and integer-exact: the verify filter 5·inter ≥ 3·(na+nb−inter)
-    # is increasing in inter and inter ≤ min(na,nb), so its maximum is
-    # 5·min − 3·max — a pair failing 5·min ≥ 3·max can never verify.
+    # r10: PPJoin POSITIONAL filter INSIDE the expansion, before the pair
+    # exchange (guide §2.3; Xiao et al., WWW'08). rk is each doc's 1-based
+    # position of the shingle in its full (df, hh)-ordered gram list, so
+    # inter ≤ 1 + min(na − rka, nb − rkb) at the pair's FIRST common
+    # prefix shingle: any common shingle ordered before it would sit at
+    # earlier positions in BOTH prefixes, contradicting firstness. The
+    # verify condition 5·inter ≥ 3·(na+nb−inter) ⇔ 8·inter ≥ 3·(na+nb) is
+    # increasing in inter, so a verifying pair always survives at its
+    # first co-occurrence — lossless; later co-occurrences may drop (the
+    # distinct collapses them anyway). At rk = 1 the bound degenerates to
+    # the plain size-compatibility test 5·min ≥ 3·max, so this strictly
+    # subsumes the earlier size prune. Measured at sf0.1: 193,134
+    # distinct candidates under the size test → 68,704 under the
+    # positional bound (−64 %); local wall-clock flat (the verify stage
+    # is parallel since the AQE floor fix) — the win is candidate volume
+    # and shuffled bytes, which is what survives at 100 TB.
     pairs = (
         plists.select(
             F.explode(
@@ -11203,8 +11252,9 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "flatten(transform(ids, (x, i) -> "
                     "filter(transform(slice(ids, i + 2, size(ids)), "
                     "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
-                    "x.n AS nx, y.n AS ny)), "
-                    "p -> 5 * least(p.nx, p.ny) >= 3 * greatest(p.nx, p.ny))))"
+                    "x.n AS nx, y.n AS ny, x.rk AS rkx, y.rk AS rky)), "
+                    "p -> 8 * (1 + least(p.nx - p.rkx, p.ny - p.rky)) "
+                    ">= 3 * (p.nx + p.ny))))"
                 )
             ).alias("p")
         )
@@ -11752,25 +11802,24 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
     )
     edges = edges.localCheckpoint(eager=True)
-    for _ in range(KCORE_ROUNDS):
-        deg = (
-            edges.select(F.col("p1").alias("v"))
-            .unionByName(edges.select(F.col("p2").alias("v")))
+
+    # r10 (guide §2.4): endpoint degree via ONE explode pass instead of
+    # union-of-two-selects — the union scanned the (checkpointed) edge
+    # frame twice per round; interleaved A/B min 2.90 → 2.21 s
+    def _degree(e: DataFrame, out: str) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("p1", "p2")).alias("v"))
             .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.count(F.lit(1)).alias(out))
         )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("v")
+
+    for _ in range(KCORE_ROUNDS):
+        keep = _degree(edges, "d").filter(F.col("d") >= KCORE_K).select("v")
         edges = edges.join(
             keep.withColumnRenamed("v", "p1"), "p1", "left_semi"
         ).join(keep.withColumnRenamed("v", "p2"), "p2", "left_semi")
         edges = edges.localCheckpoint(eager=True)
-    final_deg = (
-        edges.select(F.col("p1").alias("v"))
-        .unionByName(edges.select(F.col("p2").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-    )
-    return final_deg.select("v", "core_degree")
+    return _degree(edges, "core_degree").select("v", "core_degree")
 
 
 def _sql_kcore() -> str:
