@@ -28,6 +28,17 @@ JSON, count on the printed line): a burst that vanishes in a fresh
 context was process noise (the long-running bench JVM degrades — r10
 measured audio_fingerprint at 3.5 s across 4 in-bench runs vs 1.9 s
 fresh), one that survives is a real slowdown of the entry itself.
+
+Round-11 protocol hardening (the r10 driver's 32-core run hit its wall
+timeout with nothing printed): the contract JSON line is printed TWICE —
+once with the raw main-loop timings immediately after the query loop
+("repaired": false), and once after the repair pass ("repaired": true,
+raw values preserved in outlier_checks) — so the measurement survives a
+timeout kill and the repaired estimator is no longer the only reading.
+The repair pass itself only runs when the committed pin records the
+SAME core count as $SPARK_GRAFT_CPUS (a 32-core pin made the 8-core
+driver run trip 52/230 repairs that measured the core deficit, not
+noise) and is capped at MAX_REPAIR_ENTRIES / REPAIR_BUDGET_SEC.
 """
 
 from __future__ import annotations
@@ -727,11 +738,10 @@ def weather_fields(start: dict, end: dict) -> dict[str, float | None]:
     return out
 
 
-def load_pin(sf: float | None) -> dict[str, float]:
-    """Per-query timings from the committed BENCH_DETAIL.json pin, or {}
-    when no pin exists or it was recorded at a different SF (cross-SF
-    ratios measure the fixture, not the code — refuse rather than
-    mislead)."""
+def load_pin_doc(sf: float | None) -> dict:
+    """The committed BENCH_DETAIL.json pin document, or {} when no pin
+    exists or it was recorded at a different SF (cross-SF ratios measure
+    the fixture, not the code — refuse rather than mislead)."""
     pin_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -742,7 +752,13 @@ def load_pin(sf: float | None) -> dict[str, float]:
         return {}
     if sf is None or pin_doc.get("sf") != sf:
         return {}
-    return pin_doc.get("queries", {})
+    return pin_doc
+
+
+def load_pin(sf: float | None) -> dict[str, float]:
+    """Per-query timings from the committed BENCH_DETAIL.json pin (see
+    load_pin_doc for the same-SF guard)."""
+    return load_pin_doc(sf).get("queries", {})
 
 
 def median_ratio_vs_pin(timings: dict[str, float],
@@ -807,10 +823,70 @@ def fresh_process_min(name: str, sf_dir: str,
         return None
 
 
+# Bounds on the outlier-repair pass (round 11 — the r10 driver's 32-core
+# bench was killed at its wall timeout, and the unbounded repair pass was
+# implicated: at any core count other than the pin's, the >1.5x gate
+# mass-trips — 52/230 entries in the 8-core run, each spawning 1-2 fresh
+# Spark JVMs x 3 runs). Repairs are now (a) skipped entirely unless the
+# pin records the SAME core count the bench is running at, (b) capped at
+# MAX_REPAIR_ENTRIES entries (worst ratios first) and REPAIR_BUDGET_SEC of
+# wall time, and (c) the contract JSON line is printed BEFORE the pass so
+# a timeout kill cannot erase the measurement.
+MAX_REPAIR_ENTRIES = 8
+REPAIR_BUDGET_SEC = 90.0
+
+
+def repair_plan(timings: dict[str, float], pin_doc: dict,
+                cpus: int) -> list[str]:
+    """Which entries the outlier-repair pass may re-measure: none unless
+    the pin was recorded at this run's core count (comparing an N-core
+    run against an M-core pin flags the core deficit, not noise), then
+    the >1.5x-vs-pin entries, worst ratio first, capped at
+    MAX_REPAIR_ENTRIES. Pure so the gating is testable."""
+    if pin_doc.get("cpus") != cpus:
+        return []
+    pin = pin_doc.get("queries", {})
+    flagged = [
+        name for name, t in timings.items()
+        if pin.get(name, 0) > 0 and t / pin[name] > 1.5
+    ]
+    flagged.sort(key=lambda n: timings[n] / pin[n], reverse=True)
+    return flagged[:MAX_REPAIR_ENTRIES]
+
+
+def _contract_line(timings: dict[str, float], sf, fixtures, med_ratio,
+                   weather: dict, **extra) -> None:
+    """Print (and FLUSH — the driver may kill this process at a wall
+    timeout, and a block-buffered line would die with it) one contract
+    JSON line from the current per-query timings."""
+    subtotals = {
+        fam: round(sum(timings[q] for q in members if q in timings), 3)
+        for fam, members in FAMILIES.items()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": subtotals,
+                "sf": sf,
+                "n_queries": len(timings),
+                "fixtures": fixtures,
+                "median_ratio_vs_pin": med_ratio,
+                **weather,
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     weather_start = load_weather()
 
     spark = get_spark(app_name="bench")
@@ -836,6 +912,13 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # Contract line #1 — raw main-loop timings, before any repair or
+    # probe work: the r10 32-core driver run was killed at its timeout
+    # with NOTHING printed, so the round had no certified measurement.
+    weather = weather_fields(weather_start, load_weather())
+    _contract_line(timings, sf, fixtures, median_ratio_vs_pin(timings, sf),
+                   weather, cpus=cpus, repaired=False)
+
     # One-sided-noise repair: timing noise is strictly additive (a GC
     # pause, an Arrow batch boundary, a stolen core) — nothing ever makes
     # an operator run FASTER than its steady state. A per-entry burst
@@ -848,32 +931,40 @@ def main() -> None:
     # in-bench all 4 runs vs 1.9 s fresh; video 2.2 s vs 0.7 s) — the
     # LONG-RUNNING PROCESS degrades, so only a fresh-context measurement
     # separates "the entry got slower" from "the process got slower".
-    # This is the variance-vs-weather distinction the r9 A/V bursts
-    # (video_keyframes 2.13x on a steal-0.02%% box) could not make.
-    pin = load_pin(sf)
+    # The pass only makes sense against a pin recorded at the SAME core
+    # count (at 8 cores vs a 32-core pin, a 1.5x ratio is just the core
+    # deficit — the r10 8-core driver run tripped 52/230 entries), and it
+    # is capped so it can never become a wall-time bomb again.
     outlier_repairs: dict[str, list[float]] = {}
     outlier_checks: dict[str, list[float | None]] = {}
-    for name, t in list(timings.items()):
-        if pin.get(name, 0) > 0 and t / pin[name] > 1.5:
-            # up to two fresh sessions: the first can itself catch a
-            # weather burst (it runs on the same box), and an outlier
-            # left unrepaired poisons the recording's acceptance check
-            attempts: list[float | None] = [fresh_process_min(name, sf_dir)]
-            if attempts[0] is None or attempts[0] >= t:
-                attempts.append(fresh_process_min(name, sf_dir))
-            outlier_checks[name] = [t, *attempts]
-            fresh = min((a for a in attempts if a is not None), default=None)
-            if fresh is not None and fresh < t:
-                outlier_repairs[name] = [t, fresh]
-                timings[name] = fresh
+    repair_t0 = time.perf_counter()
+    for name in repair_plan(timings, load_pin_doc(sf), cpus):
+        if time.perf_counter() - repair_t0 > REPAIR_BUDGET_SEC:
+            break
+        t = timings[name]
+        # up to two fresh sessions: the first can itself catch a
+        # weather burst (it runs on the same box), and an outlier
+        # left unrepaired poisons the recording's acceptance check
+        attempts: list[float | None] = [fresh_process_min(name, sf_dir)]
+        if (attempts[0] is None or attempts[0] >= t) and (
+            time.perf_counter() - repair_t0 <= REPAIR_BUDGET_SEC
+        ):
+            attempts.append(fresh_process_min(name, sf_dir))
+        outlier_checks[name] = [t, *attempts]
+        fresh = min((a for a in attempts if a is not None), default=None)
+        if fresh is not None and fresh < t:
+            outlier_repairs[name] = [t, fresh]
+            timings[name] = fresh
 
-    probes = scale_probes(spark, sf_dir)
-    probes.update(merge_probe(spark, sf_dir))
-
-    # weather + pin comparison BEFORE any detail write (when recording,
-    # the pin itself is about to be overwritten)
+    # Contract line #2 — repaired totals (same schema; "repaired": true).
+    # Both lines are honest measurements of the same run: the driver's
+    # capture may keep either, and the raw values always survive in
+    # outlier_checks below.
     weather = weather_fields(weather_start, load_weather())
     med_ratio = median_ratio_vs_pin(timings, sf)
+    _contract_line(timings, sf, fixtures, med_ratio, weather,
+                   cpus=cpus, repaired=True,
+                   n_outlier_repairs=len(outlier_repairs))
 
     total = round(sum(timings.values()), 3)
     subtotals = {
@@ -888,45 +979,38 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": timings,
-                "families": subtotals,
-                "scale_probes": probes,
-                "fixtures": fixtures,
-                "median_ratio_vs_pin": med_ratio,
-                "outlier_repairs": outlier_repairs,
-                "outlier_checks": outlier_checks,
-                **weather,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-        fh.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": subtotals,
-                "sf": sf,
-                "n_queries": len(timings),
-                "fixtures": fixtures,
-                "median_ratio_vs_pin": med_ratio,
-                "n_outlier_repairs": len(outlier_repairs),
-                **weather,
-                "detail": detail_name,
-            }
-        )
-    )
+
+    def write_detail(probes: dict[str, float]) -> None:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total_time",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "cpus": cpus,
+                    "n_queries": len(timings),
+                    "queries": timings,
+                    "families": subtotals,
+                    "scale_probes": probes,
+                    "fixtures": fixtures,
+                    "median_ratio_vs_pin": med_ratio,
+                    "outlier_repairs": outlier_repairs,
+                    "outlier_checks": outlier_checks,
+                    **weather,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+
+    # detail file twice: once NOW (so a kill during the probes cannot
+    # erase the per-query map), then again with the probes filled in
+    write_detail({})
+    probes = scale_probes(spark, sf_dir)
+    probes.update(merge_probe(spark, sf_dir))
+    write_detail(probes)
 
 
 if __name__ == "__main__":

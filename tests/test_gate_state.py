@@ -346,6 +346,48 @@ def test_bench_fresh_process_min_failure_contract():
     compile(code, "<snippet>", "exec")
 
 
+def test_bench_repair_plan_gating_and_caps():
+    """The outlier-repair pass (round-11 bounds, VERDICT r10 #1): it
+    must be SKIPPED entirely when the pin's recorded core count differs
+    from the run's (an 8-core run vs a 32-core pin flags the core
+    deficit — 52/230 entries tripped in the r10 driver run), and capped
+    at MAX_REPAIR_ENTRIES entries ordered worst-ratio-first."""
+    import bench
+
+    pin_doc = {
+        "cpus": 32,
+        "queries": {f"q{i}": 1.0 for i in range(20)},
+    }
+    timings = {f"q{i}": 1.0 for i in range(20)}
+    # all at pin -> nothing flagged
+    assert bench.repair_plan(timings, pin_doc, 32) == []
+    # one 2x outlier -> flagged at matching cpus, NOT at a different count
+    timings["q3"] = 2.0
+    assert bench.repair_plan(timings, pin_doc, 32) == ["q3"]
+    assert bench.repair_plan(timings, pin_doc, 8) == []
+    # a pin without a recorded core count never authorizes repairs
+    assert bench.repair_plan(timings, {"queries": pin_doc["queries"]}, 32) == []
+    # mass-trip: every entry 2-4x -> capped at MAX_REPAIR_ENTRIES,
+    # worst ratios first
+    timings = {f"q{i}": 2.0 + 0.1 * i for i in range(20)}
+    plan = bench.repair_plan(timings, pin_doc, 32)
+    assert len(plan) == bench.MAX_REPAIR_ENTRIES
+    assert plan[0] == "q19" and plan[-1] == "q12"
+    # entries missing from the pin are never flagged
+    assert "brand_new_entry" not in bench.repair_plan(
+        {**timings, "brand_new_entry": 99.0}, pin_doc, 32)
+    # the committed pin itself records its core count (the skip gate's
+    # data dependency) and the budget constants are sane
+    import json
+    import os
+
+    committed = json.load(open(
+        os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    ))
+    assert committed.get("cpus") == 32
+    assert bench.MAX_REPAIR_ENTRIES <= 8 and bench.REPAIR_BUDGET_SEC <= 90.0
+
+
 def test_stream_fuzz_late_drop_helpers():
     """The deterministic late-drop mode (VERDICT r9 #4) rests on two
     pure facts pinned here: the watermark cutoff is chosen OFF the
