@@ -312,9 +312,19 @@ def cosine_neardup_pairs(
 
         register_pickle_by_value(_self_module)
 
-        rows = vectors.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-        ).collect()
+        from shuttlestandalonedbcreator_spark.operators.util import bounded_collect
+
+        # the full matrix ships driver→executors, the same distribution
+        # strategy as the BNLJ broadcast this path replaced — but now
+        # through the audited cap (r10 verdict: the raw collect had no
+        # size guard analogous to bounded_broadcast's)
+        rows = bounded_collect(
+            vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "caller_contract",
+            hint="exact=True is the quadratic oracle baseline; at scale "
+                 "call cosine_neardup_pairs(exact=False) — LSH-bucketed, "
+                 "output-bounded",
+        )
         rows = [r for r in rows if r["_v"] is not None]
         if not rows:
             return vectors.sparkSession.createDataFrame(
@@ -544,9 +554,16 @@ def matmul_topk(
 
     register_pickle_by_value(_self_module)
 
-    qrows = queries.select(
-        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
-    ).collect()
+    from shuttlestandalonedbcreator_spark.operators.util import bounded_collect
+
+    qrows = bounded_collect(
+        queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+        ),
+        "query_set",
+        hint="the probe set is sized by the request, not the corpus — "
+             "shard the queries and run matmul_topk per shard",
+    )
     if not qrows:
         # an empty probe set is routine (empty partition/day/tenant) and
         # np.stack([]) throws — return the typed empty result instead

@@ -51,6 +51,38 @@ def bounded_broadcast(df: DataFrame, kind: str) -> DataFrame:
     return F.broadcast(df)
 
 
+def bounded_collect(df: DataFrame, kind: str, max_rows: int = 2_000_000,
+                    hint: str = "") -> list:
+    """The ONLY sanctioned way to ``collect()`` an UNBOUNDED-shaped frame
+    to the driver inside an operator/query path — the collect analogue of
+    ``bounded_broadcast`` (same ``kind`` vocabulary, same audit intent:
+    a driver collect of a side that grows with the data is a guaranteed
+    driver OOM at the 100 TB design point).
+
+    ``max_rows`` enforces the bound at runtime: the collect itself is
+    capped via ``limit(max_rows + 1)`` so the driver NEVER materializes
+    more than the cap even on a runaway input, and exceeding it raises
+    with ``hint`` naming the scale-safe alternative (e.g. the
+    ``exact=False`` LSH path for the exact cosine baseline). Under the
+    cap ``limit`` returns every row, so callers see the full result.
+    Collects that are already bounded by construction (``.limit(k)``,
+    a ≤n_blocks aggregate, an explicit size gate) stay raw — the
+    plan-quality source gate pins their exact census.
+    """
+    if kind not in _BOUNDED_KINDS:
+        raise ValueError(
+            f"driver collect needs a bounded-size justification, one of "
+            f"{sorted(_BOUNDED_KINDS)}; got {kind!r}"
+        )
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"bounded_collect({kind!r}): side exceeded {max_rows} rows"
+            + (f" — {hint}" if hint else "")
+        )
+    return rows
+
+
 @contextmanager
 def runtime_bloom_filters(spark, app_side_scan_threshold: str = "10GB",
                           creation_side_threshold: str = "10MB"):

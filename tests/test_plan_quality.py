@@ -549,6 +549,68 @@ def test_no_raw_broadcast_hints_outside_audit_point():
     )
 
 
+def test_no_unguarded_driver_collects_in_operator_modules():
+    """Every driver ``.collect()`` in the operator/query modules must be
+    either (a) routed through ``operators.util.bounded_collect`` (the
+    audited, runtime-capped path — r10 verdict: the exact-cosine path
+    collected the full vector table with NO size guard), or (b) bounded
+    by construction and pinned in the census below with its bound. A new
+    raw collect anywhere in operators/ or queries.py fails this test
+    until it is routed or justified here.
+
+    Census of the by-construction-bounded sites:
+    - operators/scalewin.py x2 — ≤ n_blocks+1 (≤1025) aggregate rows per
+      spec, the documented stitch contract;
+    - operators/bpe.py x2 — one behind the ``vocab.count() <=
+      driver_threshold`` size gate, one behind ``.limit(max(4*k, 8))``;
+    - operators/graph.py x1 — ``_driver_union_find`` runs only under the
+      caller's size gate over a materialized edge count;
+    - queries.py x1 — token_id_encode's vocab behind ``.limit(100)``.
+    """
+    import pathlib
+    import re
+
+    import shuttlestandalonedbcreator_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    expected = {
+        "operators/scalewin.py": 2,
+        "operators/bpe.py": 2,
+        "operators/graph.py": 1,
+        "operators/util.py": 1,  # bounded_collect itself
+        "queries.py": 1,
+    }
+    found: dict[str, int] = {}
+    targets = sorted((root / "operators").glob("*.py")) + [root / "queries.py"]
+    for py in targets:
+        n = len(re.findall(r"\.collect\(\)", py.read_text()))
+        if n:
+            found[str(py.relative_to(root))] = n
+    assert found == expected, (
+        f"raw .collect() census changed: {found} != {expected} — route new "
+        "driver collects through operators.util.bounded_collect (runtime "
+        "row cap + bounded-size justification) or pin the bound here"
+    )
+
+
+def test_bounded_collect_contract(spark):
+    """bounded_collect returns every row under the cap, never
+    materializes more than max_rows+1, and raises with the caller's
+    scale-pointer hint when the side exceeds the cap."""
+    from shuttlestandalonedbcreator_spark.operators.util import bounded_collect
+
+    df = spark.range(10)
+    rows = bounded_collect(df, "one_row", max_rows=100)
+    assert sorted(r["id"] for r in rows) == list(range(10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeded 5 rows.*use the LSH path"):
+        bounded_collect(df, "caller_contract", max_rows=5,
+                        hint="use the LSH path")
+    with _pytest.raises(ValueError, match="justification"):
+        bounded_collect(df, "because_i_said_so")
+
+
 def test_no_scratch_files_at_repo_root():
     """Repo hygiene: session scratch harnesses (_draft*.py, _scratch*.py,
     _tmp*.py) must not ship at the repo root — they sit on the import
