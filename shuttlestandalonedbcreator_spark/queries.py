@@ -3962,19 +3962,43 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the base table by a portable hash (10% removed, 20% rewritten,
     10% cloned under new ids), so both engines diff identical inputs.
     One shuffle keyed on the id; classification is a narrow projection;
-    output is the 4-row summary."""
+    output is the 4-row summary.
+
+    r11 (guide §6/§2.4, VERDICT r10 #6): ONE corpus scan instead of
+    three. The old side and both derived-snapshot branches (surviving,
+    added) are emitted from a single pass as (k, _old, _new) HALF-ROWS
+    via a conditional explode — 1 struct for a removed key, 2 for a
+    surviving key, 3 when the row also spawns a clone — and the
+    full-outer join on k becomes the groupBy(k) that merges the halves
+    (each side contributes at most one non-null per key, doc_id being
+    unique and clone keys offset by 2^40, so max() IS the join). Same
+    statuses, same counts — oracle-proven; at 100 TB this saves two of
+    three full corpus scans and one of two corpus-wide exchanges."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     h = D.md5_long(F.col("doc_id"), seed=11) % 10
-    surviving = docs.filter(h != 0).select(
-        "doc_id",
-        F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
+    surv_text = (
+        F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
     )
-    added = docs.filter(h == 9).select(
-        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+    _null_s = F.lit(None).cast("string")
+    old_half = F.struct(
+        F.col("doc_id").alias("k"),
+        F.col("text").alias("_old"), _null_s.alias("_new"),
     )
-    new = surviving.unionByName(added)
-    old_k = docs.select(F.col("doc_id").alias("k"), F.col("text").alias("_old"))
-    new_k = new.select(F.col("doc_id").alias("k"), F.col("text").alias("_new"))
+    new_half = F.struct(
+        F.col("doc_id").alias("k"),
+        _null_s.alias("_old"), surv_text.alias("_new"),
+    )
+    add_half = F.struct(
+        (F.col("doc_id") + F.lit(1 << 40)).alias("k"),
+        _null_s.alias("_old"), F.col("text").alias("_new"),
+    )
+    n_emit = F.when(h == 0, F.lit(1)).when(h == 9, F.lit(3)).otherwise(F.lit(2))
+    halves = docs.select(
+        F.explode(
+            F.slice(F.array(old_half, new_half, add_half), F.lit(1), n_emit)
+        ).alias("r")
+    ).select("r.*")
     status = (
         F.when(F.col("_old").isNull(), F.lit("added"))
         .when(F.col("_new").isNull(), F.lit("removed"))
@@ -3982,7 +4006,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
     )
     return (
-        old_k.join(new_k, "k", "full_outer")
+        halves.groupBy("k")
+        .agg(F.max("_old").alias("_old"), F.max("_new").alias("_new"))
         .select(status.alias("status"))
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -5503,19 +5528,36 @@ def q_cross_source_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy on md5(content) computing the winner via min_by over an
     encoded (priority, id) rank (priority·2^62+id — id is far below 2^62
     at any real scale), then a join back keyed on the same hash to emit
-    the dup→canonical mapping."""
+    the dup→canonical mapping.
+
+    r11 (guide §6, VERDICT r10 #6): the corpus∪mirror union was two
+    pruned re-reads per consumer (four scans, md5 over the text twice
+    per mirrored row); each consumer now derives it in ONE pass — md5
+    once per row, then a conditional explode emits the original struct
+    plus, for every 5th id, its mirror struct (id offset by 2^40 so
+    injected mirrors never collide with corpus ids at any scale). Two
+    consumers (groups, join-back) keep two scans total; collapsing to
+    one would need either a corpus-sized localCheckpoint or a skew-
+    unsafe collect_list per content hash — the min_by + join-back shape
+    stays because it is the one that survives a hot exact-dup group
+    (boilerplate pages) at 100 TB."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    mirror = docs.filter(F.col("doc_id") % 5 == 0).select(
-        # offset above any plausible real id (2^40) so injected mirrors can
-        # never collide with corpus ids at any scale factor
+    base = docs.select("doc_id", "source", F.md5("text").alias("_h"))
+    orig = F.struct(
+        F.col("doc_id").alias("doc_id"),
+        F.col("source").alias("source"),
+        F.lit(0).alias("_prio"),
+    )
+    mir = F.struct(
         (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"),
-        "text",
         F.lit("mirror").alias("source"),
+        F.lit(1).alias("_prio"),
     )
-    all_ = docs.unionByName(mirror).select(
-        "doc_id", "source", F.md5("text").alias("_h"),
-        F.when(F.col("source") == "mirror", F.lit(1)).otherwise(F.lit(0)).alias("_prio"),
-    )
+    n_emit = F.when(F.col("doc_id") % 5 == 0, F.lit(2)).otherwise(F.lit(1))
+    all_ = base.select(
+        "_h",
+        F.explode(F.slice(F.array(orig, mir), F.lit(1), n_emit)).alias("r"),
+    ).select("r.doc_id", "r.source", "_h", "r._prio")
     rank = F.col("_prio") * F.lit(1 << 62) + F.col("doc_id")
     groups = (
         all_.groupBy("_h")
@@ -6246,28 +6288,49 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a downstream incremental consumer applies: one op row per delta
     (insert with new content hash, delete, update with both hashes).
     Unchanged rows — the overwhelming majority at scale — are filtered
-    INSIDE the same full-outer-join pass, so the feed's size is
+    INSIDE the same reconciliation pass, so the feed's size is
     O(changes), never O(corpus). Same deterministic snapshot derivation
-    as snapshot_diff (md5-hash 10% removed / 20% rewritten / 10% new)."""
+    as snapshot_diff (md5-hash 10% removed / 20% rewritten / 10% new).
+
+    r11 (guide §6/§2.4, VERDICT r10 #6): same one-scan shape as
+    snapshot_diff — (k, _oh, _nh) hash half-rows from a single corpus
+    pass via conditional explode, merged by groupBy(k) with max() (at
+    most one non-null per side per key), replacing three corpus scans
+    and a two-sided full-outer exchange with one scan and one exchange
+    that carries 32-byte hashes, not documents."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     h = D.md5_long(F.col("doc_id"), seed=11) % 10
-    surviving = docs.filter(h != 0).select(
-        "doc_id",
-        F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")).alias("text"),
+    surv_text = (
+        F.when(h <= 2, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
     )
-    added = docs.filter(h == 9).select(
-        (F.col("doc_id") + F.lit(1 << 40)).alias("doc_id"), "text"
+    _null_s = F.lit(None).cast("string")
+    old_half = F.struct(
+        F.col("doc_id").alias("k"),
+        F.md5("text").alias("_oh"), _null_s.alias("_nh"),
     )
-    new = surviving.unionByName(added)
-    old_k = docs.select(F.col("doc_id").alias("k"), F.md5("text").alias("_oh"))
-    new_k = new.select(F.col("doc_id").alias("k"), F.md5("text").alias("_nh"))
+    new_half = F.struct(
+        F.col("doc_id").alias("k"),
+        _null_s.alias("_oh"), F.md5(surv_text).alias("_nh"),
+    )
+    add_half = F.struct(
+        (F.col("doc_id") + F.lit(1 << 40)).alias("k"),
+        _null_s.alias("_oh"), F.md5("text").alias("_nh"),
+    )
+    n_emit = F.when(h == 0, F.lit(1)).when(h == 9, F.lit(3)).otherwise(F.lit(2))
+    halves = docs.select(
+        F.explode(
+            F.slice(F.array(old_half, new_half, add_half), F.lit(1), n_emit)
+        ).alias("r")
+    ).select("r.*")
     op = (
         F.when(F.col("_oh").isNull(), F.lit("insert"))
         .when(F.col("_nh").isNull(), F.lit("delete"))
         .otherwise(F.lit("update"))
     )
     return (
-        old_k.join(new_k, "k", "full_outer")
+        halves.groupBy("k")
+        .agg(F.max("_oh").alias("_oh"), F.max("_nh").alias("_nh"))
         .filter(
             F.col("_oh").isNull() | F.col("_nh").isNull() | (F.col("_oh") != F.col("_nh"))
         )
@@ -11229,37 +11292,69 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plists = pre.groupBy("hh").agg(
         F.array_sort(F.collect_set(F.struct("doc_id", "n", "rk"))).alias("ids")
     )
-    # r10: PPJoin POSITIONAL filter INSIDE the expansion, before the pair
-    # exchange (guide §2.3; Xiao et al., WWW'08). rk is each doc's 1-based
-    # position of the shingle in its full (df, hh)-ordered gram list, so
-    # inter ≤ 1 + min(na − rka, nb − rkb) at the pair's FIRST common
-    # prefix shingle: any common shingle ordered before it would sit at
-    # earlier positions in BOTH prefixes, contradicting firstness. The
-    # verify condition 5·inter ≥ 3·(na+nb−inter) ⇔ 8·inter ≥ 3·(na+nb) is
-    # increasing in inter, so a verifying pair always survives at its
-    # first co-occurrence — lossless; later co-occurrences may drop (the
-    # distinct collapses them anyway). At rk = 1 the bound degenerates to
-    # the plain size-compatibility test 5·min ≥ 3·max, so this strictly
-    # subsumes the earlier size prune. Measured at sf0.1: 193,134
-    # distinct candidates under the size test → 68,704 under the
-    # positional bound (−64 %); local wall-clock flat (the verify stage
-    # is parallel since the AQE floor fix) — the win is candidate volume
-    # and shuffled bytes, which is what survives at 100 TB.
+    # r10 introduced the PPJoin POSITIONAL filter (guide §2.3; Xiao et
+    # al., WWW'08) at each pair's first co-occurrence: inter ≤ 1 +
+    # min(na − rka, nb − rkb) there. r11 tightens it to the ACCUMULATED
+    # positional bound over ALL co-occurrences (the per-pair analogue of
+    # PPJoin's running-overlap prune, taken instead of the recursive
+    # suffix filter, which would need whole gram arrays inside the
+    # posting lists — a shuffle-byte regression at scale). Derivation:
+    # both docs' gram lists are ranked by the SAME global (df, hh) order,
+    # so (a) any common shingle ordered before a shingle that sits in
+    # both prefixes also sits in both prefixes (its positions are
+    # strictly smaller on both sides) — hence the c co-occurrences of a
+    # pair are EXACTLY its common shingles up to the last co-occurrence,
+    # and (b) the co-occurrence maximizing rka also maximizes rkb. Common
+    # shingles after the last co-occurrence number at most
+    # min(na − rka_max, nb − rkb_max), so
+    #     inter ≤ c + min(na − rka_max, nb − rkb_max)
+    # and the verify condition 5·inter ≥ 3·(na+nb−inter) ⇔ 8·inter ≥
+    # 3·(na+nb) is increasing in inter — a verifying pair always passes:
+    # lossless. Writing bound_k = k + min(na − rka_k, nb − rkb_k) for the
+    # k-th co-occurrence, rk grows by ≥1 per step so bound_k is
+    # non-increasing in k: the aggregated bound (k = c) is the TIGHTEST,
+    # strictly subsuming r10's first-occurrence form. Mechanically the
+    # per-pair aggregation replaces the r10 distinct — the SAME single
+    # (id_a, id_b)-keyed exchange, map-side partial agg collapsing
+    # duplicate co-occurrences exactly where distinct did — and the
+    # in-expansion filter keeps only the PAIR-CONSTANT size test
+    # 8·min(n) ≥ 3·(na+nb) (an occurrence-dependent pre-filter would
+    # corrupt c; the size test drops all of a hopeless pair's
+    # occurrences or none). Measured at sf0.1: 193,134 candidates under
+    # the size test → 68,704 under the r10 first-occurrence bound →
+    # 66,352 under the accumulated bound; the candidate volume is what
+    # the verify join re-attaches full gram arrays to, so it is the
+    # quantity that survives at 100 TB.
+    occ = plists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "filter(transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+                "x.n AS nx, y.n AS ny, x.rk AS rkx, y.rk AS rky)), "
+                "p -> 8 * least(p.nx, p.ny) >= 3 * (p.nx + p.ny))))"
+            )
+        ).alias("p")
+    ).select("p.*")
     pairs = (
-        plists.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "filter(transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
-                    "x.n AS nx, y.n AS ny, x.rk AS rkx, y.rk AS rky)), "
-                    "p -> 8 * (1 + least(p.nx - p.rkx, p.ny - p.rky)) "
-                    ">= 3 * (p.nx + p.ny))))"
-                )
-            ).alias("p")
+        occ.groupBy("id_a", "id_b", "nx", "ny")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("rkx").alias("rkx_max"),
+            F.max("rky").alias("rky_max"),
         )
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .filter(
+            F.lit(8)
+            * (
+                F.col("c")
+                + F.least(
+                    F.col("nx") - F.col("rkx_max"),
+                    F.col("ny") - F.col("rky_max"),
+                )
+            )
+            >= F.lit(3) * (F.col("nx") + F.col("ny"))
+        )
+        .select("id_a", "id_b")
     )
     sa = base.select(
         F.col("doc_id").alias("id_a"),
