@@ -19,7 +19,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame  # noqa: E402
+# Spark 4: pyspark.sql.DataFrame is the abstract facade; instances are
+# pyspark.sql.classic.dataframe.DataFrame, so the patch must land there
+try:
+    from pyspark.sql.classic.dataframe import DataFrame  # noqa: E402
+except ImportError:  # Spark 3.x layout
+    from pyspark.sql import DataFrame  # noqa: E402
 
 from shuttlestandalonedbcreator_spark.queries import CATALOG  # noqa: E402
 from shuttlestandalonedbcreator_spark.session import get_spark  # noqa: E402
