@@ -3240,6 +3240,14 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_STR_COLS:
         str_aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
         str_aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    # r11 adjudication (guide §1.1 measure-first): the distinct-count
+    # Expand pass is 86 % of the entry and runs in the toy parquet's
+    # single scan task, so a fan_out was A/B'd — NOT robust: −18 % in
+    # one interleaved sample (1.089→0.896 s), +5 % in another
+    # (0.960→1.012 s min-of-6 interleaved) — the round-robin exchange of
+    # the full table offsets the parallel partial agg. Reverted; at real
+    # scale the scan splits naturally and the Expand partial-aggregates
+    # map-side, so the original shape is already the scalable one.
     row = orders.agg(*aggs).crossJoin(orders.agg(*str_aggs))
 
     null_d = F.lit(None).cast("double")
@@ -8648,10 +8656,28 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sq = F.floor(T.stopword_ratio(F.col("text")) * 1000.0 + 0.5).cast("long")
     pos = (F.col("lang") == "en").cast("long")
-    binned = docs.select(
-        F.least(F.floor(sq / 100), F.lit(9)).cast("int").alias("bin"),
-        sq.alias("_sq"),
-        pos.alias("_pos"),
+    # r11 (guide §1.2 per-task work): sq was referenced twice (bin
+    # derivation + the raw value), and CollapseProject substitutes the
+    # whole stopword_ratio tokenization into BOTH references — profiled
+    # at ~2× the single-tokenization cost. Let-bind sq through a
+    # 1-element transform (the quality_score precedent: codegen CSE does
+    # not recover expressions split across collapsed projections) so the
+    # tokenization runs once per row: entry 1.088 → 0.709 s (best-of-4,
+    # sf0.1). Values unchanged — same sq feeds both fields.
+    _r = F.get(
+        F.transform(
+            F.array(sq),
+            lambda s: F.struct(
+                F.least(F.floor(s / 100), F.lit(9)).cast("int").alias("bin"),
+                s.alias("_sq"),
+            ),
+        ),
+        0,
+    )
+    binned = docs.select(_r.alias("_b"), pos.alias("_pos")).select(
+        F.col("_b.bin").alias("bin"),
+        F.col("_b._sq").alias("_sq"),
+        "_pos",
     )
     err = (F.col("_sq") - 1000 * F.col("_pos"))
     return (
