@@ -8586,7 +8586,30 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window; exclusive cumneg = inclusive − own (exact
     ints), bit-identical, oracle unchanged."""
     docs = _t(spark, sf_dir, "documents")
-    score = T.stopword_ratio(F.col("text"))
+    # r11 (guide §1.2; the classifier_calibration finding applied to its
+    # companion): stopword_ratio internally references the tokenization
+    # three times and collapsed projections re-evaluate it (measured
+    # ~2.2× one tokenization); let-bind the token array once per row
+    # through a 1-element transform — same hits/size double division,
+    # same 0.0 empty fallback, bit-identical score values. A fix inside
+    # functions/text.py would reach all 14 consumers but re-hashes them
+    # past the driver's 50-slot walk budget (see OPTIMIZATION_r11.md) —
+    # entry-local here, operator-level fix queued for a fresh round.
+    from shuttlestandalonedbcreator_spark.functions.text import LANG_MARKERS
+
+    score = F.get(
+        F.transform(
+            F.array(T.word_tokens(F.col("text"))),
+            lambda t: F.when(
+                F.size(t) > 0,
+                F.size(
+                    F.filter(t, lambda x: x.isin(*LANG_MARKERS["en"]))
+                ).cast("double")
+                / F.size(t).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ),
+        0,
+    )
     labeled = docs.select(
         score.alias("_s"),
         (F.col("lang") == "en").cast("long").alias("_pos"),
